@@ -1,0 +1,357 @@
+"""Deterministic (seed-fixed) synthetic fixtures.
+
+Mirrors the shape of the reference's bundled test data (``/root/reference/test/data/``:
+612 nodes / 29 ways / 3 relations, pinned golden elements per
+``test/TestUtils.jl:19-44``) plus the Common-Crawl-style ``pages`` table from
+``BASELINE.json`` input_hint. No external data; everything derives from ``seed``.
+
+Pinned golden elements (same ids/values as the reference oracle so the test layer
+matches SURVEY.md §5):
+
+- node 1675598406 at (54.2619665, 9.9854149), tags addr:country=DE etc.
+  (``test/test_load_xml.jl:23-33``)
+- way 889648159 with exactly 56 refs, refs[22] == 1276389426 (0-based; the reference
+  asserts refs[23] 1-indexed, ``test/test_load_xml.jl:39-41``), tags
+  wetland=wet_meadow, natural=wetland
+- relation 12475101 with type=route tags (``test/test_load_xml.jl:46-58``)
+"""
+
+from __future__ import annotations
+
+import random
+from xml.sax.saxutils import escape as xml_escape
+
+import numpy as np
+import pyarrow as pa
+
+from openstreetmapio_jl_spark.functions import text as textfn
+from openstreetmapio_jl_spark.pbf import writer
+
+BBOX = {
+    "bottom_lat": 54.26169,
+    "left_lon": 9.98192,
+    "top_lat": 54.26315,
+    "right_lon": 9.98648,
+}
+
+KNOWN_NODE_ID = 1675598406
+KNOWN_WAY_ID = 889648159
+KNOWN_RELATION_ID = 12475101
+TEST_POINT = (54.2619665, 9.9854149)
+
+# dense "urban" hot-spot for skew tests (FIXTURES.md §6: ~30% of pages in one cell)
+HOT_CENTER = (54.2625, 9.9840)
+
+_POI_TYPES = ["restaurant", "cafe", "bar", "school", "pharmacy", "bank", "fuel"]
+_CUISINES = ["italian", "german", "indian", "thai", "greek"]
+_USERS = ["mapper_a", "mapper_b", "straße_mapper", "anon"]
+_LANGS = ["en", "de", "fr", "es"]
+
+
+def _r7(x: float) -> float:
+    return round(x, 7)
+
+
+def make_osm(seed: int = 42, n_nodes: int = 612, n_ways: int = 29, n_relations: int = 3):
+    """Returns (meta, nodes, ways, relations) as plain dicts (writer input format)."""
+    rng = random.Random(seed)
+    b, l, t, r = BBOX["bottom_lat"], BBOX["left_lon"], BBOX["top_lat"], BBOX["right_lon"]
+
+    nodes: list[dict] = []
+
+    def rand_pos(pad: float = 0.0):
+        return (
+            _r7(rng.uniform(b + pad, t - pad)),
+            _r7(rng.uniform(l + pad, r - pad)),
+        )
+
+    def rand_info(i: int):
+        if i % 3 == 0:
+            return None
+        return {
+            "version": 1 + i % 5,
+            "timestamp": 1_600_000_000 + (i % 1000) * 3600,
+            "changeset": 900 + i % 50,
+            "uid": 100 + i % 7,
+            "user": _USERS[i % len(_USERS)],
+            "visible": True,
+        }
+
+    # golden node
+    nodes.append(
+        {
+            "id": KNOWN_NODE_ID,
+            "lat": TEST_POINT[0],
+            "lon": TEST_POINT[1],
+            "tags": {
+                "addr:country": "DE",
+                "addr:city": "Bovenau",
+                "addr:postcode": "24796",
+                "addr:street": "Dorfstraße",
+            },
+            "info": {
+                "version": 2,
+                "timestamp": 1_600_000_000,
+                "changeset": 999,
+                "uid": 101,
+                "user": "mapper_a",
+                "visible": True,
+            },
+        }
+    )
+
+    next_id = 1_000_000_000
+    for i in range(n_nodes - 1):
+        next_id += rng.randint(1, 5000)
+        lat, lon = rand_pos()
+        tags = None
+        k = i % 10
+        if k == 0:
+            tags = {
+                "amenity": _POI_TYPES[i % len(_POI_TYPES)],
+                "name": f"POI {i} & Co. <straße> \"quoted\" 'single'",
+            }
+            if _POI_TYPES[i % len(_POI_TYPES)] == "restaurant":
+                tags["cuisine"] = _CUISINES[i % len(_CUISINES)]
+        elif k == 1:
+            tags = {"addr:country": "DE", "addr:street": f"Straße {i}"}
+        nodes.append(
+            {"id": next_id, "lat": lat, "lon": lon, "tags": tags, "info": rand_info(i)}
+        )
+    # the golden way's pinned ref target must exist
+    nodes.append(
+        {
+            "id": 1276389426,
+            "lat": _r7((b + t) / 2),
+            "lon": _r7((l + r) / 2),
+            "tags": None,
+            "info": None,
+        }
+    )
+    nodes.sort(key=lambda n: n["id"])
+    node_ids = [n["id"] for n in nodes]
+
+    ways: list[dict] = []
+    # golden way: 56 refs with refs[22] == 1276389426
+    golden_refs = [node_ids[(7 * j + 3) % len(node_ids)] for j in range(56)]
+    golden_refs[22] = 1276389426
+    ways.append(
+        {
+            "id": KNOWN_WAY_ID,
+            "refs": golden_refs,
+            "tags": {"wetland": "wet_meadow", "natural": "wetland"},
+            "info": rand_info(1),
+        }
+    )
+    way_id = 100_000_000
+    for i in range(n_ways - 1):
+        way_id += rng.randint(1, 999)
+        n_refs = rng.randint(3, 60)
+        refs = [node_ids[rng.randrange(len(node_ids))] for _ in range(n_refs)]
+        closed = i % 3 == 0
+        if closed:
+            refs[-1] = refs[0]  # polygon ring
+        tags = {"highway": "residential", "name": f"Way {i}"} if i % 2 else {
+            "natural": "water",
+            "name": f"Lake {i}",
+        }
+        w = {"id": way_id, "refs": refs, "tags": tags, "info": rand_info(i)}
+        if i % 4 == 0:  # LocationsOnWays variant (src/load_pbf.jl:925-940)
+            id_to_pos = {n["id"]: (n["lat"], n["lon"]) for n in nodes}
+            w["positions"] = [id_to_pos[ref] for ref in refs]
+        ways.append(w)
+    ways.sort(key=lambda w: w["id"])
+    way_ids = [w["id"] for w in ways]
+
+    relations: list[dict] = []
+    relations.append(
+        {
+            "id": KNOWN_RELATION_ID,
+            "members": [
+                {"ref": way_ids[0], "type": "way", "role": ""},
+                {"ref": way_ids[1 % len(way_ids)], "type": "way", "role": "forward"},
+                {"ref": node_ids[0], "type": "node", "role": "stop"},
+            ],
+            "tags": {
+                "type": "route",
+                "route": "bus",
+                "from": "Bovenau",
+                "to": "Kiel",
+            },
+            "info": rand_info(2),
+        }
+    )
+    # multipolygon with outer/inner roles (ring assembly + PIP tests)
+    closed_ways = [w["id"] for w in ways if w["refs"][0] == w["refs"][-1]]
+    if len(closed_ways) >= 2:
+        relations.append(
+            {
+                "id": KNOWN_RELATION_ID + 7,
+                "members": [
+                    {"ref": closed_ways[0], "type": "way", "role": "outer"},
+                    {"ref": closed_ways[1], "type": "way", "role": "inner"},
+                ],
+                "tags": {"type": "multipolygon", "natural": "water"},
+                "info": None,
+            }
+        )
+    for i in range(max(0, n_relations - len(relations))):
+        relations.append(
+            {
+                "id": KNOWN_RELATION_ID + 100 + i,
+                "members": [
+                    {"ref": way_ids[i % len(way_ids)], "type": "way", "role": "outer"},
+                    # member referencing an external (absent) id — allowed
+                    {"ref": 999_999_999_999 + i, "type": "relation", "role": ""},
+                ],
+                "tags": {"type": "boundary"},
+                "info": rand_info(i),
+            }
+        )
+    relations.sort(key=lambda r: r["id"])
+
+    meta = {
+        "bbox": dict(BBOX),
+        "required_features": ["OsmSchema-V0.6", "DenseNodes"],
+        "optional_features": ["LocationsOnWays"],
+        "writingprogram": "openstreetmapio_jl_spark-fixture-0.1",
+        "source": "synthetic-seed-42",
+        "osmosis_replication_timestamp": 1_700_000_000,
+        "osmosis_replication_sequence_number": 4242,
+        "osmosis_replication_base_url": "https://example.org/replication",
+    }
+    return meta, nodes, ways, relations
+
+
+# ---------------------------------------------------------------------------
+# XML twin (OSM 0.6 schema) — decode(pbf) == decode(xml) invariant target
+# ---------------------------------------------------------------------------
+
+def write_fixture_xml(path: str, meta: dict, nodes, ways, relations) -> None:
+    """OSM XML equivalent of the PBF fixture. The XML read path drops Info
+    (``/root/reference/src/load_xml.jl:215,230,245``), so version/user attrs written
+    here are decoration the engine must ignore — preserved asymmetry."""
+
+    def esc(s: str) -> str:
+        return xml_escape(s, {'"': "&quot;", "'": "&#39;"})
+
+    lines = ['<?xml version="1.0" encoding="UTF-8"?>']
+    lines.append('<osm version="0.6" generator="openstreetmapio_jl_spark-fixture">')
+    bb = meta["bbox"]
+    lines.append(
+        f'  <bounds minlat="{bb["bottom_lat"]}" minlon="{bb["left_lon"]}" '
+        f'maxlat="{bb["top_lat"]}" maxlon="{bb["right_lon"]}"/>'
+    )
+    for n in nodes:
+        attrs = f'id="{n["id"]}" lat="{n["lat"]:.7f}" lon="{n["lon"]:.7f}"'
+        info = n.get("info")
+        if info:
+            attrs += f' version="{info["version"]}" user="{esc(info["user"])}"'
+        if n.get("tags"):
+            lines.append(f"  <node {attrs}>")
+            for k, v in n["tags"].items():
+                lines.append(f'    <tag k="{esc(k)}" v="{esc(v)}"/>')
+            lines.append("  </node>")
+        else:
+            lines.append(f"  <node {attrs}/>")
+    for w in ways:
+        lines.append(f'  <way id="{w["id"]}">')
+        for ref in w["refs"]:
+            lines.append(f'    <nd ref="{ref}"/>')
+        for k, v in (w.get("tags") or {}).items():
+            lines.append(f'    <tag k="{esc(k)}" v="{esc(v)}"/>')
+        lines.append("  </way>")
+    for r in relations:
+        lines.append(f'  <relation id="{r["id"]}">')
+        for m in r["members"]:
+            lines.append(
+                f'    <member type="{m["type"]}" ref="{m["ref"]}" role="{esc(m["role"])}"/>'
+            )
+        for k, v in (r.get("tags") or {}).items():
+            lines.append(f'    <tag k="{esc(k)}" v="{esc(v)}"/>')
+        lines.append("  </relation>")
+    lines.append("</osm>")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def write_fixture_pbf(path: str, meta, nodes, ways, relations, **kw) -> None:
+    writer.write_pbf(path, meta, nodes, ways, relations, **kw)
+
+
+# ---------------------------------------------------------------------------
+# pages table (Common-Crawl-style; BASELINE.json input_hint)
+# ---------------------------------------------------------------------------
+
+_PLACES = [
+    "Bovenau", "Kiel", "Rendsburg", "Achterwehr", "Melsdorf",
+    "Quarnbek", "Felde", "Ottendorf", "Schinkel", "Lindau",
+]
+
+
+def make_pages(n: int, seed: int = 42, hot_frac: float = 0.3) -> pa.Table:
+    """n synthetic pages. Geocodes: ``hot_frac`` clustered on HOT_CENTER (the skewed
+    urban cell), ~half of the rest inside BBOX, the remainder spread worldwide so
+    PIP joins have hits and misses (FIXTURES.md §6)."""
+    rng = np.random.default_rng(seed)
+    b, l, t, r = BBOX["bottom_lat"], BBOX["left_lon"], BBOX["top_lat"], BBOX["right_lon"]
+
+    n_hot = int(n * hot_frac)
+    n_in = int(n * 0.35)
+    n_out = n - n_hot - n_in
+    lat = np.concatenate(
+        [
+            HOT_CENTER[0] + rng.uniform(-0.0004, 0.0004, n_hot),
+            rng.uniform(b, t, n_in),
+            rng.uniform(-85.0, 85.0, n_out),
+        ]
+    )
+    lon = np.concatenate(
+        [
+            HOT_CENTER[1] + rng.uniform(-0.0004, 0.0004, n_hot),
+            rng.uniform(l, r, n_in),
+            rng.uniform(-180.0, 180.0, n_out),
+        ]
+    )
+    lat = np.round(lat, 7)
+    lon = np.round(lon, 7)
+    order = rng.permutation(n)
+    lat, lon = lat[order], lon[order]
+
+    urls, htmls, texts, langs = [], [], [], []
+    base_ts = np.datetime64("2025-06-01T00:00:00", "us")
+    ts = base_ts + (np.arange(n) * 977_201).astype("timedelta64[us]")
+    for i in range(n):
+        place = _PLACES[i % len(_PLACES)]
+        lang = _LANGS[i % len(_LANGS)]
+        html = (
+            f"<html><head><title>Page {i} — {place}</title>"
+            f"<style>p {{color: red}}</style></head>"
+            f"<body><h1>{place} travel notes &amp; tips</h1>"
+            f"<p>Visit {place} at geo:{lat[i]:.7f},{lon[i]:.7f} for the views.</p>"
+            f"<p>Entry {i % 100} of the {place} series.</p>"
+            f"</body></html>"
+        )
+        urls.append(f"https://example.org/{place.lower()}/page-{i:08d}")
+        htmls.append(html.encode("utf-8"))
+        texts.append(textfn.extract_text(html))
+        langs.append(lang)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+
+
+# sf → fixture sizing (documents/lineitem-style scaling per TESTDATA.md)
+def sizes_for_sf(sf: float) -> dict[str, int]:
+    return {
+        "n_nodes": max(612, int(sf * 600_000)),
+        "n_ways": max(29, int(sf * 30_000)),
+        "n_relations": max(3, int(sf * 3_000)),
+        "n_pages": max(500, int(sf * 500_000)),
+    }

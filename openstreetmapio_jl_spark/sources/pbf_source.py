@@ -1,0 +1,158 @@
+"""Block-parallel PBF source: blob index → ``mapInArrow`` decode → DataFrames.
+
+Spark lifecycle (SURVEY.md §3.1 "Spark lifecycle equivalent"): the driver runs a
+metadata-only framing pass (:func:`openstreetmapio_jl_spark.pbf.blocks.scan_blob_index`
+— reads 4-byte lengths + BlobHeaders, seeks past payloads), decodes the OSMHeader
+blob locally into ``meta``, and parallelizes the OSMData blob *descriptors* into a
+DataFrame. Each ``mapInArrow`` task then reads only its own byte ranges, decompresses,
+and runs the vectorized decode kernel — the reference's sequential loop
+(``/root/reference/src/load_pbf.jl:47-87``) becomes embarrassing block parallelism
+(block independence guaranteed by ``osmformat.proto:39-44``).
+
+Scale notes:
+- Blob descriptors are tiny (5 fields/blob; a planet file is ~50k blobs) — the index
+  easily fits on the driver and parallelizes into ``4×cores`` partitions.
+- Predicate pushdown INTO the kernel (``predicate=``) mirrors the reference's
+  callback-during-parse model: filtered elements never materialize.
+- ``want`` pruning decodes only the requested entity kind — the analog of
+  registering only the callbacks you need.
+- Id dedup across blobs (reference ``merge!`` last-wins, ``src/load_pbf.jl:385-401``)
+  is OFF by default (planet extracts don't duplicate ids); ``dedup_ids=True`` adds a
+  ``row_number() over (partition by id order by blob_seq desc)`` pass.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from openstreetmapio_jl_spark import model
+from openstreetmapio_jl_spark.operators.predicates import ElementPredicate
+from openstreetmapio_jl_spark.pbf import blocks, decode
+
+_KIND_SCHEMA = {
+    "nodes": (model.NODES_ARROW, model.NODES_DDL),
+    "ways": (model.WAYS_ARROW, model.WAYS_DDL),
+    "relations": (model.RELATIONS_ARROW, model.RELATIONS_DDL),
+}
+
+
+@dataclass
+class OSMBundle:
+    """The Spark mapping of the reference's ``OpenStreetMap`` container
+    (``src/map_types.jl:178-193``): three DataFrames + a meta dict."""
+
+    nodes: DataFrame
+    ways: DataFrame
+    relations: DataFrame
+    meta: dict
+
+
+def blob_index_df(spark: SparkSession, paths: str | list[str]) -> tuple[DataFrame, dict]:
+    """(data-blob descriptor DataFrame, merged meta from header blobs)."""
+    if isinstance(paths, str):
+        paths = [paths]
+    rows = []
+    meta: dict = {}
+    for p in paths:
+        descs = blocks.scan_blob_index(p)
+        header = descs[0]
+        payload = blocks.decompress_blob(
+            blocks.read_blob_payload(header.path, header.data_offset, header.data_size)
+        )
+        meta.update(decode.decode_header_block(payload))
+        rows.extend(
+            (d.path, d.blob_seq, d.blob_type, d.data_offset, d.data_size)
+            for d in descs[1:]
+        )
+    df = spark.createDataFrame(rows, model.BLOB_INDEX_DDL)
+    # spread blobs across tasks; blob count is the parallelism unit
+    target = min(len(rows), spark.sparkContext.defaultParallelism * 2) or 1
+    return df.repartition(target, "blob_seq"), meta
+
+
+def _decode_kernel(kind: str, predicate: ElementPredicate | None):
+    schema, _ = _KIND_SCHEMA[kind]
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            paths = batch.column("path").to_pylist()
+            seqs = batch.column("blob_seq").to_pylist()
+            offs = batch.column("data_offset").to_pylist()
+            sizes = batch.column("data_size").to_pylist()
+            for path, seq, off, size in zip(paths, seqs, offs, sizes):
+                payload = blocks.decompress_blob(
+                    blocks.read_blob_payload(path, off, size)
+                )
+                stats = decode.BlockStats()
+                out = decode.decode_primitive_block(payload, want=(kind,), stats=stats)
+                parts = out.get(kind)
+                if not parts:
+                    continue
+                rb = decode.parts_to_batch(parts, schema, seq)
+                if predicate is not None:
+                    rb = predicate.apply_arrow(rb)
+                if rb.num_rows:
+                    yield rb
+
+    return kernel
+
+
+def read_pbf_kind(
+    spark: SparkSession,
+    paths: str | list[str],
+    kind: str,
+    *,
+    predicate: ElementPredicate | None = None,
+    index_df: DataFrame | None = None,
+) -> DataFrame:
+    if index_df is None:
+        index_df, _ = blob_index_df(spark, paths)
+    _, ddl = _KIND_SCHEMA[kind]
+    return index_df.mapInArrow(_decode_kernel(kind, predicate), ddl)
+
+
+def read_pbf(
+    spark: SparkSession,
+    paths: str | list[str],
+    *,
+    node_predicate: ElementPredicate | None = None,
+    way_predicate: ElementPredicate | None = None,
+    relation_predicate: ElementPredicate | None = None,
+    dedup_ids: bool = False,
+) -> OSMBundle:
+    """Full-container read — the ``read_pbf(filename; callbacks...)`` analog
+    (``src/load_pbf.jl:47-87``), with predicates replacing callbacks."""
+    index_df, meta = blob_index_df(spark, paths)
+    index_df = index_df.cache()  # reused by all three scans
+    nodes = read_pbf_kind(spark, paths, "nodes", predicate=node_predicate, index_df=index_df)
+    ways = read_pbf_kind(spark, paths, "ways", predicate=way_predicate, index_df=index_df)
+    relations = read_pbf_kind(
+        spark, paths, "relations", predicate=relation_predicate, index_df=index_df
+    )
+    if dedup_ids:
+        w = Window.partitionBy("id").orderBy(F.desc("blob_seq"))
+        nodes, ways, relations = (
+            df.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
+            for df in (nodes, ways, relations)
+        )
+    return OSMBundle(nodes=nodes, ways=ways, relations=relations, meta=meta)
+
+
+def pbf_to_parquet(
+    spark: SparkSession,
+    paths: str | list[str],
+    out_dir: str,
+    **read_kw,
+) -> dict:
+    """Decode once → columnar store. The production pattern: all downstream queries
+    read parquet (column pruning + predicate pushdown for free)."""
+    bundle = read_pbf(spark, paths, **read_kw)
+    bundle.nodes.write.mode("overwrite").parquet(f"{out_dir}/nodes")
+    bundle.ways.write.mode("overwrite").parquet(f"{out_dir}/ways")
+    bundle.relations.write.mode("overwrite").parquet(f"{out_dir}/relations")
+    return bundle.meta
