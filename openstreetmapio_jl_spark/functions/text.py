@@ -140,7 +140,10 @@ STOPWORDS = {
 }
 
 _WORD_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
-_TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+# explicit ASCII classes: Java regex \w/\s are ASCII-only while Python's are
+# Unicode — this pattern means the same thing in both engines
+_TOKEN_PATTERN = r"[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\x0B]"
+_TOKEN_RE = re.compile(_TOKEN_PATTERN)
 
 
 def detect_lang(text: str) -> str:
@@ -165,7 +168,7 @@ def token_count(text: str) -> int:
 
 def token_count_col(col: Column) -> Column:
     # regexp_count is Spark 3.5+; counts the same pattern JVM-side
-    return F.regexp_count(col, F.lit(r"\w+|[^\w\s]"))
+    return F.regexp_count(col, F.lit(_TOKEN_PATTERN))
 
 
 def quality_score(text: str) -> float:
