@@ -1,0 +1,143 @@
+"""Geodesy + polygon geometry: haversine, bbox, ray-cast point-in-polygon.
+
+The reference's only distance operator is the Overpass ``around:radius`` query it
+delegates to the server (``/root/reference/src/load_overpass.jl:55-60``); the radius→
+bbox trig in its tests (``test/test_load_overpass.jl:54-62``) is the pattern for
+:func:`radius_bbox`. PIP/polygon semantics are new engine surface (the reference
+stores multipolygon members raw; SURVEY.md §7 "hard parts").
+
+Each function has a NumPy form (kernels/tests) and a Column form (JVM, codegen).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_M = 6_371_008.8
+
+
+# ---------------------------------------------------------------------------
+# distance
+# ---------------------------------------------------------------------------
+
+def haversine_m(lat1, lon1, lat2, lon2) -> np.ndarray:
+    lat1, lon1, lat2, lon2 = (np.radians(np.asarray(a, dtype=np.float64)) for a in (lat1, lon1, lat2, lon2))
+    dlat = lat2 - lat1
+    dlon = lon2 - lon1
+    h = np.sin(dlat / 2) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2) ** 2
+    return 2 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.clip(h, 0, 1)))
+
+
+def haversine_m_col(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    rlat1, rlon1, rlat2, rlon2 = (F.radians(c) for c in (lat1, lon1, lat2, lon2))
+    h = F.pow(F.sin((rlat2 - rlat1) / 2), 2) + F.cos(rlat1) * F.cos(rlat2) * F.pow(
+        F.sin((rlon2 - rlon1) / 2), 2
+    )
+    return F.lit(2 * EARTH_RADIUS_M) * F.asin(F.sqrt(F.least(h, F.lit(1.0))))
+
+
+def haversine_m_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """Identical formula as ANSI SQL (DuckDB oracle twin)."""
+    return (
+        f"2 * {EARTH_RADIUS_M} * asin(sqrt(least("
+        f"pow(sin((radians({lat2}) - radians({lat1}))/2), 2) + "
+        f"cos(radians({lat1})) * cos(radians({lat2})) * "
+        f"pow(sin((radians({lon2}) - radians({lon1}))/2), 2), 1.0)))"
+    )
+
+
+def radius_bbox(lat: float, lon: float, radius_m: float) -> tuple[float, float, float, float]:
+    """(bottom, left, top, right) bbox covering a radius around a point — the
+    reference-test trig (``test/test_load_overpass.jl:54-62``)."""
+    dlat = math.degrees(radius_m / EARTH_RADIUS_M)
+    dlon = math.degrees(radius_m / (EARTH_RADIUS_M * math.cos(math.radians(lat))))
+    return lat - dlat, lon - dlon, lat + dlat, lon + dlon
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon (ray casting, even-odd rule; lon=x, lat=y)
+# ---------------------------------------------------------------------------
+
+def point_in_ring(lat: float, lon: float, ring: np.ndarray) -> bool:
+    """Scalar reference implementation: ring is (n,2) array of (lat, lon), closed or
+    open (closure implied). Even-odd crossing rule; boundary behavior follows the
+    standard half-open convention."""
+    y, x = lat, lon
+    ys = ring[:, 0]
+    xs = ring[:, 1]
+    n = len(ring)
+    inside = False
+    j = n - 1
+    for i in range(n):
+        yi, xi = ys[i], xs[i]
+        yj, xj = ys[j], xs[j]
+        if (yi > y) != (yj > y) and x < (xj - xi) * (y - yi) / (yj - yi) + xi:
+            inside = not inside
+        j = i
+    return inside
+
+
+def points_in_ring(lats: np.ndarray, lons: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized over points (one polygon): the kernel used by pandas-UDF PIP."""
+    y = np.asarray(lats, dtype=np.float64)[:, None]
+    x = np.asarray(lons, dtype=np.float64)[:, None]
+    yi = ring[None, :, 0]
+    xi = ring[None, :, 1]
+    yj = np.roll(ring[:, 0], 1)[None, :]
+    xj = np.roll(ring[:, 1], 1)[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        crosses = ((yi > y) != (yj > y)) & (
+            x < (xj - xi) * (y - yi) / (yj - yi) + xi
+        )
+    return (crosses.sum(axis=1) % 2).astype(bool)
+
+
+def pip_crossings_col(lat: Column, lon: Column, edges: Column) -> Column:
+    """Pure-Catalyst ray cast: ``edges`` is ARRAY<STRUCT<y1,x1,y2,x2>> (lat=y,
+    lon=x). Returns BOOLEAN inside. Runs in whole-stage codegen via ``aggregate``
+    — no Python in the join hot path."""
+    crossing = lambda e: (  # noqa: E731
+        ((e["y1"] > lat) != (e["y2"] > lat))
+        & (
+            lon
+            < (e["x2"] - e["x1"]) * (lat - e["y1"]) / (e["y2"] - e["y1"]) + e["x1"]
+        )
+    )
+    count = F.aggregate(
+        edges,
+        F.lit(0),
+        lambda acc, e: acc + F.when(crossing(e), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return count % 2 == 1
+
+
+def ring_to_edges_col(ring: Column) -> Column:
+    """ARRAY<STRUCT<lat,lon>> ring → ARRAY<STRUCT<y1,x1,y2,x2>> edge list
+    (implicit closure: last→first edge included via modular indexing)."""
+    n = F.size(ring)
+    idx = F.sequence(F.lit(0), n - 1)
+    return F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(ring, i + 1)["lat"].alias("y1"),
+            F.element_at(ring, i + 1)["lon"].alias("x1"),
+            F.element_at(ring, (i + 1) % n + 1)["lat"].alias("y2"),
+            F.element_at(ring, (i + 1) % n + 1)["lon"].alias("x2"),
+        ),
+    )
+
+
+def bbox_cols_of_ring(ring: Column) -> list[Column]:
+    """min/max lat/lon of a ring — polygon bbox for cell-cover computation."""
+    lats = F.transform(ring, lambda p: p["lat"])
+    lons = F.transform(ring, lambda p: p["lon"])
+    return [
+        F.array_min(lats).alias("min_lat"),
+        F.array_max(lats).alias("max_lat"),
+        F.array_min(lons).alias("min_lon"),
+        F.array_max(lons).alias("max_lon"),
+    ]

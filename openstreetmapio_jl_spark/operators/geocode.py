@@ -1,0 +1,50 @@
+"""Geocode extraction from web-page text + the pages→cells assignment stage.
+
+Pages (``url, warc_ts, html, text, lang`` — BASELINE.json input_hint) carry
+deterministic geo mentions (``geo:<lat>,<lon>`` URIs, the public RFC 5870 scheme).
+Extraction is a JVM-side ``regexp_extract`` — no Python in this stage at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from openstreetmapio_jl_spark.functions import text as textfn
+from openstreetmapio_jl_spark.functions.cells import xyz_tile_key_col
+
+GEO_RE = r"geo:(-?[0-9]+\.[0-9]+),(-?[0-9]+\.[0-9]+)"
+
+
+def extract_geocodes(pages: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """pages → + (lat, lon) for rows with a geo mention (others dropped).
+    One mention per page in v1 (first match); multi-mention explode is a
+    straightforward extension via ``regexp_extract_all``."""
+    out = (
+        pages.withColumn("_lat_s", F.regexp_extract(F.col(text_col), GEO_RE, 1))
+        .withColumn("_lon_s", F.regexp_extract(F.col(text_col), GEO_RE, 2))
+        .filter(F.col("_lat_s") != "")
+        .withColumn("lat", F.col("_lat_s").cast("double"))
+        .withColumn("lon", F.col("_lon_s").cast("double"))
+        .drop("_lat_s", "_lon_s")
+        .filter(F.col("lat").between(-90.0, 90.0) & F.col("lon").between(-180.0, 180.0))
+    )
+    return out
+
+
+def pages_with_cells(pages: DataFrame, *, zoom: int = 13) -> DataFrame:
+    """geocoded pages + tile key (the cell-assignment stage of the north-star
+    pipeline). S2/hex assignment available via functions.cells UDFs when a
+    non-rectangular grid is wanted."""
+    geocoded = extract_geocodes(pages)
+    return geocoded.withColumn(
+        "tile", xyz_tile_key_col(F.col("lat"), F.col("lon"), zoom)
+    )
+
+
+def verify_text_invariant(pages: DataFrame) -> DataFrame:
+    """Per-row invariant (input_hint): stored ``text`` must equal the engine's
+    deterministic extraction of ``html`` byte-for-byte. Returns violating rows
+    (empty = pass)."""
+    recomputed = textfn.extract_text_col(F.decode(F.col("html"), "UTF-8"))
+    return pages.filter(F.col("text") != recomputed).select("url")

@@ -1,0 +1,148 @@
+"""Cell-ring expanding k-nearest-neighbor join.
+
+The reference's only proximity operator is the server-side Overpass
+``around:radius`` query (``/root/reference/src/load_overpass.jl:55-60``); this
+operator implements proximity natively, generalized to kNN.
+
+Algorithm (driver-coordinated rounds, all data work distributed):
+
+1. corpus points are keyed by XYZ tile at ``zoom``;
+2. round r: each unresolved query explodes its (2r+1)×(2r+1) tile neighborhood →
+   hash equi-join with the corpus on ``tile`` → haversine distance →
+   ``row_number() over (partition by query order by dist, id)`` top-k;
+3. a query RESOLVES when it has ≥k candidates AND its k-th distance is ≤ the
+   guaranteed-covered radius of the searched neighborhood (no unseen point can be
+   closer); unresolved queries continue with doubled r.
+
+Determinism: ties broken by (dist, id) — required for identical output at
+different parallelism levels (BASELINE.md measurement protocol).
+
+Scale: each round is one shuffle join keyed by tile; candidate volume is bounded
+by neighborhood size × tile density; hot tiles can be pre-salted by the caller.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from openstreetmapio_jl_spark.functions import geo
+from openstreetmapio_jl_spark.operators.spatial_join import _tile_of, _tile_row_of, tile_key
+
+EQUATOR_M = 40_075_016.686
+
+
+def _neighbor_tiles(lat_col, lon_col, z: int, r: int):
+    """ARRAY<BIGINT> tile keys of the (2r+1)^2 neighborhood (x wraps around the
+    antimeridian via pmod; y clamps at the poles)."""
+    n = 1 << z
+    x = _tile_of(lon_col, z)
+    y = _tile_row_of(lat_col, z)
+    xs = F.sequence(x - r, x + r)
+    ys = F.sequence(F.greatest(y - r, F.lit(0)), F.least(y + r, F.lit(n - 1)))
+    return F.flatten(
+        F.transform(
+            xs,
+            lambda xx: F.transform(
+                ys, lambda yy: tile_key(F.pmod(xx, F.lit(n)), yy, z)
+            ),
+        )
+    )
+
+
+def _safe_radius_m(lat_col, z: int, r: int):
+    """Distance guaranteed covered by the ring-r neighborhood: any point outside
+    is at least r tile-extents away. Tile ground width at latitude φ is
+    EQUATOR·cos(φ)/2^z; rows are taller than wide off the equator, so width is the
+    conservative bound."""
+    tile_w = F.lit(EQUATOR_M) * F.cos(F.radians(lat_col)) / F.lit(float(1 << z))
+    return F.lit(float(r)) * tile_w
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    *,
+    zoom: int = 12,
+    query_id: str = "query_id",
+    corpus_id: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    max_rounds: int = 5,
+    broadcast_queries: bool = False,
+) -> DataFrame:
+    """→ (query columns…, neighbor_id, dist_m, rank) with rank ∈ [1, k].
+
+    Queries that exhaust ``max_rounds`` return their best-effort top-k (flagged
+    via ``resolved = false``)."""
+    q_lat, q_lon = F.col(f"q.{lat_col}"), F.col(f"q.{lon_col}")
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(lat_col).alias("c_lat"),
+        F.col(lon_col).alias("c_lon"),
+    ).withColumn("tile", tile_key(_tile_of(F.col("c_lon"), zoom), _tile_row_of(F.col("c_lat"), zoom), zoom))
+    c = c.persist()
+
+    remaining = queries
+    resolved_parts: list[DataFrame] = []
+    r = 1
+    for _round in range(max_rounds):
+        cand = (
+            remaining.alias("q")
+            .withColumn("tile", F.explode(_neighbor_tiles(q_lat, q_lon, zoom, r)))
+            .join(c, "tile", "inner")
+            .withColumn("dist_m", geo.haversine_m_col(q_lat, q_lon, F.col("c_lat"), F.col("c_lon")))
+        )
+        w = Window.partitionBy(f"q.{query_id}").orderBy("dist_m", "neighbor_id")
+        topk = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .withColumn(
+                "n_found",
+                F.count("*").over(Window.partitionBy(f"q.{query_id}")),
+            )
+            .withColumn(
+                "kth_dist",
+                F.max("dist_m").over(Window.partitionBy(f"q.{query_id}")),
+            )
+            .withColumn(
+                "resolved",
+                (F.col("n_found") >= k)
+                & (F.col("kth_dist") <= _safe_radius_m(q_lat, zoom, r)),
+            )
+        )
+        done = topk.filter(F.col("resolved")).drop(
+            "tile", "c_lat", "c_lon", "n_found", "kth_dist"
+        )
+        resolved_parts.append(done)
+        done_ids = topk.filter(F.col("resolved")).select(f"q.{query_id}").distinct()
+        remaining = remaining.join(done_ids, query_id, "left_anti")
+        if remaining.isEmpty():
+            remaining = None
+            break
+        r *= 2
+    if remaining is not None:
+        # exact brute-force fallback for stragglers (sparse regions): broadcast the
+        # (small) remaining query set against the full corpus — guaranteed exact k
+        cand = (
+            F.broadcast(remaining).alias("q")
+            .crossJoin(c.drop("tile"))
+            .withColumn(
+                "dist_m",
+                geo.haversine_m_col(q_lat, q_lon, F.col("c_lat"), F.col("c_lon")),
+            )
+        )
+        w = Window.partitionBy(f"q.{query_id}").orderBy("dist_m", "neighbor_id")
+        resolved_parts.append(
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .withColumn("resolved", F.lit(True))
+            .drop("c_lat", "c_lon")
+        )
+    out = resolved_parts[0]
+    for part in resolved_parts[1:]:
+        out = out.unionByName(part)
+    return out
