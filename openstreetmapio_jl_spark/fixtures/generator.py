@@ -355,3 +355,117 @@ def sizes_for_sf(sf: float) -> dict[str, int]:
         "n_relations": max(3, int(sf * 3_000)),
         "n_pages": max(500, int(sf * 500_000)),
     }
+
+
+# ---------------------------------------------------------------------------
+# materialized fixture trees (.fixtures/<sf>/...) — source-of-truth parquet for
+# the DuckDB oracle + raw pbf/xml/pages inputs for the engine
+# ---------------------------------------------------------------------------
+
+def _truth_tables(nodes, ways, relations):
+    """Source dicts → truth Arrow tables (what a correct decode must produce).
+    ``info`` is intentionally NULL here — oracle queries never compare info (its
+    correctness is covered by the golden pytest layer)."""
+    from openstreetmapio_jl_spark.sources import xml_source
+
+    nt = pa.Table.from_batches([xml_source.nodes_to_batch(nodes)])
+    wt = pa.Table.from_batches([xml_source.ways_to_batch(ways)])
+    rt = pa.Table.from_batches([xml_source.relations_to_batch(relations)])
+    return nt, wt, rt
+
+
+def _truth_polygons(nodes, ways) -> pa.Table:
+    """Closed ways → polygon rows with edges + bbox, mirroring
+    operators.spatial_join.polygons_with_edges semantics exactly."""
+    id2pos = {n["id"]: (n["lat"], n["lon"]) for n in nodes}
+    ids, edges_col, minlat, maxlat, minlon, maxlon = [], [], [], [], [], []
+    for w in ways:
+        refs = w["refs"]
+        if len(refs) < 4 or refs[0] != refs[-1]:
+            continue
+        if any(r not in id2pos for r in refs):
+            continue
+        ring = [id2pos[r] for r in refs]
+        n = len(ring)
+        edges = [
+            {
+                "y1": ring[i][0],
+                "x1": ring[i][1],
+                "y2": ring[(i + 1) % n][0],
+                "x2": ring[(i + 1) % n][1],
+            }
+            for i in range(n)
+        ]
+        ids.append(w["id"])
+        edges_col.append(edges)
+        lats = [p[0] for p in ring]
+        lons = [p[1] for p in ring]
+        minlat.append(min(lats))
+        maxlat.append(max(lats))
+        minlon.append(min(lons))
+        maxlon.append(max(lons))
+    edge_type = pa.list_(
+        pa.struct(
+            [
+                pa.field("y1", pa.float64()),
+                pa.field("x1", pa.float64()),
+                pa.field("y2", pa.float64()),
+                pa.field("x2", pa.float64()),
+            ]
+        )
+    )
+    return pa.table(
+        {
+            "id": pa.array(ids, pa.int64()),
+            "edges": pa.array(edges_col, edge_type),
+            "min_lat": pa.array(minlat, pa.float64()),
+            "max_lat": pa.array(maxlat, pa.float64()),
+            "min_lon": pa.array(minlon, pa.float64()),
+            "max_lon": pa.array(maxlon, pa.float64()),
+        }
+    )
+
+
+def materialize_fixtures(sf: float, out_dir: str, *, seed: int = 42) -> dict[str, str]:
+    """Idempotent: builds the full fixture tree for one scale factor (no Spark).
+
+    Returns a path dict. Layout::
+
+        <out_dir>/fixture.pbf, fixture.osm, pages.parquet,
+        truth/{nodes,ways,relations,polygons}.parquet, _COMPLETE
+    """
+    import os
+
+    import pyarrow.parquet as pq
+
+    paths = {
+        "pbf": f"{out_dir}/fixture.pbf",
+        "osm": f"{out_dir}/fixture.osm",
+        "pages": f"{out_dir}/pages.parquet",
+        "truth_nodes": f"{out_dir}/truth/nodes.parquet",
+        "truth_ways": f"{out_dir}/truth/ways.parquet",
+        "truth_relations": f"{out_dir}/truth/relations.parquet",
+        "truth_polygons": f"{out_dir}/truth/polygons.parquet",
+    }
+    marker = f"{out_dir}/_COMPLETE"
+    if os.path.exists(marker):
+        return paths
+    os.makedirs(f"{out_dir}/truth", exist_ok=True)
+    sizes = sizes_for_sf(sf)
+    meta, nodes, ways, rels = make_osm(
+        seed=seed,
+        n_nodes=sizes["n_nodes"],
+        n_ways=sizes["n_ways"],
+        n_relations=sizes["n_relations"],
+    )
+    write_fixture_pbf(paths["pbf"], meta, nodes, ways, rels, nodes_per_block=8000)
+    write_fixture_xml(paths["osm"], meta, nodes, ways, rels)
+    pq.write_table(make_pages(sizes["n_pages"], seed=seed), paths["pages"])
+    nt, wt, rt = _truth_tables(nodes, ways, rels)
+    pq.write_table(nt, paths["truth_nodes"])
+    pq.write_table(wt, paths["truth_ways"])
+    pq.write_table(rt, paths["truth_relations"])
+    pq.write_table(_truth_polygons(nodes, ways), paths["truth_polygons"])
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return paths

@@ -1,0 +1,190 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+All hashing is built from ``md5`` so every operator has an exact ANSI-SQL twin in
+DuckDB (the driver's correctness oracle) and stays engine-portable — engine-native
+``hash()``/``xxhash64()`` differ between Spark and DuckDB and would break the
+differential check. Everything below is pure ``pyspark.sql.functions`` (JVM,
+whole-stage codegen) — no Python UDFs anywhere.
+
+Operators:
+- exact dedup (normalized-text fingerprint groupBy),
+- MinHash + LSH banding (shingle → H minhashes → B bands → bucket join),
+- SimHash (32-bit, md5-prefix token hashes, per-bit majority vote),
+- n-gram Jaccard similarity (shingle-join candidate pairs, exact Jaccard),
+- embedding-cosine near-duplicates (see operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared primitives
+# ---------------------------------------------------------------------------
+
+def normalized_text(col: Column) -> Column:
+    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """md5 of normalized text — the exact-dup key."""
+    return F.md5(F.encode(normalized_text(col), "UTF-8"))
+
+
+def char_shingles(col: Column, n: int = 5) -> Column:
+    """ARRAY<STRING> of overlapping character n-grams of the normalized text."""
+    txt = normalized_text(col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(txt) - (n - 1), F.lit(0))),
+        lambda i: F.substring(txt, i, n),
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int) -> list[Column]:
+    """H independent minhashes: min over shingles of md5(i || shingle). Lexicographic
+    min over uniform hex strings is a valid min-hash family and is identical in any
+    engine with md5."""
+
+    def hasher(i: int):
+        prefix = str(i)
+        # NB: a single-arg lambda — a two-arg lambda would make transform() pass
+        # the ARRAY INDEX as the second argument, silently overriding a default
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+    return [
+        F.array_min(F.transform(shingles, hasher(i))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# operators
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(
+    docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """→ (fp, n_docs, keep_id): one row per duplicate-group (n_docs >= 1), keeping
+    the smallest id (deterministic survivor)."""
+    return (
+        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+    )
+
+
+def minhash_lsh_buckets(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """→ (band_idx, band_sig, n_docs, min_id, max_id) for buckets with >= 2 docs —
+    the LSH candidate-duplicate groups. Bands are md5 over ``band_size``
+    consecutive minhashes. At scale this is one explode + one groupBy shuffle keyed
+    by (band_idx, band_sig); hot buckets (boilerplate text) are the skew case the
+    salting helper handles."""
+    assert num_hashes % band_size == 0
+    nbands = num_hashes // band_size
+    sigs = docs.select(
+        F.col(id_col),
+        *minhash_signature(char_shingles(F.col(text_col), shingle_n), num_hashes),
+    )
+    bands = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat(
+                                *[
+                                    F.coalesce(F.col(f"mh{b * band_size + j}"), F.lit(""))
+                                    for j in range(band_size)
+                                ]
+                            )
+                        ).alias("band_sig"),
+                    )
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_idx", "band.band_sig")
+    return (
+        bands.groupBy("band_idx", "band_sig")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("min_id"),
+            F.max(id_col).alias("max_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def simhash(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
+    """→ (id, simhash): 32-bit SimHash. Token hash = first 8 hex digits of md5 →
+    BIGINT; bit j of the signature is the sign of sum over tokens of ±1 on that
+    bit. Near-dups have small Hamming distance. All-JVM: explode + 32 conditional
+    sums + bit recombination."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+        ).alias("tok"),
+    ).withColumn("h", F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(bits)
+        ]
+    )
+    sig = None
+    for j in range(bits):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig + bit
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """→ (id_a, id_b, jaccard) for pairs above threshold (id_a < id_b).
+
+    Candidate generation by shingle equi-join (docs sharing no shingle never
+    pair), exact Jaccard = |∩| / (|A| + |B| − |∩|). At planet scale the shingle
+    join is preceded by LSH pre-filtering; here the shingle join IS the
+    pre-filter."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(char_shingles(F.col(text_col), shingle_n))).alias("s"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "nb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

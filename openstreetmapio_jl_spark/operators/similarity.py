@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (ARRAY<FLOAT>).
+
+- :func:`cosine_topk` — exact brute-force top-k via higher-order functions
+  (``zip_with`` dot product in codegen). The correctness baseline; O(|Q|·|C|).
+- :func:`lsh_cosine_topk` — random-hyperplane LSH bucketing as the scale path:
+  sign-bit signatures from D deterministic hyperplanes (seeded NumPy, shipped as
+  literal arrays — no Python at execution time), candidates = same-bucket pairs,
+  exact re-rank inside buckets. Sub-linear candidate volume at 100 TB; recall
+  traded via number of planes/tables.
+
+Determinism: cosine rounded to 6 dp before ranking, ties by neighbor id — output
+is stable across engines (DuckDB oracle) and parallelism levels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """→ (query_id, neighbor_id, cos, rank). Broadcast the query side; corpus
+    streams through — one pass, no shuffle until the top-k window."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    pairs = F.broadcast(q).crossJoin(c)
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes (shared by signature + tests)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_signature_col(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-bit bucket id: bit p set iff plane_p · vec > 0. Planes enter the plan
+    as array literals — evaluated in codegen, no Python."""
+    sig = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        plane_col = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(vec, plane_col) > 0, F.lit(2**p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig + bit
+    return sig
+
+
+def lsh_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket, exact
+    cosine re-rank within. → (query_id, neighbor_id, cos, rank)."""
+    planes = hyperplanes(dim, n_planes, seed)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_signature_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        lsh_signature_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    pairs = q.join(c, "bucket", "inner")
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_duplicates(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Near-dup pairs (id_a < id_b, cos >= threshold) via LSH buckets + exact
+    verify — the embedding analog of MinHash-LSH text dedup."""
+    planes = hyperplanes(dim, n_planes)
+    sig = vectors.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_signature_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    pairs = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+    )
+    return pairs.select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.round(cosine_col(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+    ).filter(F.col("cos") >= threshold)

@@ -1,0 +1,832 @@
+"""Driver-contract query registry: every operator from SURVEY.md §2 as a
+(spark_fn, oracle_sql) pair.
+
+Conventions that make the differential check robust:
+- every computed column is ALIASED IDENTICALLY in the Spark plan and the SQL;
+- money/metric aggregates go through DECIMAL(18,4/6) before summing (exact
+  arithmetic → bit-identical across engines), then cast to double;
+- hashes are md5-based (portable), never engine-native hash();
+- timestamps in outputs are converted to epoch seconds (timezone-proof);
+- floating results are rounded (6 dp) and every top-k has a total tie-break.
+
+OSM-side queries run the REAL engine path (PBF decode via mapInArrow → operators)
+and are checked against source-of-truth parquet written independently by the
+fixture generator — a full write→decode→query differential.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from openstreetmapio_jl_spark.fixtures import generator as G
+from openstreetmapio_jl_spark.functions import cells, geo
+from openstreetmapio_jl_spark.functions import text as textfn
+from openstreetmapio_jl_spark.operators import dedup, geocode, knn, similarity
+from openstreetmapio_jl_spark.operators import spatial_join as SJ
+from openstreetmapio_jl_spark.operators import tiler
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+FIXTURE_ROOT = os.path.join(REPO_ROOT, ".fixtures")
+ORACLE_SF_NAME = "sf0.01"  # the driver's correctness scale
+ZOOM = 13
+
+_PLANES = similarity.hyperplanes(64, 8, seed=42)
+
+
+def _sf_name(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def ensure_fixtures(sf_dir: str) -> dict[str, str]:
+    name = _sf_name(sf_dir)
+    sf = float(name[2:]) if name.startswith("sf") else 0.01
+    return G.materialize_fixtures(sf, os.path.join(FIXTURE_ROOT, name))
+
+
+def _t(sf_dir: str, table: str) -> str:
+    return f"{sf_dir}/{table}.parquet"
+
+
+def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(_t(sf_dir, table))
+
+
+def _osm(spark: SparkSession, sf_dir: str):
+    from openstreetmapio_jl_spark.sources.pbf_source import read_pbf
+
+    paths = ensure_fixtures(sf_dir)
+    return read_pbf(spark, paths["pbf"]), paths
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    paths = ensure_fixtures(sf_dir)
+    return spark.read.parquet(paths["pages"])
+
+
+# oracle-side fixture paths (always sf0.01 — the driver's correctness scale)
+def _ofx(name: str) -> str:
+    return f"{FIXTURE_ROOT}/{ORACLE_SF_NAME}/{name}"
+
+
+_DEC = "decimal(18,4)"
+_DEC6 = "decimal(18,6)"
+
+
+# ===========================================================================
+# relational queries over the driver tables (SURVEY.md §2 Table B coverage)
+# ===========================================================================
+
+def q_agg_pricing_summary(spark, sf_dir):
+    """Aggregations: multi-measure groupBy (partial+final agg map-side combine)."""
+    li = _load(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast(_DEC)  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum((d("l_extendedprice") * (F.lit(1).cast(_DEC) - d("l_discount"))).cast(_DEC))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.avg(d("l_quantity")).cast("double").alias("avg_qty"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+SQL_AGG_PRICING = """
+select l_returnflag, l_linestatus,
+  cast(sum(cast(l_quantity as decimal(18,4))) as double) as sum_qty,
+  cast(sum(cast(l_extendedprice as decimal(18,4))) as double) as sum_base_price,
+  cast(sum(cast(cast(l_extendedprice as decimal(18,4)) * (cast(1 as decimal(18,4)) - cast(l_discount as decimal(18,4))) as decimal(18,4))) as double) as sum_disc_price,
+  cast(avg(cast(l_quantity as decimal(18,4))) as double) as avg_qty,
+  count(*) as n_rows
+from lineitem group by l_returnflag, l_linestatus
+"""
+
+
+def q_join_revenue_by_nation(spark, sf_dir):
+    """Joins: 3-way equi-join (broadcast-able dims) + agg."""
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    n = _load(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(_DEC)).cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+SQL_JOIN_REVENUE = """
+select n_name,
+  cast(sum(cast(o_totalprice as decimal(18,4))) as double) as revenue,
+  count(*) as n_orders
+from orders join customer on o_custkey = c_custkey
+join nation on c_nationkey = n_nationkey
+group by n_name
+"""
+
+
+def q_window_top_orders(spark, sf_dir):
+    """Window functions: per-customer top-3 orders (rank with total tie-break)."""
+    o = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("o_totalprice").cast("double").alias("totalprice"), "rn")
+    )
+
+
+SQL_WINDOW_TOP = """
+select o_custkey, o_orderkey, cast(o_totalprice as double) as totalprice,
+  row_number() over (partition by o_custkey order by o_totalprice desc, o_orderkey asc) as rn
+from orders
+qualify rn <= 3
+"""
+
+
+def q_setop_nations(spark, sf_dir):
+    """Set ops: nations having customers INTERSECT nations having suppliers."""
+    c = _load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = _load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    n = _load(spark, sf_dir, "nation")
+    both = c.intersect(s)
+    return n.join(both, n.n_nationkey == both.nk).select("n_name")
+
+
+SQL_SETOP = """
+select n_name from nation
+join (select c_nationkey as nk from customer intersect select s_nationkey from supplier) b
+on n_nationkey = b.nk
+"""
+
+
+def q_events_tumbling(spark, sf_dir):
+    """Time-windowed agg: 5-minute tumbling counts per event type (the batch twin
+    of the streaming pipeline in streaming/)."""
+    e = _load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(_DEC6)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SQL_EVENTS_TUMBLING = """
+select cast(epoch(time_bucket(INTERVAL '5 minutes', ts)) as bigint) as window_start,
+  event_type, count(*) as n,
+  cast(sum(cast(value as decimal(18,6))) as double) as sum_value
+from events group by 1, 2
+"""
+
+
+def q_events_json(spark, sf_dir):
+    """Scalar JSON extraction + agg (props is a JSON string column)."""
+    e = _load(spark, sf_dir, "events")
+    return (
+        e.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+SQL_EVENTS_JSON = """
+select event_type,
+  cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint) as sum_k,
+  count(*) as n
+from events group by event_type
+"""
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Stateful-style sessionization in batch: new session when gap > 30 min."""
+    e = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = e.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return sess.groupBy("user_id").agg(
+        F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+with g as (
+  select user_id,
+    case when epoch(ts) - epoch(lag(ts) over (partition by user_id order by ts, event_id)) > 1800
+         or lag(ts) over (partition by user_id order by ts, event_id) is null
+    then 1 else 0 end as new_sess
+  from events
+)
+select user_id, cast(sum(new_sess) as bigint) as n_sessions, count(*) as n_events
+from g group by user_id
+"""
+
+
+# ===========================================================================
+# text analysis + dedup over documents
+# ===========================================================================
+
+def q_doc_exact_dups(spark, sf_dir):
+    return dedup.exact_duplicates(_load(spark, sf_dir, "documents"))
+
+
+SQL_DOC_EXACT = r"""
+select md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) as fp,
+  count(*) as n_docs, min(doc_id) as keep_id
+from documents group by 1
+"""
+
+
+def q_doc_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_buckets(_load(spark, sf_dir, "documents"))
+
+
+def _sql_shingles(txt: str, n: int = 5) -> str:
+    norm = f"lower(regexp_replace(trim({txt}), '\\s+', ' ', 'g'))"
+    return (
+        f"list_transform(generate_series(1, greatest(length({norm}) - {n - 1}, 0)),"
+        f" i -> substr({norm}, i, {n}))"
+    )
+
+
+def _sql_minhash_lsh() -> str:
+    mh = ",\n  ".join(
+        f"list_aggregate(list_transform(sh, s -> md5('{i}' || s)), 'min') as mh{i}"
+        for i in range(8)
+    )
+    bands = ", ".join(
+        f"struct_pack(band_idx := {b}, band_sig := md5(coalesce(mh{2*b},'') || coalesce(mh{2*b+1},'')))"
+        for b in range(4)
+    )
+    return f"""
+with sh as (select doc_id, {_sql_shingles('text')} as sh from documents),
+sig as (select doc_id, {mh} from sh),
+bands as (select doc_id, unnest([{bands}]) as band from sig)
+select band.band_idx as band_idx, band.band_sig as band_sig,
+  count(*) as n_docs, min(doc_id) as min_id, max(doc_id) as max_id
+from bands group by 1, 2 having count(*) >= 2
+"""
+
+
+def q_doc_ngram_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _load(spark, sf_dir, "documents"), threshold=0.7
+    )
+
+
+SQL_DOC_JACCARD = f"""
+with sh as (
+  select doc_id as id, unnest(list_distinct({_sql_shingles('text')})) as s from documents
+),
+sizes as (select id, count(*) as n_shingles from sh group by id),
+common as (
+  select a.id as id_a, b.id as id_b, count(*) as common
+  from sh a join sh b on a.s = b.s and a.id < b.id
+  group by 1, 2
+)
+select id_a, id_b,
+  round(common / (na.n_shingles + nb.n_shingles - common), 6) as jaccard
+from common
+join sizes na on na.id = id_a
+join sizes nb on nb.id = id_b
+where round(common / (na.n_shingles + nb.n_shingles - common), 6) >= 0.7
+"""
+
+
+def q_doc_simhash(spark, sf_dir):
+    return dedup.simhash(_load(spark, sf_dir, "documents"))
+
+
+def _sql_simhash(bits: int = 32) -> str:
+    votes = ",\n    ".join(
+        f"sum(case when (h >> {j}) & 1 = 1 then 1 else -1 end) as b{j}"
+        for j in range(bits)
+    )
+    sig = " + ".join(
+        f"(case when b{j} > 0 then cast({2**j} as bigint) else 0 end)" for j in range(bits)
+    )
+    return f"""
+with toks as (
+  select doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) as tok
+  from documents
+),
+h as (select doc_id, ('0x' || substr(md5(tok), 1, 8))::bigint as h from toks),
+votes as (select doc_id, {votes} from h group by doc_id)
+select doc_id, {sig} as simhash from votes
+"""
+
+
+def q_doc_token_quality(spark, sf_dir):
+    d = _load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang",
+            textfn.token_count_col(F.col("text")).alias("tc"),
+            F.col("n_chars"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tc").alias("sum_tokens"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+SQL_DOC_TOKEN_QUALITY = r"""
+select lang, count(*) as n_docs,
+  cast(sum(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n\r\f\x0B]'))) as bigint) as sum_tokens,
+  cast(sum(n_chars) as bigint) as sum_chars
+from documents group by lang
+"""
+
+
+_LANGS_SQL = sorted(textfn.STOPWORDS)
+
+
+def q_doc_langid(spark, sf_dir):
+    """Language-ID: stopword-hit argmax, fully JVM-side (regexp_count per lang)."""
+    d = _load(spark, sf_dir, "documents")
+    scores = {
+        lang: F.regexp_count(
+            F.lower(F.col("text")),
+            F.lit(r"\b(" + "|".join(textfn.STOPWORDS[lang]) + r")\b"),
+        )
+        for lang in _LANGS_SQL
+    }
+    best = F.greatest(*scores.values())
+    detected = F.when(best <= 0, F.lit("und"))
+    for lang in _LANGS_SQL:  # first max wins (deterministic code order)
+        detected = detected.when(scores[lang] == best, F.lit(lang))
+    return (
+        d.select("doc_id", detected.alias("detected"), "lang")
+        .groupBy("lang", "detected")
+        .count()
+        .withColumnRenamed("count", "n")
+    )
+
+
+def _sql_langid() -> str:
+    score = {
+        lang: f"len(regexp_extract_all(lower(text), '\\b({'|'.join(textfn.STOPWORDS[lang])})\\b'))"
+        for lang in _LANGS_SQL
+    }
+    best = f"greatest({', '.join(score.values())})"
+    whens = " ".join(
+        f"when {score[lang]} = {best} then '{lang}'" for lang in _LANGS_SQL
+    )
+    return f"""
+select lang, case when {best} <= 0 then 'und' {whens} end as detected, count(*) as n
+from documents group by 1, 2
+"""
+
+
+# ===========================================================================
+# spatial queries (engine pipeline vs source-of-truth parquet)
+# ===========================================================================
+
+def q_osm_counts(spark, sf_dir):
+    b, _ = _osm(spark, sf_dir)
+    return (
+        b.nodes.select(F.lit("nodes").alias("kind"))
+        .unionByName(b.ways.select(F.lit("ways").alias("kind")))
+        .unionByName(b.relations.select(F.lit("relations").alias("kind")))
+        .groupBy("kind")
+        .count()
+        .withColumnRenamed("count", "n")
+    )
+
+
+def _sql_osm_counts() -> str:
+    return f"""
+select 'nodes' as kind, count(*) as n from read_parquet('{_ofx("truth/nodes.parquet")}')
+union all
+select 'ways', count(*) from read_parquet('{_ofx("truth/ways.parquet")}')
+union all
+select 'relations', count(*) from read_parquet('{_ofx("truth/relations.parquet")}')
+"""
+
+
+def q_osm_poi_topk(spark, sf_dir):
+    b, _ = _osm(spark, sf_dir)
+    return (
+        b.nodes.filter(F.col("tags")["amenity"].isNotNull())
+        .groupBy(F.col("tags")["amenity"].alias("amenity"))
+        .count()
+        .withColumnRenamed("count", "n")
+        .orderBy(F.desc("n"), F.asc("amenity"))
+        .limit(10)
+    )
+
+
+def _sql_osm_poi() -> str:
+    return f"""
+select amenity, n from (
+  select element_at(tags, 'amenity')[1] as amenity, count(*) as n
+  from read_parquet('{_ofx("truth/nodes.parquet")}')
+  where len(element_at(tags, 'amenity')) > 0
+  group by 1
+) order by n desc, amenity asc limit 10
+"""
+
+
+def q_osm_country_filter(spark, sf_dir):
+    b, _ = _osm(spark, sf_dir)
+    return b.nodes.filter(F.col("tags")["addr:country"] == "DE").select(
+        "id", "lat", "lon"
+    )
+
+
+def _sql_osm_country() -> str:
+    return f"""
+select id, lat, lon from read_parquet('{_ofx("truth/nodes.parquet")}')
+where len(element_at(tags, 'addr:country')) > 0
+  and element_at(tags, 'addr:country')[1] = 'DE'
+"""
+
+
+def q_osm_way_sizes(spark, sf_dir):
+    b, _ = _osm(spark, sf_dir)
+    return b.ways.filter(F.size("refs") > 10).select(
+        "id", F.size("refs").alias("n_refs")
+    )
+
+
+def _sql_osm_way_sizes() -> str:
+    return f"""
+select id, cast(len(refs) as int) as n_refs
+from read_parquet('{_ofx("truth/ways.parquet")}') where len(refs) > 10
+"""
+
+
+def q_osm_bbox_count(spark, sf_dir):
+    b, _ = _osm(spark, sf_dir)
+    bb = G.BBOX
+    mid = (bb["bottom_lat"] + bb["top_lat"]) / 2
+    return b.nodes.filter(
+        F.col("lat").between(bb["bottom_lat"], mid)
+        & F.col("lon").between(bb["left_lon"], bb["right_lon"])
+    ).agg(F.count("*").alias("n_in_bbox"))
+
+
+def _sql_osm_bbox() -> str:
+    bb = G.BBOX
+    mid = (bb["bottom_lat"] + bb["top_lat"]) / 2
+    return f"""
+select count(*) as n_in_bbox from read_parquet('{_ofx("truth/nodes.parquet")}')
+where lat between {bb["bottom_lat"]} and {mid}
+  and lon between {bb["left_lon"]} and {bb["right_lon"]}
+"""
+
+
+def q_osm_member_types(spark, sf_dir):
+    b, _ = _osm(spark, sf_dir)
+    return (
+        b.relations.select(F.explode("members").alias("m"))
+        .groupBy(F.col("m.type").alias("member_type"))
+        .count()
+        .withColumnRenamed("count", "n")
+    )
+
+
+def _sql_osm_members() -> str:
+    return f"""
+select m.type as member_type, count(*) as n
+from (select unnest(members) as m from read_parquet('{_ofx("truth/relations.parquet")}'))
+group by 1
+"""
+
+
+def q_osm_ref_integrity(spark, sf_dir):
+    """Left-anti existence check (the reference's FK invariant,
+    test/test_load_pbf.jl:698-703) — expect 0."""
+    b, _ = _osm(spark, sf_dir)
+    refs = b.ways.select(F.explode("refs").alias("ref"))
+    return refs.join(
+        b.nodes.select(F.col("id").alias("ref")), "ref", "left_anti"
+    ).agg(F.count("*").alias("n_unresolved"))
+
+
+def _sql_osm_integrity() -> str:
+    return f"""
+select count(*) as n_unresolved from (
+  select unnest(refs) as ref from read_parquet('{_ofx("truth/ways.parquet")}')
+) r where ref not in (select id from read_parquet('{_ofx("truth/nodes.parquet")}'))
+"""
+
+
+def q_pages_tile_counts(spark, sf_dir):
+    pages = _pages(spark, sf_dir)
+    pts = geocode.pages_with_cells(pages, zoom=ZOOM)
+    return pts.groupBy("tile").count().withColumnRenamed("count", "n")
+
+
+def _sql_pages_tiles() -> str:
+    lat = f"cast(regexp_extract(text, '{geocode.GEO_RE}', 1) as double)"
+    lon = f"cast(regexp_extract(text, '{geocode.GEO_RE}', 2) as double)"
+    key = cells.xyz_tile_key_sql(lat, lon, ZOOM)
+    return f"""
+with g as (
+  select {lat} as plat, {lon} as plon
+  from read_parquet('{_ofx("pages.parquet")}')
+  where regexp_extract(text, '{geocode.GEO_RE}', 1) != ''
+)
+select {cells.xyz_tile_key_sql('plat', 'plon', ZOOM)} as tile, count(*) as n
+from g where plat between -90 and 90 and plon between -180 and 180
+group by 1
+"""
+
+
+def q_pip_hits_per_polygon(spark, sf_dir):
+    """THE flagship: decode → polygon assembly → geocode → cell join → exact PIP."""
+    b, paths = _osm(spark, sf_dir)
+    rings = SJ.assemble_polygon_rings(b.ways, b.nodes)
+    polys = SJ.polygons_with_edges(rings)
+    pages = spark.read.parquet(paths["pages"])
+    pts = geocode.pages_with_cells(pages, zoom=ZOOM)
+    hits = SJ.point_in_polygon_join(
+        pts.select("url", "lat", "lon"), polys, zoom=ZOOM
+    )
+    return hits.groupBy("polygon_id").count().withColumnRenamed("count", "n_hits")
+
+
+def _sql_pip() -> str:
+    return f"""
+with g as (
+  select url,
+    cast(regexp_extract(text, '{geocode.GEO_RE}', 1) as double) as plat,
+    cast(regexp_extract(text, '{geocode.GEO_RE}', 2) as double) as plon
+  from read_parquet('{_ofx("pages.parquet")}')
+  where regexp_extract(text, '{geocode.GEO_RE}', 1) != ''
+    and cast(regexp_extract(text, '{geocode.GEO_RE}', 1) as double) between -90 and 90
+    and cast(regexp_extract(text, '{geocode.GEO_RE}', 2) as double) between -180 and 180
+),
+p as (
+  select id, unnest(edges) as e
+  from read_parquet('{_ofx("truth/polygons.parquet")}')
+),
+cr as (
+  select g.url, p.id,
+    case when ((p.e.y1 > g.plat) != (p.e.y2 > g.plat))
+          and (g.plon < (p.e.x2 - p.e.x1) * (g.plat - p.e.y1) / (p.e.y2 - p.e.y1) + p.e.x1)
+    then 1 else 0 end as c
+  from g join read_parquet('{_ofx("truth/polygons.parquet")}') b
+    on g.plat between b.min_lat and b.max_lat and g.plon between b.min_lon and b.max_lon
+  join p on p.id = b.id
+)
+select id as polygon_id, count(distinct url) as n_hits
+from (select url, id from cr group by url, id having sum(c) % 2 = 1)
+group by id
+"""
+
+
+def q_knn_pages_to_poi(spark, sf_dir):
+    """Cell-ring expanding kNN: 20 pages → 3 nearest tagged-POI nodes."""
+    b, paths = _osm(spark, sf_dir)
+    pages = spark.read.parquet(paths["pages"])
+    pts = geocode.extract_geocodes(pages)
+    queries = (
+        pts.orderBy("url").limit(20).select(F.col("url").alias("query_id"), "lat", "lon")
+    )
+    poi = b.nodes.filter(F.col("tags")["amenity"].isNotNull()).select("id", "lat", "lon")
+    res = knn.knn_join(queries, poi, k=3, zoom=12, max_rounds=3)
+    return res.select(
+        "query_id",
+        "neighbor_id",
+        "rank",
+        F.round("dist_m", 3).alias("dist_m"),
+    )
+
+
+def _sql_knn() -> str:
+    dist = geo.haversine_m_sql("q.plat", "q.plon", "c.lat", "c.lon")
+    return f"""
+with g as (
+  select url,
+    cast(regexp_extract(text, '{geocode.GEO_RE}', 1) as double) as plat,
+    cast(regexp_extract(text, '{geocode.GEO_RE}', 2) as double) as plon
+  from read_parquet('{_ofx("pages.parquet")}')
+  where regexp_extract(text, '{geocode.GEO_RE}', 1) != ''
+    and cast(regexp_extract(text, '{geocode.GEO_RE}', 1) as double) between -90 and 90
+    and cast(regexp_extract(text, '{geocode.GEO_RE}', 2) as double) between -180 and 180
+),
+q as (select url as query_id, plat, plon from g order by url limit 20),
+c as (
+  select id, lat, lon from read_parquet('{_ofx("truth/nodes.parquet")}')
+  where len(element_at(tags, 'amenity')) > 0
+)
+select query_id, c.id as neighbor_id,
+  cast(row_number() over (partition by query_id order by {dist}, c.id) as int) as rank,
+  round({dist}, 3) as dist_m
+from q cross join c
+qualify rank <= 3
+"""
+
+
+def q_tile_pyramid(spark, sf_dir):
+    """Raster rollup z13 → z11 (engine: hierarchical parent agg; oracle: direct
+    formula at z11 — equal because floor(floor(a·2^13)/4) == floor(a·2^11))."""
+    pages = _pages(spark, sf_dir)
+    pts = geocode.extract_geocodes(pages)
+    t13 = tiler.tile_counts(pts, 13)
+    pyr = tiler.pyramid_rollup(t13, 13, 11)
+    return pyr.filter(F.col("z") == 11).select("z", "x", "y", "n")
+
+
+def _sql_pyramid() -> str:
+    lat = "plat"
+    lon = "plon"
+    n = float(1 << 11)
+    lim = cells.MERCATOR_LAT_LIMIT
+    lat_c = f"greatest(least({lat}, {lim}), -{lim})"
+    x = f"least(greatest(cast(floor(({lon} + 180.0) / 360.0 * {n}) as bigint), 0), {(1 << 11) - 1})"
+    y = (
+        f"least(greatest(cast(floor((1.0 - ln(tan(radians({lat_c})) + 1.0/cos(radians({lat_c}))) / pi())"
+        f" / 2.0 * {n}) as bigint), 0), {(1 << 11) - 1})"
+    )
+    return f"""
+with g as (
+  select cast(regexp_extract(text, '{geocode.GEO_RE}', 1) as double) as plat,
+         cast(regexp_extract(text, '{geocode.GEO_RE}', 2) as double) as plon
+  from read_parquet('{_ofx("pages.parquet")}')
+  where regexp_extract(text, '{geocode.GEO_RE}', 1) != ''
+)
+select 11 as z, {x} as x, {y} as y, count(*) as n
+from g where plat between -90 and 90 and plon between -180 and 180
+group by 2, 3
+"""
+
+
+def q_pages_text_invariant(spark, sf_dir):
+    """The per-row invariant from BASELINE.json input_hint as an oracle-checked
+    query: engine extraction of html must equal stored text byte-for-byte."""
+    pages = _pages(spark, sf_dir)
+    recomputed = textfn.extract_text_col(F.decode(F.col("html"), "UTF-8"))
+    return pages.agg(
+        F.count("*").alias("n_pages"),
+        F.sum(F.when(F.col("text") == recomputed, 0).otherwise(1)).alias("n_violations"),
+    )
+
+
+def _sql_text_invariant() -> str:
+    # decode() (not ::varchar, which escapes bytes); RE2 has no backrefs → expand
+    # the script|style alternation explicitly
+    s = "decode(html)"
+    s = (
+        f"regexp_replace({s}, "
+        f"'(?s)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>', '', 'g')"
+    )
+    s = f"regexp_replace({s}, '<[^>]+>', chr(10), 'g')"
+    for ent, ch in textfn._ENTITY_ORDER:
+        rep = ch.replace("'", "''")
+        s = f"replace({s}, '{ent}', '{rep}')"
+    s = f"regexp_replace({s}, '[ \\t]+', ' ', 'g')"
+    s = f"regexp_replace({s}, '[ \\t]*\\n[ \\t]*', chr(10), 'g')"
+    s = f"regexp_replace({s}, '\\n+', chr(10), 'g')"
+    s = f"regexp_replace(regexp_replace({s}, '^[\\n ]+', ''), '[\\n ]+$', '')"
+    return f"""
+select count(*) as n_pages,
+  cast(sum(case when text = {s} then 0 else 1 end) as bigint) as n_violations
+from read_parquet('{_ofx("pages.parquet")}')
+"""
+
+
+def q_s2_cells_pages(spark, sf_dir):
+    """S2 level-12 assignment (batched pandas UDF) — no SQL twin; rows-only check."""
+    pages = _pages(spark, sf_dir)
+    pts = geocode.extract_geocodes(pages)
+    return pts.select(
+        "url", cells.s2_cell_udf(12)(F.col("lat"), F.col("lon")).alias("s2_cell")
+    )
+
+
+def q_hex_cells_pages(spark, sf_dir):
+    """Hex (H3-equivalent res 9) assignment — rows-only check."""
+    pages = _pages(spark, sf_dir)
+    pts = geocode.extract_geocodes(pages)
+    return pts.select(
+        "url", cells.hex_cell_udf(9)(F.col("lat"), F.col("lon")).alias("hex_cell")
+    )
+
+
+# ===========================================================================
+# embedding similarity
+# ===========================================================================
+
+def q_sim_cosine_topk(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.cosine_topk(queries, emb, k=5)
+
+
+def _sql_cosine_topk() -> str:
+    dot = (
+        "list_aggregate(list_transform(list_zip(q.embedding, c.embedding),"
+        " p -> cast(p[1] as double) * cast(p[2] as double)), 'sum')"
+    )
+    nq = "sqrt(list_aggregate(list_transform(q.embedding, x -> cast(x as double) * cast(x as double)), 'sum'))"
+    nc = "sqrt(list_aggregate(list_transform(c.embedding, x -> cast(x as double) * cast(x as double)), 'sum'))"
+    return f"""
+select q.vec_id as query_id, c.vec_id as neighbor_id,
+  round({dot} / ({nq} * {nc}), 6) as cos,
+  cast(row_number() over (partition by q.vec_id order by round({dot} / ({nq} * {nc}), 6) desc, c.vec_id asc) as int) as rank
+from (select * from embeddings where vec_id < 20) q
+cross join embeddings c
+where q.vec_id != c.vec_id
+qualify rank <= 5
+"""
+
+
+def q_emb_lsh_neardup(spark, sf_dir):
+    emb = _load(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_duplicates(emb, threshold=0.5)
+
+
+def _sql_plane_list(p) -> str:
+    return "[" + ", ".join(f"{float(x)!r}" for x in p) + "]"
+
+
+def _sql_lsh_neardup() -> str:
+    bucket_terms = []
+    for i, plane in enumerate(_PLANES):
+        dot = (
+            f"list_aggregate(list_transform(list_zip(embedding, {_sql_plane_list(plane)}),"
+            f" p -> cast(p[1] as double) * cast(p[2] as double)), 'sum')"
+        )
+        bucket_terms.append(f"(case when {dot} > 0 then cast({2**i} as bigint) else 0 end)")
+    bucket = " + ".join(bucket_terms)
+    dot_ab = (
+        "list_aggregate(list_transform(list_zip(a.v, b.v),"
+        " p -> cast(p[1] as double) * cast(p[2] as double)), 'sum')"
+    )
+    na = "sqrt(list_aggregate(list_transform(a.v, x -> cast(x as double) * cast(x as double)), 'sum'))"
+    nb = "sqrt(list_aggregate(list_transform(b.v, x -> cast(x as double) * cast(x as double)), 'sum'))"
+    return f"""
+with sig as (select vec_id as id, embedding as v, {bucket} as bucket from embeddings)
+select a.id as id_a, b.id as id_b, round({dot_ab} / ({na} * {nb}), 6) as cos
+from sig a join sig b on a.bucket = b.bucket and a.id < b.id
+where round({dot_ab} / ({na} * {nb}), 6) >= 0.5
+"""
+
+
+# ===========================================================================
+# registry
+# ===========================================================================
+
+def registry() -> dict[str, tuple]:
+    """name → (spark_fn, oracle_sql | None)."""
+    return {
+        "agg_pricing_summary": (q_agg_pricing_summary, SQL_AGG_PRICING),
+        "join_revenue_by_nation": (q_join_revenue_by_nation, SQL_JOIN_REVENUE),
+        "window_top_orders": (q_window_top_orders, SQL_WINDOW_TOP),
+        "setop_nations": (q_setop_nations, SQL_SETOP),
+        "events_tumbling_5min": (q_events_tumbling, SQL_EVENTS_TUMBLING),
+        "events_json_extract": (q_events_json, SQL_EVENTS_JSON),
+        "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+        "doc_exact_dups": (q_doc_exact_dups, SQL_DOC_EXACT),
+        "doc_minhash_lsh": (q_doc_minhash_lsh, _sql_minhash_lsh()),
+        "doc_ngram_jaccard": (q_doc_ngram_jaccard, SQL_DOC_JACCARD),
+        "doc_simhash": (q_doc_simhash, _sql_simhash()),
+        "doc_token_quality": (q_doc_token_quality, SQL_DOC_TOKEN_QUALITY),
+        "doc_langid": (q_doc_langid, _sql_langid()),
+        "osm_counts": (q_osm_counts, _sql_osm_counts()),
+        "osm_poi_topk": (q_osm_poi_topk, _sql_osm_poi()),
+        "osm_country_filter": (q_osm_country_filter, _sql_osm_country()),
+        "osm_way_sizes": (q_osm_way_sizes, _sql_osm_way_sizes()),
+        "osm_bbox_count": (q_osm_bbox_count, _sql_osm_bbox()),
+        "osm_member_types": (q_osm_member_types, _sql_osm_members()),
+        "osm_ref_integrity": (q_osm_ref_integrity, _sql_osm_integrity()),
+        "pages_tile_counts": (q_pages_tile_counts, _sql_pages_tiles()),
+        "pip_hits_per_polygon": (q_pip_hits_per_polygon, _sql_pip()),
+        "knn_pages_to_poi": (q_knn_pages_to_poi, _sql_knn()),
+        "tile_pyramid_z11": (q_tile_pyramid, _sql_pyramid()),
+        "pages_text_invariant": (q_pages_text_invariant, _sql_text_invariant()),
+        "s2_cells_pages": (q_s2_cells_pages, None),
+        "hex_cells_pages": (q_hex_cells_pages, None),
+        "sim_cosine_topk": (q_sim_cosine_topk, _sql_cosine_topk()),
+        "emb_lsh_neardup": (q_emb_lsh_neardup, _sql_lsh_neardup()),
+    }
