@@ -72,6 +72,10 @@ def run_bench(sf_dir: str, master: str | None = None) -> dict:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = reg[name][0]
+        # warmup run absorbs janino codegen compilation (observed 5-30 s on first
+        # execution of a new plan shape, ~1 s steady-state) so timings reflect
+        # executor throughput, which is what scales to the cluster
+        _force(fn(spark, sf_dir))
         df = fn(spark, sf_dir)
         t0 = time.perf_counter()
         _force(df)

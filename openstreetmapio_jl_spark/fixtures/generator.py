@@ -42,6 +42,14 @@ TEST_POINT = (54.2619665, 9.9854149)
 # dense "urban" hot-spot for skew tests (FIXTURES.md §6: ~30% of pages in one cell)
 HOT_CENTER = (54.2625, 9.9840)
 
+# scaled fixtures spread beyond the golden bbox over a realistic multi-degree
+# region (Europe-sized) so cell keys are selective — real OSM polygons are local
+# rings, not bbox-spanning scribbles. (bottom_lat, left_lon, top_lat, right_lon)
+EXTENT = (40.0, -5.0, 60.0, 20.0)
+
+# bump to invalidate materialized .fixtures trees when generation logic changes
+GENERATOR_VERSION = "2"
+
 _POI_TYPES = ["restaurant", "cafe", "bar", "school", "pharmacy", "bank", "fuel"]
 _CUISINES = ["italian", "german", "indian", "thai", "greek"]
 _USERS = ["mapper_a", "mapper_b", "straße_mapper", "anon"]
@@ -52,9 +60,89 @@ def _r7(x: float) -> float:
     return round(x, 7)
 
 
+def _add_scaled_elements(rng, nodes, ways, n_nodes: int, n_ways: int, rand_info) -> None:
+    """Locality-aware scale-up beyond the 612/29/3 golden core.
+
+    Real OSM geometry is local: a polygon's vertices are metres apart, not spread
+    over the whole map. Scaled ways therefore get their OWN ring nodes around a
+    sampled center (closed rings 2/3, open polylines 1/3), spread over ``EXTENT``
+    with ~5% stacked on ``HOT_CENTER`` (the deliberate skewed cell). Remaining
+    node budget becomes standalone nodes (every 10th a tagged POI) so kNN corpora
+    exist across the region."""
+    import math
+
+    next_nid = 2_000_000_000
+    next_wid = 500_000_000
+    b, l, t, r = EXTENT
+    n_scaled_ways = n_ways - len(ways)
+    for i in range(n_scaled_ways):
+        if rng.random() < 0.05:  # hot urban cell: many tiny stacked polygons
+            clat = HOT_CENTER[0] + rng.uniform(-0.0004, 0.0004)
+            clon = HOT_CENTER[1] + rng.uniform(-0.0004, 0.0004)
+            radius = rng.uniform(0.00005, 0.0005)
+        else:
+            clat = rng.uniform(b, t)
+            clon = rng.uniform(l, r)
+            radius = 10 ** rng.uniform(-3.5, -1.5)  # ~30 m .. ~3 km
+        closed = i % 3 != 2
+        k = rng.randint(4, 10)
+        angles = sorted(rng.uniform(0.0, 2.0 * math.pi) for _ in range(k))
+        ring_ids, pts = [], []
+        lon_stretch = 1.0 / max(0.2, math.cos(math.radians(clat)))
+        for a in angles:
+            rr = radius * rng.uniform(0.7, 1.3)
+            lat = _r7(max(-89.9, min(89.9, clat + rr * math.sin(a))))
+            lon = _r7(max(-179.9, min(179.9, clon + rr * math.cos(a) * lon_stretch)))
+            next_nid += rng.randint(1, 50)
+            nodes.append(
+                {"id": next_nid, "lat": lat, "lon": lon, "tags": None, "info": rand_info(i)}
+            )
+            ring_ids.append(next_nid)
+            pts.append((lat, lon))
+        refs = ring_ids + [ring_ids[0]] if closed else ring_ids
+        if closed:
+            tags = {
+                "natural" if i % 2 else "landuse": ["water", "forest", "meadow"][i % 3],
+                "name": f"Area {i}",
+            }
+        else:
+            tags = {"highway": ["residential", "track", "service"][i % 3], "name": f"Road {i}"}
+        next_wid += rng.randint(1, 99)
+        w = {"id": next_wid, "refs": refs, "tags": tags, "info": rand_info(i)}
+        if i % 4 == 0:  # LocationsOnWays variant
+            pos = pts + [pts[0]] if closed else pts
+            w["positions"] = pos
+        ways.append(w)
+    # standalone nodes: fill the remaining node budget across the region
+    i = 0
+    while len(nodes) < n_nodes:
+        next_nid += rng.randint(1, 50)
+        if rng.random() < 0.05:
+            lat = _r7(HOT_CENTER[0] + rng.uniform(-0.0004, 0.0004))
+            lon = _r7(HOT_CENTER[1] + rng.uniform(-0.0004, 0.0004))
+        else:
+            lat = _r7(rng.uniform(b, t))
+            lon = _r7(rng.uniform(l, r))
+        tags = None
+        if i % 10 == 0:
+            tags = {
+                "amenity": _POI_TYPES[i % len(_POI_TYPES)],
+                "name": f"Scaled POI {i}",
+            }
+        nodes.append({"id": next_nid, "lat": lat, "lon": lon, "tags": tags, "info": rand_info(i)})
+        i += 1
+
+
 def make_osm(seed: int = 42, n_nodes: int = 612, n_ways: int = 29, n_relations: int = 3):
-    """Returns (meta, nodes, ways, relations) as plain dicts (writer input format)."""
+    """Returns (meta, nodes, ways, relations) as plain dicts (writer input format).
+
+    The first 612 nodes / 29 ways / 3 relations are the golden core mirroring the
+    reference's bundled fixture (tiny bbox, pinned golden elements — unchanged at
+    every scale factor). Anything beyond that is generated locality-aware over
+    ``EXTENT`` by :func:`_add_scaled_elements`."""
     rng = random.Random(seed)
+    n_base_nodes = min(n_nodes, 612)
+    n_base_ways = min(n_ways, 29)
     b, l, t, r = BBOX["bottom_lat"], BBOX["left_lon"], BBOX["top_lat"], BBOX["right_lon"]
 
     nodes: list[dict] = []
@@ -101,7 +189,7 @@ def make_osm(seed: int = 42, n_nodes: int = 612, n_ways: int = 29, n_relations: 
     )
 
     next_id = 1_000_000_000
-    for i in range(n_nodes - 1):
+    for i in range(n_base_nodes - 1):
         next_id += rng.randint(1, 5000)
         lat, lon = rand_pos()
         tags = None
@@ -144,7 +232,8 @@ def make_osm(seed: int = 42, n_nodes: int = 612, n_ways: int = 29, n_relations: 
         }
     )
     way_id = 100_000_000
-    for i in range(n_ways - 1):
+    id_to_pos = {n["id"]: (n["lat"], n["lon"]) for n in nodes}
+    for i in range(n_base_ways - 1):
         way_id += rng.randint(1, 999)
         n_refs = rng.randint(3, 60)
         refs = [node_ids[rng.randrange(len(node_ids))] for _ in range(n_refs)]
@@ -157,9 +246,11 @@ def make_osm(seed: int = 42, n_nodes: int = 612, n_ways: int = 29, n_relations: 
         }
         w = {"id": way_id, "refs": refs, "tags": tags, "info": rand_info(i)}
         if i % 4 == 0:  # LocationsOnWays variant (src/load_pbf.jl:925-940)
-            id_to_pos = {n["id"]: (n["lat"], n["lon"]) for n in nodes}
             w["positions"] = [id_to_pos[ref] for ref in refs]
         ways.append(w)
+    if n_nodes > n_base_nodes or n_ways > n_base_ways:
+        _add_scaled_elements(rng, nodes, ways, n_nodes, n_ways, rand_info)
+        nodes.sort(key=lambda n: n["id"])
     ways.sort(key=lambda w: w["id"])
     way_ids = [w["id"] for w in ways]
 
@@ -297,12 +388,15 @@ def make_pages(n: int, seed: int = 42, hot_frac: float = 0.3) -> pa.Table:
     b, l, t, r = BBOX["bottom_lat"], BBOX["left_lon"], BBOX["top_lat"], BBOX["right_lon"]
 
     n_hot = int(n * hot_frac)
-    n_in = int(n * 0.35)
-    n_out = n - n_hot - n_in
+    n_in = int(n * 0.10)  # golden bbox
+    n_ext = int(n * 0.25)  # the scaled-fixture EXTENT (real PIP/kNN hit region)
+    n_out = n - n_hot - n_in - n_ext
+    eb, el, et, er = EXTENT
     lat = np.concatenate(
         [
             HOT_CENTER[0] + rng.uniform(-0.0004, 0.0004, n_hot),
             rng.uniform(b, t, n_in),
+            rng.uniform(eb, et, n_ext),
             rng.uniform(-85.0, 85.0, n_out),
         ]
     )
@@ -310,6 +404,7 @@ def make_pages(n: int, seed: int = 42, hot_frac: float = 0.3) -> pa.Table:
         [
             HOT_CENTER[1] + rng.uniform(-0.0004, 0.0004, n_hot),
             rng.uniform(l, r, n_in),
+            rng.uniform(el, er, n_ext),
             rng.uniform(-180.0, 180.0, n_out),
         ]
     )
@@ -449,7 +544,9 @@ def materialize_fixtures(sf: float, out_dir: str, *, seed: int = 42) -> dict[str
     }
     marker = f"{out_dir}/_COMPLETE"
     if os.path.exists(marker):
-        return paths
+        with open(marker) as f:
+            if f.read().strip() == GENERATOR_VERSION:
+                return paths
     os.makedirs(f"{out_dir}/truth", exist_ok=True)
     sizes = sizes_for_sf(sf)
     meta, nodes, ways, rels = make_osm(
@@ -467,5 +564,5 @@ def materialize_fixtures(sf: float, out_dir: str, *, seed: int = 42) -> dict[str
     pq.write_table(rt, paths["truth_relations"])
     pq.write_table(_truth_polygons(nodes, ways), paths["truth_polygons"])
     with open(marker, "w") as f:
-        f.write("ok\n")
+        f.write(GENERATOR_VERSION + "\n")
     return paths

@@ -239,14 +239,25 @@ def point_in_polygon_join(
     """
     lat = F.col(lat_col)
     lon = F.col(lon_col)
-    poly = polygons.withColumn(
+    # NARROW polygon side through the tile shuffle: (polygon_id, bbox, tile).
+    # Edge arrays never ride the tile-cover explode or the equi-join exchange —
+    # shipping them per (tile × candidate point) materializes O(candidates ×
+    # ring_size) doubles through the shuffle (observed 34 GB at sf0.1 before this
+    # split). They are re-attached by polygon_id only for bbox-surviving pairs.
+    poly_narrow = polygons.select(
+        F.col("id").alias("polygon_id"),
+        "min_lat",
+        "max_lat",
+        "min_lon",
+        "max_lon",
+    ).withColumn(
         "tile",
         F.explode(
             tile_cover_bbox(
                 F.col("min_lat"), F.col("max_lat"), F.col("min_lon"), F.col("max_lon"), z=zoom
             )
         ),
-    ).withColumnRenamed("id", "polygon_id")
+    )
     pts = points.withColumn("tile", xyz_tile_key_col(lat, lon, zoom))
 
     if nsalt > 0:
@@ -254,16 +265,27 @@ def point_in_polygon_join(
         pts = pts.withColumn(
             "_salt", F.pmod(F.hash(lat, lon), F.lit(nsalt)).cast("int")
         )
-        poly = poly.withColumn(
+        poly_narrow = poly_narrow.withColumn(
             "_salt", F.explode(F.sequence(F.lit(0), F.lit(nsalt - 1)))
         )
         join_keys = ["tile", "_salt"]
     else:
         join_keys = ["tile"]
 
-    poly_side = F.broadcast(poly) if broadcast else poly
-    cand = pts.join(poly_side, join_keys, "inner")
-    hit = cand.filter(geo.pip_crossings_col(lat, lon, F.col("edges")))
+    poly_side = F.broadcast(poly_narrow) if broadcast else poly_narrow
+    cand = pts.join(poly_side, join_keys, "inner").filter(
+        lat.between(F.col("min_lat"), F.col("max_lat"))
+        & lon.between(F.col("min_lon"), F.col("max_lon"))
+    )
+    payload = polygons.select(
+        F.col("id").alias("polygon_id"),
+        "edges",
+        *[c for c in polygons.columns if c not in ("id", "edges", "min_lat", "max_lat", "min_lon", "max_lon")],
+    )
+    payload_side = F.broadcast(payload) if broadcast else payload
+    hit = cand.join(payload_side, "polygon_id", "inner").filter(
+        geo.pip_crossings_col(lat, lon, F.col("edges"))
+    )
     drop = ["tile", "edges", "min_lat", "max_lat", "min_lon", "max_lon"]
     if nsalt > 0:
         drop.append("_salt")
