@@ -41,21 +41,8 @@ def char_shingles(col: Column, n: int = 5) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, num_hashes: int) -> list[Column]:
-    """H independent minhashes: min over shingles of md5(i || shingle). Lexicographic
-    min over uniform hex strings is a valid min-hash family and is identical in any
-    engine with md5."""
-
-    def hasher(i: int):
-        prefix = str(i)
-        # NB: a single-arg lambda — a two-arg lambda would make transform() pass
-        # the ARRAY INDEX as the second argument, silently overriding a default
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
-
-    return [
-        F.array_min(F.transform(shingles, hasher(i))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
+# prime > 2^32 for Kirsch-Mitzenmacher double hashing: h_i(s) = (h1 + i*h2) mod P
+MINHASH_PRIME = 4294967311
 
 
 # ---------------------------------------------------------------------------
@@ -90,9 +77,27 @@ def minhash_lsh_buckets(
     salting helper handles."""
     assert num_hashes % band_size == 0
     nbands = num_hashes // band_size
-    sigs = docs.select(
-        F.col(id_col),
-        *minhash_signature(char_shingles(F.col(text_col), shingle_n), num_hashes),
+    # ONE md5 per shingle (not one per shingle per hash function): the H minhash
+    # families derive from the md5's two 32-bit halves via double hashing. Cuts
+    # the dominant cost H-fold; the explode→groupBy aggregates map-side, so the
+    # shuffle carries only H longs per document. Docs with no shingles (text
+    # shorter than the shingle width) have no signature and are dropped — they
+    # belong to the exact-dedup path.
+    sh = docs.select(
+        F.col(id_col), F.explode(char_shingles(F.col(text_col), shingle_n)).alias("s")
+    )
+    hashed = sh.select(
+        id_col,
+        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(F.md5("s"), 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+    sigs = hashed.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.pmod(F.col("h1") + F.lit(i + 1) * F.col("h2"), F.lit(MINHASH_PRIME))
+            ).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
     )
     bands = sigs.select(
         F.col(id_col),
@@ -102,11 +107,12 @@ def minhash_lsh_buckets(
                     F.struct(
                         F.lit(b).alias("band_idx"),
                         F.md5(
-                            F.concat(
+                            F.concat_ws(
+                                "_",
                                 *[
-                                    F.coalesce(F.col(f"mh{b * band_size + j}"), F.lit(""))
+                                    F.col(f"mh{b * band_size + j}").cast("string")
                                     for j in range(band_size)
-                                ]
+                                ],
                             )
                         ).alias("band_sig"),
                     )

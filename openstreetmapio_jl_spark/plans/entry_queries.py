@@ -274,17 +274,23 @@ def _sql_shingles(txt: str, n: int = 5) -> str:
 
 
 def _sql_minhash_lsh() -> str:
+    P = dedup.MINHASH_PRIME
     mh = ",\n  ".join(
-        f"list_aggregate(list_transform(sh, s -> md5('{i}' || s)), 'min') as mh{i}"
-        for i in range(8)
+        f"min((h1 + {i + 1} * h2) % {P}) as mh{i}" for i in range(8)
     )
     bands = ", ".join(
-        f"struct_pack(band_idx := {b}, band_sig := md5(coalesce(mh{2*b},'') || coalesce(mh{2*b+1},'')))"
+        f"struct_pack(band_idx := {b}, band_sig := md5(mh{2*b}::varchar || '_' || mh{2*b+1}::varchar))"
         for b in range(4)
     )
     return f"""
-with sh as (select doc_id, {_sql_shingles('text')} as sh from documents),
-sig as (select doc_id, {mh} from sh),
+with sh as (select doc_id, unnest({_sql_shingles('text')}) as s from documents),
+h as (
+  select doc_id,
+    ('0x' || substr(md5(s), 1, 8))::bigint as h1,
+    ('0x' || substr(md5(s), 9, 8))::bigint as h2
+  from sh
+),
+sig as (select doc_id, {mh} from h group by doc_id),
 bands as (select doc_id, unnest([{bands}]) as band from sig)
 select band.band_idx as band_idx, band.band_sig as band_sig,
   count(*) as n_docs, min(doc_id) as min_id, max(doc_id) as max_id
