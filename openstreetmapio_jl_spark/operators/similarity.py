@@ -135,21 +135,50 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     n_planes: int = 8,
     dim: int = 64,
+    n_tables: int = 2,
 ) -> DataFrame:
-    """Near-dup pairs (id_a < id_b, cos >= threshold) via LSH buckets + exact
-    verify — the embedding analog of MinHash-LSH text dedup."""
-    planes = hyperplanes(dim, n_planes)
-    sig = vectors.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        lsh_signature_col(F.col(vec_col), planes).alias("bucket"),
-    )
+    """Near-dup pairs (id_a < id_b, cos >= threshold) via multi-table LSH buckets
+    + exact verify — the embedding analog of MinHash-LSH text dedup.
+
+    ``n_tables`` independent hash tables (planes seeded ``42+t``) union their
+    candidate pairs before the exact re-rank: single-table recall at 8 planes is
+    ~(1-θ/π)^8 and misses moderate-similarity pairs; each extra table multiplies
+    the miss probability. Candidate ids are deduped BEFORE vectors are re-attached
+    so the (heavy) embedding arrays never ride the candidate shuffle twice."""
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    parts = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed=42 + t)
+        parts.append(
+            v.select(
+                "id",
+                F.lit(t).alias("t"),
+                lsh_signature_col(F.col("v"), planes).alias("bucket"),
+            )
+        )
+    sig = parts[0]
+    for p in parts[1:]:
+        sig = sig.unionByName(p)
     a, b = sig.alias("a"), sig.alias("b")
-    pairs = a.join(
-        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
-    return pairs.select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        F.round(cosine_col(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
-    ).filter(F.col("cos") >= threshold)
+    va = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_col(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -33,7 +33,7 @@ FIXTURE_ROOT = os.path.join(REPO_ROOT, ".fixtures")
 ORACLE_SF_NAME = "sf0.01"  # the driver's correctness scale
 ZOOM = 13
 
-_PLANES = similarity.hyperplanes(64, 8, seed=42)
+_PLANE_TABLES = [similarity.hyperplanes(64, 8, seed=42 + t) for t in range(2)]
 
 
 def _sf_name(sf_dir: str) -> str:
@@ -769,33 +769,45 @@ qualify rank <= 5
 
 def q_emb_lsh_neardup(spark, sf_dir):
     emb = _load(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_duplicates(emb, threshold=0.5)
+    return similarity.embedding_near_duplicates(emb, threshold=0.3, n_tables=2)
 
 
 def _sql_plane_list(p) -> str:
     return "[" + ", ".join(f"{float(x)!r}" for x in p) + "]"
 
 
-def _sql_lsh_neardup() -> str:
-    bucket_terms = []
-    for i, plane in enumerate(_PLANES):
+def _sql_bucket(planes, vec: str = "embedding") -> str:
+    terms = []
+    for i, plane in enumerate(planes):
         dot = (
-            f"list_aggregate(list_transform(list_zip(embedding, {_sql_plane_list(plane)}),"
+            f"list_aggregate(list_transform(list_zip({vec}, {_sql_plane_list(plane)}),"
             f" p -> cast(p[1] as double) * cast(p[2] as double)), 'sum')"
         )
-        bucket_terms.append(f"(case when {dot} > 0 then cast({2**i} as bigint) else 0 end)")
-    bucket = " + ".join(bucket_terms)
+        terms.append(f"(case when {dot} > 0 then cast({2**i} as bigint) else 0 end)")
+    return " + ".join(terms)
+
+
+def _sql_lsh_neardup() -> str:
+    sig_parts = " union all ".join(
+        f"select id, {t} as t, {_sql_bucket(planes, 'v')} as bucket from v"
+        for t, planes in enumerate(_PLANE_TABLES)
+    )
     dot_ab = (
-        "list_aggregate(list_transform(list_zip(a.v, b.v),"
+        "list_aggregate(list_transform(list_zip(va.v, vb.v),"
         " p -> cast(p[1] as double) * cast(p[2] as double)), 'sum')"
     )
-    na = "sqrt(list_aggregate(list_transform(a.v, x -> cast(x as double) * cast(x as double)), 'sum'))"
-    nb = "sqrt(list_aggregate(list_transform(b.v, x -> cast(x as double) * cast(x as double)), 'sum'))"
+    na = "sqrt(list_aggregate(list_transform(va.v, x -> cast(x as double) * cast(x as double)), 'sum'))"
+    nb = "sqrt(list_aggregate(list_transform(vb.v, x -> cast(x as double) * cast(x as double)), 'sum'))"
     return f"""
-with sig as (select vec_id as id, embedding as v, {bucket} as bucket from embeddings)
-select a.id as id_a, b.id as id_b, round({dot_ab} / ({na} * {nb}), 6) as cos
-from sig a join sig b on a.bucket = b.bucket and a.id < b.id
-where round({dot_ab} / ({na} * {nb}), 6) >= 0.5
+with v as (select vec_id as id, embedding as v from embeddings),
+sig as ({sig_parts}),
+cand as (
+  select distinct a.id as id_a, b.id as id_b
+  from sig a join sig b on a.t = b.t and a.bucket = b.bucket and a.id < b.id
+)
+select id_a, id_b, round({dot_ab} / ({na} * {nb}), 6) as cos
+from cand join v va on va.id = id_a join v vb on vb.id = id_b
+where round({dot_ab} / ({na} * {nb}), 6) >= 0.3
 """
 
 
