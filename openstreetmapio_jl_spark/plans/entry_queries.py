@@ -246,6 +246,62 @@ from g group by user_id
 """
 
 
+def _run_stream(spark, make_result, output_mode: str):
+    """Run a streaming pipeline to completion (AvailableNow) into a uniquely-named
+    memory sink with a fresh checkpoint, returning the sink as a DataFrame."""
+    import tempfile
+    import uuid
+
+    from openstreetmapio_jl_spark import streaming as S
+
+    name = f"strm_{uuid.uuid4().hex[:10]}"
+    ckpt = tempfile.mkdtemp(prefix="osmjl_spark_ckpt_")
+    S.run_available_now(
+        make_result(), query_name=name, output_mode=output_mode, checkpoint_dir=ckpt
+    )
+    return spark.sql(f"select * from {name}")
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """The file stream source wants a DIRECTORY; expose the single events.parquet
+    through a symlinked temp dir."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="osmjl_spark_evsrc_")
+    os.symlink(os.path.abspath(_t(sf_dir, "events")), os.path.join(d, "events.parquet"))
+    return d
+
+
+def q_events_stream_tumbling(spark, sf_dir):
+    """Structured Streaming twin of q_events_tumbling: AvailableNow + complete
+    mode over the same input ⇒ identical result, checked by the same oracle."""
+    from openstreetmapio_jl_spark import streaming as S
+
+    src = _stream_dir(sf_dir)
+    return _run_stream(
+        spark,
+        lambda: S.tumbling_counts_stream(S.read_events_stream(spark, src)),
+        "complete",
+    )
+
+
+def q_events_stream_sessionize(spark, sf_dir):
+    """applyInPandasWithState sessionizer (update mode): cumulative per-user
+    totals are non-decreasing, so max() over updates is the final state."""
+    from openstreetmapio_jl_spark import streaming as S
+
+    src = _stream_dir(sf_dir)
+    updates = _run_stream(
+        spark,
+        lambda: S.sessionize_stream(S.read_events_stream(spark, src)),
+        "update",
+    )
+    return updates.groupBy("user_id").agg(
+        F.max("n_sessions").alias("n_sessions"), F.max("n_events").alias("n_events")
+    )
+
+
 # ===========================================================================
 # text analysis + dedup over documents
 # ===========================================================================
@@ -825,6 +881,8 @@ def registry() -> dict[str, tuple]:
         "events_tumbling_5min": (q_events_tumbling, SQL_EVENTS_TUMBLING),
         "events_json_extract": (q_events_json, SQL_EVENTS_JSON),
         "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+        "events_stream_tumbling": (q_events_stream_tumbling, SQL_EVENTS_TUMBLING),
+        "events_stream_sessionize": (q_events_stream_sessionize, SQL_EVENTS_SESSIONIZE),
         "doc_exact_dups": (q_doc_exact_dups, SQL_DOC_EXACT),
         "doc_minhash_lsh": (q_doc_minhash_lsh, _sql_minhash_lsh()),
         "doc_ngram_jaccard": (q_doc_ngram_jaccard, SQL_DOC_JACCARD),

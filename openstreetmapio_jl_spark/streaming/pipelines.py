@@ -1,0 +1,146 @@
+"""Structured Streaming pipelines — the streaming twins of the batch event
+queries in ``plans/entry_queries.py``.
+
+The reference is batch-only (SURVEY.md §2 Table B: no streaming); its replication
+metadata (``/root/reference/src/load_pbf.jl:319-333``) points at an incremental
+feed it never consumes. This module supplies that incremental path Spark-first:
+
+- file-source ``readStream`` over the same parquet layout the batch path reads,
+- watermarked tumbling-window aggregation (complete/update mode),
+- a custom stateful sessionizer via ``applyInPandasWithState`` (Arrow-batched —
+  no per-row Python, per BASELINE.json input_hint),
+- ``Trigger.AvailableNow`` runner for resumable, testable backfill: process all
+  available input, checkpoint, stop — restart picks up only new files, which is
+  the streaming face of the lineage/idempotent-resume design (plans/lineage.py).
+
+Correctness: with AvailableNow + complete/update mode the streaming results are
+exactly the batch results, so the driver's DuckDB oracle applies unchanged.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over an events parquet directory (or single file)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def tumbling_counts_stream(
+    events: DataFrame,
+    *,
+    window: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked 5-minute tumbling counts per event type. Same output schema as
+    the batch ``q_events_tumbling`` so the two are directly comparable."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+_SESS_STATE = StructType(
+    [
+        StructField("last_ts", LongType()),
+        StructField("n_sessions", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+_SESS_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_sessions", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def sessionize_stream(events: DataFrame, *, gap_s: int = 1800) -> DataFrame:
+    """Custom stateful operator: per-user session counts via
+    ``applyInPandasWithState`` (update mode). A new session starts when the gap
+    since the previous event exceeds ``gap_s`` (carried in state so sessions span
+    micro-batches). Each batch emits the CUMULATIVE totals — totals are
+    non-decreasing, so the final value is ``max()`` over emitted rows regardless
+    of how input was split into batches. Within-batch events are sorted by
+    (ts, event_id); cross-batch ordering relies on the source's monotone file
+    order (true for the backfill/file-source path; an out-of-order feed would
+    need the watermark-based ``transformWithState`` variant)."""
+
+    def fn(key, pdf_iter, state):
+        (user_id,) = key
+        if state.exists:
+            last_ts, n_sessions, n_events = state.get
+        else:
+            last_ts, n_sessions, n_events = None, 0, 0
+        frames = list(pdf_iter)
+        if frames:
+            rows = pd.concat(frames).sort_values(["ts", "event_id"])
+            for ts in rows["ts"]:
+                epoch = int(pd.Timestamp(ts).value // 1_000_000_000)
+                if last_ts is None or epoch - last_ts > gap_s:
+                    n_sessions += 1
+                last_ts = epoch
+                n_events += 1
+        state.update((last_ts, n_sessions, n_events))
+        yield pd.DataFrame(
+            [{"user_id": user_id, "n_sessions": n_sessions, "n_events": n_events}]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=_SESS_OUT,
+        stateStructType=_SESS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    result: DataFrame,
+    *,
+    query_name: str,
+    output_mode: str,
+    checkpoint_dir: str,
+) -> None:
+    """Run a streaming DataFrame to completion with Trigger.AvailableNow into an
+    in-memory sink table named ``query_name``. Blocks until done. Re-running with
+    the same checkpoint processes only NEW input files (idempotent backfill)."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
