@@ -601,6 +601,28 @@ select count(*) as n_unresolved from (
 """
 
 
+def q_osm_around_radius(spark, sf_dir):
+    """Native Overpass ``around:radius,lat,lon`` (the reference's only distance
+    operator, delegated to the server at load_overpass.jl:49-52 — implemented
+    here as sargable bbox prefilter + exact haversine)."""
+    from openstreetmapio_jl_spark.sources import overpass_source as O
+
+    b, _paths = _osm(spark, sf_dir)
+    res = O.radius_query(
+        b.nodes.select("id", "lat", "lon"), G.TEST_POINT[0], G.TEST_POINT[1], 150.0
+    )
+    return res.select("id", F.round("dist_m", 3).alias("dist_m"))
+
+
+def _sql_around_radius() -> str:
+    dist = geo.haversine_m_sql(repr(G.TEST_POINT[0]), repr(G.TEST_POINT[1]), "lat", "lon")
+    return f"""
+select id, round({dist}, 3) as dist_m
+from read_parquet('{_ofx("truth/nodes.parquet")}')
+where {dist} <= 150.0
+"""
+
+
 def q_pages_tile_counts(spark, sf_dir):
     pages = _pages(spark, sf_dir)
     pts = geocode.pages_with_cells(pages, zoom=ZOOM)
@@ -896,6 +918,7 @@ def registry() -> dict[str, tuple]:
         "osm_bbox_count": (q_osm_bbox_count, _sql_osm_bbox()),
         "osm_member_types": (q_osm_member_types, _sql_osm_members()),
         "osm_ref_integrity": (q_osm_ref_integrity, _sql_osm_integrity()),
+        "osm_around_radius": (q_osm_around_radius, _sql_around_radius()),
         "pages_tile_counts": (q_pages_tile_counts, _sql_pages_tiles()),
         "pip_hits_per_polygon": (q_pip_hits_per_polygon, _sql_pip()),
         "knn_pages_to_poi": (q_knn_pages_to_poi, _sql_knn()),
