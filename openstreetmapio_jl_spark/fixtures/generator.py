@@ -39,7 +39,7 @@ KNOWN_WAY_ID = 889648159
 KNOWN_RELATION_ID = 12475101
 TEST_POINT = (54.2619665, 9.9854149)
 
-# dense "urban" hot-spot for skew tests (FIXTURES.md §6: ~30% of pages in one cell)
+# dense "urban" hot-spot for skew tests (~10% of pages land in this one cell)
 HOT_CENTER = (54.2625, 9.9840)
 
 # scaled fixtures spread beyond the golden bbox over a realistic multi-degree
@@ -48,7 +48,7 @@ HOT_CENTER = (54.2625, 9.9840)
 EXTENT = (40.0, -5.0, 60.0, 20.0)
 
 # bump to invalidate materialized .fixtures trees when generation logic changes
-GENERATOR_VERSION = "2"
+GENERATOR_VERSION = "3"
 
 _POI_TYPES = ["restaurant", "cafe", "bar", "school", "pharmacy", "bank", "fuel"]
 _CUISINES = ["italian", "german", "indian", "thai", "greek"]
@@ -66,7 +66,7 @@ def _add_scaled_elements(rng, nodes, ways, n_nodes: int, n_ways: int, rand_info)
     Real OSM geometry is local: a polygon's vertices are metres apart, not spread
     over the whole map. Scaled ways therefore get their OWN ring nodes around a
     sampled center (closed rings 2/3, open polylines 1/3), spread over ``EXTENT``
-    with ~5% stacked on ``HOT_CENTER`` (the deliberate skewed cell). Remaining
+    with ~0.5% stacked on ``HOT_CENTER`` (the deliberate skewed cell). Remaining
     node budget becomes standalone nodes (every 10th a tagged POI) so kNN corpora
     exist across the region."""
     import math
@@ -76,7 +76,11 @@ def _add_scaled_elements(rng, nodes, ways, n_nodes: int, n_ways: int, rand_info)
     b, l, t, r = EXTENT
     n_scaled_ways = n_ways - len(ways)
     for i in range(n_scaled_ways):
-        if rng.random() < 0.05:  # hot urban cell: many tiny stacked polygons
+        # ~0.5% of scaled polygons stack on the hot cell — enough to make its
+        # tile the skew key (together with ~10% of pages), while keeping
+        # hits-per-point at urban-realistic depth (~5-15 containing polygons),
+        # not a pathological all-pairs product
+        if i % 200 == 199:
             clat = HOT_CENTER[0] + rng.uniform(-0.0004, 0.0004)
             clon = HOT_CENTER[1] + rng.uniform(-0.0004, 0.0004)
             radius = rng.uniform(0.00005, 0.0005)
@@ -380,7 +384,7 @@ _PLACES = [
 ]
 
 
-def make_pages(n: int, seed: int = 42, hot_frac: float = 0.3) -> pa.Table:
+def make_pages(n: int, seed: int = 42, hot_frac: float = 0.10) -> pa.Table:
     """n synthetic pages. Geocodes: ``hot_frac`` clustered on HOT_CENTER (the skewed
     urban cell), ~half of the rest inside BBOX, the remainder spread worldwide so
     PIP joins have hits and misses (FIXTURES.md §6)."""
@@ -388,8 +392,8 @@ def make_pages(n: int, seed: int = 42, hot_frac: float = 0.3) -> pa.Table:
     b, l, t, r = BBOX["bottom_lat"], BBOX["left_lon"], BBOX["top_lat"], BBOX["right_lon"]
 
     n_hot = int(n * hot_frac)
-    n_in = int(n * 0.10)  # golden bbox
-    n_ext = int(n * 0.25)  # the scaled-fixture EXTENT (real PIP/kNN hit region)
+    n_in = int(n * 0.05)  # golden bbox
+    n_ext = int(n * 0.50)  # the scaled-fixture EXTENT (real PIP/kNN hit region)
     n_out = n - n_hot - n_in - n_ext
     eb, el, et, er = EXTENT
     lat = np.concatenate(
