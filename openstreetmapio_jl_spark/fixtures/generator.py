@@ -48,7 +48,7 @@ HOT_CENTER = (54.2625, 9.9840)
 EXTENT = (40.0, -5.0, 60.0, 20.0)
 
 # bump to invalidate materialized .fixtures trees when generation logic changes
-GENERATOR_VERSION = "3"
+GENERATOR_VERSION = "4"
 
 _POI_TYPES = ["restaurant", "cafe", "bar", "school", "pharmacy", "bank", "fuel"]
 _CUISINES = ["italian", "german", "indian", "thai", "greek"]
@@ -561,12 +561,16 @@ def materialize_fixtures(sf: float, out_dir: str, *, seed: int = 42) -> dict[str
     )
     write_fixture_pbf(paths["pbf"], meta, nodes, ways, rels, nodes_per_block=8000)
     write_fixture_xml(paths["osm"], meta, nodes, ways, rels)
-    pq.write_table(make_pages(sizes["n_pages"], seed=seed), paths["pages"])
+    # small row groups: Spark assigns row groups to byte-range splits by midpoint,
+    # so a single-row-group file is effectively ONE task no matter the cluster size
+    pq.write_table(
+        make_pages(sizes["n_pages"], seed=seed), paths["pages"], row_group_size=16384
+    )
     nt, wt, rt = _truth_tables(nodes, ways, rels)
-    pq.write_table(nt, paths["truth_nodes"])
-    pq.write_table(wt, paths["truth_ways"])
-    pq.write_table(rt, paths["truth_relations"])
-    pq.write_table(_truth_polygons(nodes, ways), paths["truth_polygons"])
+    pq.write_table(nt, paths["truth_nodes"], row_group_size=16384)
+    pq.write_table(wt, paths["truth_ways"], row_group_size=16384)
+    pq.write_table(rt, paths["truth_relations"], row_group_size=16384)
+    pq.write_table(_truth_polygons(nodes, ways), paths["truth_polygons"], row_group_size=16384)
     with open(marker, "w") as f:
         f.write(GENERATOR_VERSION + "\n")
     return paths

@@ -652,8 +652,11 @@ def q_pip_hits_per_polygon(spark, sf_dir):
     polys = SJ.polygons_with_edges(rings)
     pages = spark.read.parquet(paths["pages"])
     pts = geocode.pages_with_cells(pages, zoom=ZOOM)
+    # nsalt=16: ~10% of pages share ONE z13 tile (the hot urban cell); without
+    # salting that key's PIP work serializes into a single task no matter how
+    # many executors exist (AQE skew-split divides partitions, not keys)
     hits = SJ.point_in_polygon_join(
-        pts.select("url", "lat", "lon"), polys, zoom=ZOOM
+        pts.select("url", "lat", "lon"), polys, zoom=ZOOM, nsalt=16
     )
     return hits.groupBy("polygon_id").count().withColumnRenamed("count", "n_hits")
 
