@@ -1,0 +1,86 @@
+"""spark-submit --py-files packaging (BASELINE.json north_rule).
+
+Proves the engine runs as a shipped artifact: the package is zipped, a real
+``spark-submit --py-files`` subprocess runs the flagship PIP-join job from a
+working directory where the package is NOT importable, and a second identical
+invocation is a lineage no-op (idempotent resume).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow.parquet as pq
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _spark_submit() -> str:
+    import pyspark
+
+    return os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+
+
+@pytest.fixture(scope="module")
+def pyfiles_zip(tmp_path_factory):
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import make_pyfiles
+
+    return make_pyfiles.build(str(tmp_path_factory.mktemp("dist") / "pkg.zip"))
+
+
+def test_zip_contains_package(pyfiles_zip):
+    import zipfile
+
+    names = zipfile.ZipFile(pyfiles_zip).namelist()
+    assert "openstreetmapio_jl_spark/__init__.py" in names
+    assert "openstreetmapio_jl_spark/operators/spatial_join.py" in names
+    assert not any("__pycache__" in n for n in names)
+
+
+@pytest.mark.slow
+def test_spark_submit_pyfiles_resumable(pyfiles_zip, tmp_path, osm_data):
+    from openstreetmapio_jl_spark.fixtures import generator as G
+
+    meta, nodes, ways, rels = osm_data
+    pbf = str(tmp_path / "f.pbf")
+    G.write_fixture_pbf(pbf, meta, nodes, ways, rels, nodes_per_block=200)
+    pages = str(tmp_path / "pages.parquet")
+    pq.write_table(G.make_pages(2000), pages)
+
+    out, lin = str(tmp_path / "out"), str(tmp_path / "lineage")
+    cmd = [
+        _spark_submit(),
+        "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.driver.host=127.0.0.1",
+        "--py-files", pyfiles_zip,
+        os.path.join(REPO, "jobs", "pip_join_job.py"),
+        "--pbf", pbf, "--pages", pages, "--out", out, "--lineage", lin,
+        "--chunks", "4",
+    ]
+    # cwd away from the repo + scrubbed PYTHONPATH: imports MUST come from the zip
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    p = subprocess.run(
+        cmd, cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=600
+    )
+    assert p.returncode == 0, p.stderr[-4000:]
+    stats = json.loads([l for l in p.stdout.splitlines() if l.startswith("{")][-1])
+    assert stats["processed"] == 4 and stats["skipped"] == 0
+    assert stats["rows"] > 0
+
+    # chunk outputs landed
+    chunks = [d for d in os.listdir(out) if d.startswith("chunk=")]
+    assert len(chunks) == 4
+
+    # identical re-invocation: lineage makes it a no-op
+    p2 = subprocess.run(
+        cmd, cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=600
+    )
+    assert p2.returncode == 0, p2.stderr[-4000:]
+    stats2 = json.loads([l for l in p2.stdout.splitlines() if l.startswith("{")][-1])
+    assert stats2["processed"] == 0 and stats2["skipped"] == 4
