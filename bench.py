@@ -122,13 +122,20 @@ def run_scaling(sf_dir: str | None = None) -> None:
             "SPARK_GRAFT_SCALE_SF_DIR",
             os.path.join(os.path.dirname(os.path.abspath(__file__)), ".fixtures", "sf4.0"),
         )
-    results = {}
-    for lvl in (n, 4 * n):
-        p = subprocess.run(
-            [sys.executable, __file__, "--scale-one", sf_dir, f"local[{lvl}]"],
-            capture_output=True, text=True, check=True,
-        )
-        results[lvl] = json.loads(p.stdout.strip().splitlines()[-1])
+    # the sandbox host carries variable external load (load avg > 4 with zero
+    # local processes) — alternate the legs across rounds and keep each leg's
+    # best so a transient load spike can't penalize one level asymmetrically
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "2"))
+    results: dict[int, dict] = {}
+    for _ in range(rounds):
+        for lvl in (n, 4 * n):
+            p = subprocess.run(
+                [sys.executable, __file__, "--scale-one", sf_dir, f"local[{lvl}]"],
+                capture_output=True, text=True, check=True,
+            )
+            r = json.loads(p.stdout.strip().splitlines()[-1])
+            if lvl not in results or r["timed_sec"] < results[lvl]["timed_sec"]:
+                results[lvl] = r
     lo, hi = results[n], results[4 * n]
     speedup = lo["timed_sec"] / hi["timed_sec"]
     eff = speedup / 4.0

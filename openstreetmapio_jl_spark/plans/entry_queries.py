@@ -892,6 +892,65 @@ where round({dot_ab} / ({na} * {nb}), 6) >= 0.3
 """
 
 
+def q_sim_lsh_topk(spark, sf_dir):
+    """Scale path for ANN: hyperplane-LSH bucket join + exact re-rank inside the
+    bucket — candidate count per query drops from |corpus| to |bucket|, which is
+    what makes top-k tractable when the corpus is 10^9+ vectors."""
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.lsh_cosine_topk(queries, emb, k=5)
+
+
+def _sql_lsh_topk() -> str:
+    # same planes as lsh_cosine_topk's default (hyperplanes(64, 8, seed=42))
+    bucket = _sql_bucket(_PLANE_TABLES[0], "embedding")
+    dot = (
+        "list_aggregate(list_transform(list_zip(q.embedding, c.embedding),"
+        " p -> cast(p[1] as double) * cast(p[2] as double)), 'sum')"
+    )
+    nq = "sqrt(list_aggregate(list_transform(q.embedding, x -> cast(x as double) * cast(x as double)), 'sum'))"
+    nc = "sqrt(list_aggregate(list_transform(c.embedding, x -> cast(x as double) * cast(x as double)), 'sum'))"
+    return f"""
+with sig as (select vec_id, embedding, {bucket} as bucket from embeddings)
+select q.vec_id as query_id, c.vec_id as neighbor_id,
+  round({dot} / ({nq} * {nc}), 6) as cos,
+  cast(row_number() over (partition by q.vec_id order by round({dot} / ({nq} * {nc}), 6) desc, c.vec_id asc) as int) as rank
+from (select * from sig where vec_id < 20) q
+join sig c using (bucket)
+where q.vec_id != c.vec_id
+qualify rank <= 5
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Rolling-hash winnowing fingerprint: min over the hashes of all 8-char
+    grams of the normalized text (robust to local edits, unlike the whole-doc
+    md5 which doc_exact_dups uses) — both emitted per doc."""
+    docs = _load(spark, sf_dir, "documents").filter(F.length("text") >= 8)
+    grams = dedup.char_shingles(F.col("text"), 8)
+    winnow = F.array_min(F.transform(grams, lambda s: F.md5(F.encode(s, "UTF-8"))))
+    return docs.select(
+        "doc_id",
+        winnow.alias("winnow_fp"),
+        dedup.fingerprint(F.col("text")).alias("doc_fp"),
+    )
+
+
+def _sql_doc_fingerprint() -> str:
+    return r"""
+with n as (
+  select doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) as t
+  from documents where length(text) >= 8
+)
+select doc_id,
+  list_aggregate(
+    list_transform(generate_series(1, greatest(length(t) - 7, 0)),
+                   i -> md5(substr(t, i, 8))), 'min') as winnow_fp,
+  md5(t) as doc_fp
+from n
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -930,5 +989,7 @@ def registry() -> dict[str, tuple]:
         "s2_cells_pages": (q_s2_cells_pages, None),
         "hex_cells_pages": (q_hex_cells_pages, None),
         "sim_cosine_topk": (q_sim_cosine_topk, _sql_cosine_topk()),
+        "sim_lsh_topk": (q_sim_lsh_topk, _sql_lsh_topk()),
         "emb_lsh_neardup": (q_emb_lsh_neardup, _sql_lsh_neardup()),
+        "doc_fingerprint": (q_doc_fingerprint, _sql_doc_fingerprint()),
     }
