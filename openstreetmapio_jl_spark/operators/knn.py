@@ -86,7 +86,7 @@ def knn_join(
     ).withColumn("tile", tile_key(_tile_of(F.col("c_lon"), zoom), _tile_row_of(F.col("c_lat"), zoom), zoom))
     c = c.persist()
 
-    remaining = queries
+    remaining = queries.persist()  # round 0 + final union re-read it
     resolved_parts: list[DataFrame] = []
     r = 1
     for _round in range(max_rounds):
@@ -119,7 +119,11 @@ def knn_join(
         )
         resolved_parts.append(done)
         done_ids = topk.filter(F.col("resolved")).select(f"q.{query_id}").distinct()
-        remaining = remaining.join(done_ids, query_id, "left_anti")
+        # persist each round's survivor set: the isEmpty() action below (and every
+        # later round, and the final union) would otherwise re-execute the whole
+        # accumulated join lineage — including the caller's upstream plan (e.g. a
+        # PBF decode) — once per round
+        remaining = remaining.join(done_ids, query_id, "left_anti").persist()
         if remaining.isEmpty():
             remaining = None
             break
