@@ -54,11 +54,26 @@ def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(_t(sf_dir, table))
 
 
+# decoded-bundle memo: the production pattern is decode-once-to-parquet
+# (pbf_to_parquet); for in-session queries the equivalent is persisting the three
+# decoded DataFrames and reusing the SAME plan objects, so a query that consumes
+# ways+nodes several times (ring assembly) doesn't re-run the Python decode
+# kernel per consumer. Keyed by (session, file) — new session or file re-decodes.
+_OSM_BUNDLES: dict = {}
+
+
 def _osm(spark: SparkSession, sf_dir: str):
     from openstreetmapio_jl_spark.sources.pbf_source import read_pbf
 
     paths = ensure_fixtures(sf_dir)
-    return read_pbf(spark, paths["pbf"]), paths
+    key = (id(spark), paths["pbf"])
+    if key not in _OSM_BUNDLES:
+        b = read_pbf(spark, paths["pbf"])
+        b.nodes = b.nodes.persist()
+        b.ways = b.ways.persist()
+        b.relations = b.relations.persist()
+        _OSM_BUNDLES[key] = b
+    return _OSM_BUNDLES[key], paths
 
 
 def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -472,7 +487,12 @@ from documents group by 1, 2
 # ===========================================================================
 
 def q_osm_counts(spark, sf_dir):
-    b, _ = _osm(spark, sf_dir)
+    """Deliberately bypasses the decoded-bundle memo: this is the bench's
+    decode-throughput probe, so it must run the mapInArrow kernel every time."""
+    from openstreetmapio_jl_spark.sources.pbf_source import read_pbf
+
+    paths = ensure_fixtures(sf_dir)
+    b = read_pbf(spark, paths["pbf"])
     return (
         b.nodes.select(F.lit("nodes").alias("kind"))
         .unionByName(b.ways.select(F.lit("ways").alias("kind")))
@@ -951,6 +971,66 @@ from n
 """
 
 
+def q_mm_media_stats(spark, sf_dir):
+    """Multimodal plumbing differential: deterministic fake media payloads are
+    synthesized per doc_id (BINARY column), pushed through the REAL Arrow-batched
+    decode path (mapInPandas header parse -> typed meta struct), then aggregated.
+    The DuckDB twin computes the same aggregates purely arithmetically from
+    doc_id — so any plumbing defect (batch shape, truncation, wrong struct
+    wiring, byte loss) breaks value equality. Payload synthesis is the fixture
+    side of the test, not engine hot path, hence the per-payload Python loop."""
+    import pandas as pd
+
+    from openstreetmapio_jl_spark.operators import multimodal as MM
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                d = int(d)
+                kind = ["img", "aud", "vid"][d % 3]
+                w, h = 64 + d % 8 * 16, 64 + d % 5 * 16
+                nf = 1 if kind == "img" else d % 30 + 1
+                payloads.append(MM.make_fake_payload(kind, w, h, nf, seed=d))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    media = docs.mapInPandas(gen, "doc_id long, payload binary")
+    dec = MM.extract_media_metadata(media)
+    return (
+        dec.groupBy(F.col("meta.kind").alias("kind"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("meta.byte_len").alias("total_bytes"),
+            F.round(F.avg("meta.width"), 6).alias("avg_width"),
+            F.round(F.avg("meta.n_frames"), 6).alias("avg_frames"),
+        )
+    )
+
+
+def _sql_mm_stats() -> str:
+    return """
+with m as (
+  select doc_id,
+    ['img','aud','vid'][cast(doc_id % 3 as int) + 1] as code,
+    64 + (doc_id % 8) * 16 as w,
+    64 + (doc_id % 5) * 16 as h,
+    case when doc_id % 3 = 0 then 1 else doc_id % 30 + 1 end as nf
+  from documents
+)
+select
+  case code when 'img' then 'image' when 'aud' then 'audio' else 'video' end as kind,
+  count(*) as n,
+  sum(length('FAKE' || code || ':' || w || 'x' || h || 'x' || nf || ':')
+      + greatest(16, (w * h) // 64)) as total_bytes,
+  round(avg(w), 6) as avg_width,
+  round(avg(nf), 6) as avg_frames
+from m group by 1
+"""
+
+
 # ===========================================================================
 # registry
 # ===========================================================================
@@ -992,4 +1072,5 @@ def registry() -> dict[str, tuple]:
         "sim_lsh_topk": (q_sim_lsh_topk, _sql_lsh_topk()),
         "emb_lsh_neardup": (q_emb_lsh_neardup, _sql_lsh_neardup()),
         "doc_fingerprint": (q_doc_fingerprint, _sql_doc_fingerprint()),
+        "mm_media_stats": (q_mm_media_stats, _sql_mm_stats()),
     }
