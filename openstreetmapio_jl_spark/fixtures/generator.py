@@ -48,7 +48,7 @@ HOT_CENTER = (54.2625, 9.9840)
 EXTENT = (40.0, -5.0, 60.0, 20.0)
 
 # bump to invalidate materialized .fixtures trees when generation logic changes
-GENERATOR_VERSION = "4"
+GENERATOR_VERSION = "5"
 
 _POI_TYPES = ["restaurant", "cafe", "bar", "school", "pharmacy", "bank", "fuel"]
 _CUISINES = ["italian", "german", "indian", "thai", "greek"]
@@ -384,10 +384,16 @@ _PLACES = [
 ]
 
 
-def make_pages(n: int, seed: int = 42, hot_frac: float = 0.10) -> pa.Table:
+def make_pages(
+    n: int, seed: int = 42, hot_frac: float = 0.10, *, with_geo: bool = False
+) -> pa.Table | tuple[pa.Table, pa.Table]:
     """n synthetic pages. Geocodes: ``hot_frac`` clustered on HOT_CENTER (the skewed
     urban cell), ~half of the rest inside BBOX, the remainder spread worldwide so
-    PIP joins have hits and misses (FIXTURES.md §6)."""
+    PIP joins have hits and misses (FIXTURES.md §6).
+
+    ``with_geo=True`` additionally returns a (url, lat, lon) table carrying the
+    exact doubles a text parse yields (round-tripped through the ``%.7f`` string
+    embedded in the page), for building engine-independent cell-truth tables."""
     rng = np.random.default_rng(seed)
     b, l, t, r = BBOX["bottom_lat"], BBOX["left_lon"], BBOX["top_lat"], BBOX["right_lon"]
 
@@ -435,13 +441,46 @@ def make_pages(n: int, seed: int = 42, hot_frac: float = 0.10) -> pa.Table:
         htmls.append(html.encode("utf-8"))
         texts.append(textfn.extract_text(html))
         langs.append(lang)
-    return pa.table(
+    pages = pa.table(
         {
             "url": pa.array(urls, pa.string()),
             "warc_ts": pa.array(ts, pa.timestamp("us")),
             "html": pa.array(htmls, pa.binary()),
             "text": pa.array(texts, pa.string()),
             "lang": pa.array(langs, pa.string()),
+        }
+    )
+    if not with_geo:
+        return pages
+    # exact parse-back doubles: what any engine gets from casting the embedded
+    # "%.7f" strings — NOT np.round's nearest-double, which can differ in the ulp
+    parsed_lat = np.array([float(f"{v:.7f}") for v in lat])
+    parsed_lon = np.array([float(f"{v:.7f}") for v in lon])
+    geo = pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "lat": pa.array(parsed_lat, pa.float64()),
+            "lon": pa.array(parsed_lon, pa.float64()),
+        }
+    )
+    return pages, geo
+
+
+def _truth_cells(page_geo: pa.Table) -> pa.Table:
+    """Engine-independent cell truth: S2 level-12 + hex res-9 ids computed with
+    direct NumPy calls on the parse-back coordinates — the DuckDB oracle for the
+    s2/hex cell-assignment queries reads this file (the vendored curve math is
+    not SQL-expressible; what this checks is the distributed UDF path: batching,
+    Arrow transfer, null handling, column wiring)."""
+    from openstreetmapio_jl_spark.functions import cells as _cells
+
+    lat = np.asarray(page_geo.column("lat"))
+    lon = np.asarray(page_geo.column("lon"))
+    return pa.table(
+        {
+            "url": page_geo.column("url"),
+            "s2_cell": pa.array(_cells.s2_cell_id(lat, lon, level=12), pa.int64()),
+            "hex_cell": pa.array(_cells.hex_cell(lat, lon, res=9), pa.int64()),
         }
     )
 
@@ -545,6 +584,7 @@ def materialize_fixtures(sf: float, out_dir: str, *, seed: int = 42) -> dict[str
         "truth_ways": f"{out_dir}/truth/ways.parquet",
         "truth_relations": f"{out_dir}/truth/relations.parquet",
         "truth_polygons": f"{out_dir}/truth/polygons.parquet",
+        "truth_cells": f"{out_dir}/truth/cells.parquet",
     }
     marker = f"{out_dir}/_COMPLETE"
     if os.path.exists(marker):
@@ -563,9 +603,9 @@ def materialize_fixtures(sf: float, out_dir: str, *, seed: int = 42) -> dict[str
     write_fixture_xml(paths["osm"], meta, nodes, ways, rels)
     # small row groups: Spark assigns row groups to byte-range splits by midpoint,
     # so a single-row-group file is effectively ONE task no matter the cluster size
-    pq.write_table(
-        make_pages(sizes["n_pages"], seed=seed), paths["pages"], row_group_size=16384
-    )
+    pages, page_geo = make_pages(sizes["n_pages"], seed=seed, with_geo=True)
+    pq.write_table(pages, paths["pages"], row_group_size=16384)
+    pq.write_table(_truth_cells(page_geo), paths["truth_cells"], row_group_size=16384)
     nt, wt, rt = _truth_tables(nodes, ways, rels)
     pq.write_table(nt, paths["truth_nodes"], row_group_size=16384)
     pq.write_table(wt, paths["truth_ways"], row_group_size=16384)

@@ -823,7 +823,10 @@ from read_parquet('{_ofx("pages.parquet")}')
 
 
 def q_s2_cells_pages(spark, sf_dir):
-    """S2 level-12 assignment (batched pandas UDF) — no SQL twin; rows-only check."""
+    """S2 level-12 assignment (batched pandas UDF). Oracle: the generator's
+    engine-independent cells truth table (direct NumPy on parse-back coords) —
+    the curve math isn't SQL-expressible, so the differential pins the
+    distributed UDF path (batching, Arrow transfer, column wiring)."""
     pages = _pages(spark, sf_dir)
     pts = geocode.extract_geocodes(pages)
     return pts.select(
@@ -831,13 +834,21 @@ def q_s2_cells_pages(spark, sf_dir):
     )
 
 
+def _sql_s2_cells() -> str:
+    return f"select url, s2_cell from read_parquet('{_ofx('truth/cells.parquet')}')"
+
+
 def q_hex_cells_pages(spark, sf_dir):
-    """Hex (H3-equivalent res 9) assignment — rows-only check."""
+    """Hex (H3-equivalent res 9) assignment — same truth-table oracle as s2."""
     pages = _pages(spark, sf_dir)
     pts = geocode.extract_geocodes(pages)
     return pts.select(
         "url", cells.hex_cell_udf(9)(F.col("lat"), F.col("lon")).alias("hex_cell")
     )
+
+
+def _sql_hex_cells() -> str:
+    return f"select url, hex_cell from read_parquet('{_ofx('truth/cells.parquet')}')"
 
 
 # ===========================================================================
@@ -1066,8 +1077,8 @@ def registry() -> dict[str, tuple]:
         "knn_pages_to_poi": (q_knn_pages_to_poi, _sql_knn()),
         "tile_pyramid_z11": (q_tile_pyramid, _sql_pyramid()),
         "pages_text_invariant": (q_pages_text_invariant, _sql_text_invariant()),
-        "s2_cells_pages": (q_s2_cells_pages, None),
-        "hex_cells_pages": (q_hex_cells_pages, None),
+        "s2_cells_pages": (q_s2_cells_pages, _sql_s2_cells()),
+        "hex_cells_pages": (q_hex_cells_pages, _sql_hex_cells()),
         "sim_cosine_topk": (q_sim_cosine_topk, _sql_cosine_topk()),
         "sim_lsh_topk": (q_sim_lsh_topk, _sql_lsh_topk()),
         "emb_lsh_neardup": (q_emb_lsh_neardup, _sql_lsh_neardup()),
