@@ -621,6 +621,46 @@ select count(*) as n_unresolved from (
 """
 
 
+def q_osm_member_closure(spark, sf_dir):
+    """Overpass ``>;`` transitive member resolution, natively (semi-naive
+    iterative closure; see operators/members.py). Output: per root relation and
+    kind, the count of distinct transitively-reachable members."""
+    from openstreetmapio_jl_spark.operators import members as M
+
+    b, _ = _osm(spark, sf_dir)
+    closure = M.resolve_members(b.relations, b.ways)
+    return closure.groupBy("root_id", "kind").agg(
+        F.count("*").alias("n_members")  # closure rows are already distinct
+    )
+
+
+def _sql_member_closure() -> str:
+    rels = _ofx("truth/relations.parquet")
+    ways = _ofx("truth/ways.parquet")
+    return f"""
+with recursive edges as (
+  select id as src, m.type as type, m.ref as ref
+  from (select id, unnest(members) as m from read_parquet('{rels}'))
+),
+reach(root, type, ref) as (
+  select src, type, ref from edges
+  union
+  select r.root, e.type, e.ref
+  from reach r join edges e on r.type = 'relation' and r.ref = e.src
+),
+withnodes as (
+  select root, type, ref from reach
+  union
+  select r.root, 'node' as type, u.nref as ref
+  from reach r
+  join (select id, unnest(refs) as nref from read_parquet('{ways}')) u
+    on r.type = 'way' and r.ref = u.id
+)
+select root as root_id, type as kind, count(distinct ref) as n_members
+from withnodes group by 1, 2
+"""
+
+
 def q_osm_around_radius(spark, sf_dir):
     """Native Overpass ``around:radius,lat,lon`` (the reference's only distance
     operator, delegated to the server at load_overpass.jl:49-52 — implemented
@@ -1071,6 +1111,7 @@ def registry() -> dict[str, tuple]:
         "osm_bbox_count": (q_osm_bbox_count, _sql_osm_bbox()),
         "osm_member_types": (q_osm_member_types, _sql_osm_members()),
         "osm_ref_integrity": (q_osm_ref_integrity, _sql_osm_integrity()),
+        "osm_member_closure": (q_osm_member_closure, _sql_member_closure()),
         "osm_around_radius": (q_osm_around_radius, _sql_around_radius()),
         "pages_tile_counts": (q_pages_tile_counts, _sql_pages_tiles()),
         "pip_hits_per_polygon": (q_pip_hits_per_polygon, _sql_pip()),
