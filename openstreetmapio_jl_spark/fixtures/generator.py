@@ -48,7 +48,7 @@ HOT_CENTER = (54.2625, 9.9840)
 EXTENT = (40.0, -5.0, 60.0, 20.0)
 
 # bump to invalidate materialized .fixtures trees when generation logic changes
-GENERATOR_VERSION = "5"
+GENERATOR_VERSION = "6"
 
 _POI_TYPES = ["restaurant", "cafe", "bar", "school", "pharmacy", "bank", "fuel"]
 _CUISINES = ["italian", "german", "indian", "thai", "greek"]
@@ -290,7 +290,25 @@ def make_osm(seed: int = 42, n_nodes: int = 612, n_ways: int = 29, n_relations: 
                 "info": None,
             }
         )
+    mp_pool = [w["id"] for w in ways if w["refs"][0] == w["refs"][-1] and len(w["refs"]) >= 4]
     for i in range(max(0, n_relations - len(relations))):
+        if i % 4 == 3 and len(mp_pool) >= 2:
+            # scaled multipolygons: outer+inner closed rings so ring stitching
+            # and PIP-with-holes are exercised beyond the single golden instance
+            outer = mp_pool[i % len(mp_pool)]
+            inner = mp_pool[(i * 7 + 1) % len(mp_pool)]
+            relations.append(
+                {
+                    "id": KNOWN_RELATION_ID + 100 + i,
+                    "members": [
+                        {"ref": outer, "type": "way", "role": "outer"},
+                        {"ref": inner, "type": "way", "role": "inner"},
+                    ],
+                    "tags": {"type": "multipolygon", "landuse": "forest"},
+                    "info": rand_info(i),
+                }
+            )
+            continue
         relations.append(
             {
                 "id": KNOWN_RELATION_ID + 100 + i,

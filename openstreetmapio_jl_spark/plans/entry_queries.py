@@ -661,6 +661,56 @@ from withnodes group by 1, 2
 """
 
 
+def q_osm_multipolygon_assembly(spark, sf_dir):
+    """Multipolygon ring stitching (SURVEY.md §7 hard part): type=multipolygon
+    relations -> concatenated outer+inner ring edge lists (even-odd semantics).
+    Output: per relation, edge count + bbox — the SQL twin re-derives both from
+    raw members->ways->nodes joins, so any assembly defect (lost ring, wrong
+    member filter, bad bbox) breaks equality."""
+    b, _ = _osm(spark, sf_dir)
+    rings = SJ.assemble_polygon_rings(b.ways, b.nodes)
+    mp = SJ.assemble_multipolygons(b.relations, rings)
+    return mp.select(
+        "id",
+        F.size("edges").alias("n_edges"),
+        "min_lat",
+        "max_lat",
+        "min_lon",
+        "max_lon",
+    )
+
+
+def _sql_multipolygon() -> str:
+    rels = _ofx("truth/relations.parquet")
+    ways = _ofx("truth/ways.parquet")
+    nodes = _ofx("truth/nodes.parquet")
+    return f"""
+with mp as (
+  select id as rel_id, unnest(members) as m
+  from read_parquet('{rels}')
+  where list_filter(map_entries(tags), e -> e.key = 'type')[1].value = 'multipolygon'
+),
+member_ways as (
+  select rel_id, w.id as way_id, w.refs
+  from mp join read_parquet('{ways}') w on m.ref = w.id
+  where m.type = 'way' and m.role in ('outer', 'inner', '')
+    and len(w.refs) >= 4 and w.refs[1] = w.refs[-1]
+),
+pts as (
+  select rel_id, way_id, unnest(refs) as ref from member_ways
+),
+coords as (
+  select p.rel_id, p.way_id, n.lat, n.lon
+  from pts p join read_parquet('{nodes}') n on p.ref = n.id
+)
+select rel_id as id,
+  cast(count(*) as int) as n_edges,
+  min(lat) as min_lat, max(lat) as max_lat,
+  min(lon) as min_lon, max(lon) as max_lon
+from coords group by 1
+"""
+
+
 def q_osm_around_radius(spark, sf_dir):
     """Native Overpass ``around:radius,lat,lon`` (the reference's only distance
     operator, delegated to the server at load_overpass.jl:49-52 — implemented
@@ -1112,6 +1162,7 @@ def registry() -> dict[str, tuple]:
         "osm_member_types": (q_osm_member_types, _sql_osm_members()),
         "osm_ref_integrity": (q_osm_ref_integrity, _sql_osm_integrity()),
         "osm_member_closure": (q_osm_member_closure, _sql_member_closure()),
+        "osm_multipolygon_assembly": (q_osm_multipolygon_assembly, _sql_multipolygon()),
         "osm_around_radius": (q_osm_around_radius, _sql_around_radius()),
         "pages_tile_counts": (q_pages_tile_counts, _sql_pages_tiles()),
         "pip_hits_per_polygon": (q_pip_hits_per_polygon, _sql_pip()),

@@ -107,6 +107,42 @@ def test_knn_invariant_to_input_partitioning(geom, points):
     assert _rows(a, cols) == _rows(b, cols)
 
 
+def test_multipolygon_holes_even_odd(spark):
+    """Outer square with an inner hole: points in the hole are OUTSIDE, points in
+    the annulus are inside — even-odd over the concatenated rings."""
+    sq = lambda lo, hi: [  # noqa: E731
+        {"lat": lo, "lon": lo},
+        {"lat": lo, "lon": hi},
+        {"lat": hi, "lon": hi},
+        {"lat": hi, "lon": lo},
+        {"lat": lo, "lon": lo},
+    ]
+    ring_schema = "id long, ring array<struct<lat:double, lon:double>>"
+    rings = spark.createDataFrame([(10, sq(0.0, 10.0)), (11, sq(4.0, 6.0))], ring_schema)
+    rels = spark.createDataFrame(
+        [
+            (
+                1,
+                [
+                    {"ref": 10, "type": "way", "role": "outer"},
+                    {"ref": 11, "type": "way", "role": "inner"},
+                ],
+                {"type": "multipolygon"},
+            )
+        ],
+        "id long, members array<struct<ref:long, type:string, role:string>>,"
+        " tags map<string,string>",
+    )
+    mp = SJ.assemble_multipolygons(rels, rings)
+    pts = spark.createDataFrame(
+        [("annulus", 2.0, 2.0), ("hole", 5.0, 5.0), ("outside", 20.0, 20.0)],
+        "url string, lat double, lon double",
+    )
+    hits = SJ.point_in_polygon_join(pts, mp, zoom=8)
+    got = {(r.url, r.polygon_id) for r in hits.select("url", "polygon_id").collect()}
+    assert got == {("annulus", 1)}
+
+
 def test_cell_udfs_match_numpy_kernels(spark, points):
     pdf = points.toPandas()
     lat, lon = pdf["lat"].to_numpy(), pdf["lon"].to_numpy()
