@@ -98,8 +98,14 @@ def points_in_ring(lats: np.ndarray, lons: np.ndarray, ring: np.ndarray) -> np.n
 
 def pip_crossings_col(lat: Column, lon: Column, edges: Column) -> Column:
     """Pure-Catalyst ray cast: ``edges`` is ARRAY<STRUCT<y1,x1,y2,x2>> (lat=y,
-    lon=x). Returns BOOLEAN inside. Runs in whole-stage codegen via ``aggregate``
-    — no Python in the join hot path."""
+    lon=x). Returns BOOLEAN inside. No Python in the join hot path.
+
+    Measured alternatives (36.5M candidate pairs, sf4 fixture, local[8]) — this
+    HOF: ~20 s; a division-free reformulation: ~25 s (interpreted cost tracks
+    expression-node count, not the division); a broadcast-polygon +
+    NumPy-vectorized mapInPandas kernel: ~100 s (Arrow transfer of every pair
+    plus a Python loop over tiny per-polygon groups dominates). The JVM-side
+    HOF is the fastest formulation available without custom codegen."""
     crossing = lambda e: (  # noqa: E731
         ((e["y1"] > lat) != (e["y2"] > lat))
         & (
