@@ -220,37 +220,6 @@ def run_scale_one(fx_dir: str, master: str) -> None:
     spark.stop()
 
 
-def run_one(sf_dir: str, master: str) -> None:
-    """Single flagship run in this JVM (used by --scaling subprocesses).
-
-    Times the full flagship pipeline (decode -> geocode -> cell join -> PIP ->
-    agg) after a warmup run that absorbs JVM/codegen startup, so the two
-    parallelism levels compare steady-state executor throughput.
-    """
-    from openstreetmapio_jl_spark.plans import entry_queries as EQ
-    from openstreetmapio_jl_spark.session import get_spark
-
-    spark = get_spark(app_name=f"bench-{master}", master=master)
-    spark.sparkContext.setLogLevel("ERROR")
-    EQ.ensure_fixtures(sf_dir)
-    n_pages = EQ._pages(spark, sf_dir).count()
-    fn = EQ.registry()[FLAGSHIP][0]
-    _force(fn(spark, sf_dir))  # warmup
-    best = float("inf")
-    for _ in range(3):
-        df = fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        _force(df)
-        best = min(best, time.perf_counter() - t0)
-    print(json.dumps({
-        "flagship_sec": round(best, 3),
-        "pages_per_sec": round(n_pages / best, 1),
-        "master": master,
-        "sf": float(os.path.basename(os.path.normpath(sf_dir))[2:]),
-    }))
-    spark.stop()
-
-
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:]]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -258,8 +227,6 @@ if __name__ == "__main__":
         run_scaling(args[1] if len(args) > 1 else None)
     elif args and args[0] == "--scale-one":
         run_scale_one(args[1], args[2])
-    elif args and args[0] == "--one":
-        run_one(args[1], args[2])
     else:
         if args:
             sf_dir = args[0]
