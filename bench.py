@@ -188,7 +188,7 @@ def run_scale_one(fx_dir: str, master: str) -> None:
             pages = spark.read.parquet(paths["pages"])
             pts = geocode.pages_with_cells(pages, zoom=13)
             hits = SJ.point_in_polygon_join(
-                pts.select("url", "lat", "lon"), polys, zoom=13, nsalt=16
+                pts.select("url", "lat", "lon"), polys, zoom=13, nsalt=16, salt_id_col="url"
             )
             return hits.groupBy("polygon_id").count().withColumnRenamed("count", "n_hits")
 

@@ -70,7 +70,7 @@ def main() -> None:
     def process_chunk(key: str):
         pts = pts_all.filter(F.col("bucket") == int(key)).select("url", "lat", "lon")
         return SJ.point_in_polygon_join(
-            pts, polys, zoom=args.zoom, nsalt=args.nsalt
+            pts, polys, zoom=args.zoom, nsalt=args.nsalt, salt_id_col="url"
         ).select("url", "polygon_id")
 
     stats = lineage.run_resumable(

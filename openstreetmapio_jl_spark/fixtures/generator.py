@@ -48,7 +48,7 @@ HOT_CENTER = (54.2625, 9.9840)
 EXTENT = (40.0, -5.0, 60.0, 20.0)
 
 # bump to invalidate materialized .fixtures trees when generation logic changes
-GENERATOR_VERSION = "6"
+GENERATOR_VERSION = "7"
 
 _POI_TYPES = ["restaurant", "cafe", "bar", "school", "pharmacy", "bank", "fuel"]
 _CUISINES = ["italian", "german", "indian", "thai", "greek"]
@@ -60,7 +60,9 @@ def _r7(x: float) -> float:
     return round(x, 7)
 
 
-def _add_scaled_elements(rng, nodes, ways, n_nodes: int, n_ways: int, rand_info) -> None:
+def _add_scaled_elements(
+    rng, nodes, ways, n_nodes: int, n_ways: int, rand_info, split_groups=None
+) -> None:
     """Locality-aware scale-up beyond the 612/29/3 golden core.
 
     Real OSM geometry is local: a polygon's vertices are metres apart, not spread
@@ -68,7 +70,13 @@ def _add_scaled_elements(rng, nodes, ways, n_nodes: int, n_ways: int, rand_info)
     sampled center (closed rings 2/3, open polylines 1/3), spread over ``EXTENT``
     with ~0.5% stacked on ``HOT_CENTER`` (the deliberate skewed cell). Remaining
     node budget becomes standalone nodes (every 10th a tagged POI) so kNN corpora
-    exist across the region."""
+    exist across the region.
+
+    When ``split_groups`` (a list) is given, some closed rings are instead
+    emitted as 2-3 OPEN ways sharing endpoint nodes (the middle segment written
+    REVERSED so stitching must re-orient it) — the real-planet multipolygon
+    shape where one outer ring spans many open member ways; the grouped way ids
+    are appended to ``split_groups`` for relation construction."""
     import math
 
     next_nid = 2_000_000_000
@@ -103,6 +111,32 @@ def _add_scaled_elements(rng, nodes, ways, n_nodes: int, n_ways: int, rand_info)
             )
             ring_ids.append(next_nid)
             pts.append((lat, lon))
+        if closed and split_groups is not None and i % 10 == 4 and k >= 5:
+            # ring split into open segments: [0..a], [a..b] REVERSED, [b..0]
+            nseg = 3 if k >= 6 else 2
+            bounds = (
+                [0, k // 3, (2 * k) // 3, k] if nseg == 3 else [0, k // 2, k]
+            )
+            group = []
+            for j in range(nseg):
+                lo, hi = bounds[j], bounds[j + 1]
+                seg_ids = ring_ids[lo : hi + 1] if hi < k else ring_ids[lo:] + [ring_ids[0]]
+                seg_pts = pts[lo : hi + 1] if hi < k else pts[lo:] + [pts[0]]
+                if j == 1:  # stitcher must re-orient this one
+                    seg_ids, seg_pts = seg_ids[::-1], seg_pts[::-1]
+                next_wid += rng.randint(1, 99)
+                w = {
+                    "id": next_wid,
+                    "refs": seg_ids,
+                    "tags": {"name": f"Area {i} segment {j}"},
+                    "info": rand_info(i + j),
+                }
+                if i % 4 == 0:  # LocationsOnWays variant
+                    w["positions"] = seg_pts
+                ways.append(w)
+                group.append(next_wid)
+            split_groups.append(group)
+            continue
         refs = ring_ids + [ring_ids[0]] if closed else ring_ids
         if closed:
             tags = {
@@ -252,11 +286,20 @@ def make_osm(seed: int = 42, n_nodes: int = 612, n_ways: int = 29, n_relations: 
         if i % 4 == 0:  # LocationsOnWays variant (src/load_pbf.jl:925-940)
             w["positions"] = [id_to_pos[ref] for ref in refs]
         ways.append(w)
+    split_groups: list[list[int]] = []
     if n_nodes > n_base_nodes or n_ways > n_base_ways:
-        _add_scaled_elements(rng, nodes, ways, n_nodes, n_ways, rand_info)
+        _add_scaled_elements(
+            rng, nodes, ways, n_nodes, n_ways, rand_info, split_groups
+        )
         nodes.sort(key=lambda n: n["id"])
     ways.sort(key=lambda w: w["id"])
     way_ids = [w["id"] for w in ways]
+    open_way_ids = [
+        w["id"]
+        for w in ways
+        if not (len(w["refs"]) >= 4 and w["refs"][0] == w["refs"][-1])
+        and not any(w["id"] in g for g in split_groups)
+    ]
 
     relations: list[dict] = []
     relations.append(
@@ -292,6 +335,45 @@ def make_osm(seed: int = 42, n_nodes: int = 612, n_ways: int = 29, n_relations: 
         )
     mp_pool = [w["id"] for w in ways if w["refs"][0] == w["refs"][-1] and len(w["refs"]) >= 4]
     for i in range(max(0, n_relations - len(relations))):
+        if i % 8 == 1 and split_groups:
+            # split-ring multipolygon: the outer ring spans several OPEN member
+            # ways (one reversed) — exercises chain stitching; an inner closed
+            # ring rides along when available
+            group = split_groups[(i // 8) % len(split_groups)]
+            members = [{"ref": wid, "type": "way", "role": "outer"} for wid in group]
+            if mp_pool:
+                members.append(
+                    {"ref": mp_pool[(i * 3 + 2) % len(mp_pool)], "type": "way", "role": "inner"}
+                )
+            relations.append(
+                {
+                    "id": KNOWN_RELATION_ID + 100 + i,
+                    "members": members,
+                    "tags": {"type": "multipolygon", "natural": "wetland"},
+                    "info": rand_info(i),
+                }
+            )
+            continue
+        if i % 8 == 5 and open_way_ids and mp_pool:
+            # broken multipolygon: one dangling open member way (degree-1
+            # endpoints) next to a valid closed outer — the stitcher must keep
+            # the closed ring and drop ALL open-way rings of this relation
+            relations.append(
+                {
+                    "id": KNOWN_RELATION_ID + 100 + i,
+                    "members": [
+                        {"ref": mp_pool[i % len(mp_pool)], "type": "way", "role": "outer"},
+                        {
+                            "ref": open_way_ids[(i // 8) % len(open_way_ids)],
+                            "type": "way",
+                            "role": "outer",
+                        },
+                    ],
+                    "tags": {"type": "multipolygon", "landuse": "basin"},
+                    "info": rand_info(i),
+                }
+            )
+            continue
         if i % 4 == 3 and len(mp_pool) >= 2:
             # scaled multipolygons: outer+inner closed rings so ring stitching
             # and PIP-with-holes are exercised beyond the single golden instance

@@ -89,6 +89,37 @@ RELATIONS_DDL = (
     f"tags map<string,string>, info {INFO_DDL}, blob_seq bigint"
 )
 
+# kind-tagged union of the three entity schemas — the single-pass decode emits
+# this from ONE mapInArrow scan (each blob read + decompressed + proto-walked
+# once); absent columns are all-null (null buffers — near-zero Arrow cost)
+UNION_ARROW = pa.schema(
+    [
+        pa.field("kind", pa.string(), nullable=False),
+        pa.field("id", pa.int64(), nullable=False),
+        pa.field("lat", pa.float64()),
+        pa.field("lon", pa.float64()),
+        pa.field("refs", pa.list_(pa.int64())),
+        pa.field("positions", pa.list_(POSITION_ARROW)),
+        pa.field("members", pa.list_(MEMBER_ARROW)),
+        pa.field("tags", TAGS_ARROW),
+        pa.field("info", INFO_ARROW),
+        pa.field("blob_seq", pa.int64()),
+    ]
+)
+UNION_DDL = (
+    f"kind string, id bigint, lat double, lon double, refs array<bigint>, "
+    f"positions array<struct<lat:double,lon:double>>, "
+    f"members array<struct<ref:bigint,type:string,role:string>>, "
+    f"tags map<string,string>, info {INFO_DDL}, blob_seq bigint"
+)
+
+# per-kind column order within the union (for post-split projection)
+UNION_KIND_COLUMNS = {
+    "nodes": ["id", "lat", "lon", "tags", "info", "blob_seq"],
+    "ways": ["id", "refs", "tags", "info", "positions", "blob_seq"],
+    "relations": ["id", "members", "tags", "info", "blob_seq"],
+}
+
 BLOB_INDEX_DDL = (
     "path string, blob_seq bigint, blob_type string, data_offset bigint, data_size bigint"
 )

@@ -33,12 +33,20 @@ def fingerprint(col: Column) -> Column:
 
 
 def char_shingles(col: Column, n: int = 5) -> Column:
-    """ARRAY<STRING> of overlapping character n-grams of the normalized text."""
+    """ARRAY<STRING> of overlapping character n-grams of the normalized text.
+
+    Texts shorter than ``n`` yield an EMPTY array. The length gate is load-bearing:
+    ``F.sequence(1, stop)`` with ``stop <= 0`` counts DOWN (``sequence(1,0) ==
+    [1, 0]``), which would fabricate two truncated shingles for short docs and
+    diverge from DuckDB's ``generate_series(1, 0)`` (empty)."""
     txt = normalized_text(col)
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(txt) - (n - 1), F.lit(0))),
-        lambda i: F.substring(txt, i, n),
-    )
+    return F.when(
+        F.length(txt) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(txt) - (n - 1)),
+            lambda i: F.substring(txt, i, n),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 # prime > 2^32 for Kirsch-Mitzenmacher double hashing: h_i(s) = (h1 + i*h2) mod P
@@ -89,14 +97,18 @@ def minhash_lsh_buckets(
     # rather than exploding a materialized ARRAY<STRING> of n-grams: the string
     # array allocates |text| small strings per doc before the generate, which
     # measured ~6x slower than streaming substring-after-explode.
+    # Length gate BEFORE the explode: sequence(1, stop<=0) counts DOWN in Spark
+    # ([1, 0]), which would fabricate truncated shingles for sub-shingle-width
+    # texts; filtering them here is also the documented drop-short-docs contract.
     txt = normalized_text(F.col(text_col))
     sh = (
         docs.select(F.col(id_col), txt.alias("t"))
+        .filter(F.length("t") >= shingle_n)
         .select(
             id_col,
             "t",
             F.explode(
-                F.sequence(F.lit(1), F.greatest(F.length("t") - (shingle_n - 1), F.lit(0)))
+                F.sequence(F.lit(1), F.length("t") - (shingle_n - 1))
             ).alias("i"),
         )
         .select(id_col, F.substring(F.col("t"), F.col("i").cast("int"), shingle_n).alias("s"))
@@ -186,17 +198,36 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_n: int = 5,
     threshold: float = 0.5,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """→ (id_a, id_b, jaccard) for pairs above threshold (id_a < id_b).
 
     Candidate generation by shingle equi-join (docs sharing no shingle never
     pair), exact Jaccard = |∩| / (|A| + |B| − |∩|). At planet scale the shingle
     join is preceded by LSH pre-filtering; here the shingle join IS the
-    pre-filter."""
+    pre-filter.
+
+    ``max_shingle_df`` is the hot-shingle guard: shingles appearing in more than
+    that many documents (site boilerplate, navigation chrome) are dropped from
+    the shingle SETS — they generate O(df²) candidate-pair blowup in the
+    self-join while carrying no discriminative signal. Jaccard is then computed
+    over the filtered sets (a documented stopword-shingle semantics, applied
+    identically in the DuckDB oracle). ``None`` disables the guard."""
     sh = docs.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(char_shingles(F.col(text_col), shingle_n))).alias("s"),
     )
+    if max_shingle_df is not None:
+        # One extra groupBy on the shingle key; the join back is on the same key
+        # so with AQE it plans as a co-partitioned (or broadcast, when the cold
+        # set is small) join with no additional shuffle of the big side.
+        cold = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("s")
+        )
+        sh = sh.join(cold, "s")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

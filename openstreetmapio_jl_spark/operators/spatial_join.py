@@ -88,15 +88,154 @@ def assemble_polygon_rings(
     return with_pos.unionByName(reassembled)
 
 
+def assemble_way_lines(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """OPEN ways → (id, refs, lats, lons): the ordered coordinate polyline plus the
+    node-id sequence (stitching chains on node IDS, not coordinates — distinct
+    nodes can share a position). Ways with embedded LocationsOnWays positions use
+    them directly; others resolve refs→nodes exactly like
+    :func:`assemble_polygon_rings`; partially-resolvable ways are dropped."""
+    open_ways = ways.filter(
+        ~((F.size("refs") >= 4) & (F.element_at("refs", 1) == F.element_at("refs", -1)))
+    )
+    with_pos = open_ways.filter(F.col("positions").isNotNull()).select(
+        "id",
+        "refs",
+        F.transform("positions", lambda p: p["lat"]).alias("lats"),
+        F.transform("positions", lambda p: p["lon"]).alias("lons"),
+    )
+    without = open_ways.filter(F.col("positions").isNull())
+    node_pos = nodes.select(
+        F.col("id").alias("ref"), F.col("lat").alias("n_lat"), F.col("lon").alias("n_lon")
+    )
+    exploded = without.select(
+        "id", "refs", F.size("refs").alias("n_refs"), F.posexplode("refs").alias("seq", "ref")
+    )
+    resolved = (
+        exploded.join(node_pos, "ref", "inner")
+        .groupBy("id")
+        .agg(
+            F.first("refs").alias("refs"),
+            F.array_sort(
+                F.collect_list(F.struct("seq", F.col("n_lat"), F.col("n_lon")))
+            ).alias("pts"),
+            F.count("*").alias("n_resolved"),
+            F.first("n_refs").alias("n_refs"),
+        )
+        .filter(F.col("n_resolved") == F.col("n_refs"))
+        .select(
+            "id",
+            "refs",
+            F.transform("pts", lambda p: p["n_lat"]).alias("lats"),
+            F.transform("pts", lambda p: p["n_lon"]).alias("lons"),
+        )
+    )
+    return with_pos.unionByName(resolved)
+
+
+_STITCH_SCHEMA = "rel_id long, lats array<double>, lons array<double>"
+
+
+def _stitch_open_ways(pdf):
+    """Per-relation chain stitcher (applyInPandas kernel, grouped by rel_id).
+
+    Semantics (mirrored exactly by the DuckDB oracle's endpoint-degree test):
+    the relation's open member ways are accepted iff EVERY endpoint node id
+    occurs exactly twice among their first/last refs — the necessary and
+    sufficient condition for a unique decomposition into simple closed chains
+    (each junction has one unique continuation). All-or-nothing per relation:
+    a dangling end (degree 1) or a >2-way junction drops ALL open-way rings of
+    that relation, matching the conservative unresolved-refs policy above.
+
+    A stitched ring is the PLAIN CONCATENATION of the oriented member polylines
+    (junction points duplicated). That keeps ``n_edges == sum(len(refs))`` — the
+    same count convention as closed member ways — and the duplicate points only
+    produce zero-length edges, which can never satisfy the ray-cast crossing
+    test ``(y1 > y) != (y2 > y)``. The final point is the start node itself, so
+    first == last exactly like a closed way's refs.
+    """
+    import pandas as pd
+
+    out_rel: list = []
+    out_lats: list = []
+    out_lons: list = []
+    for rel_id, g in pdf.groupby("rel_id"):
+        ways = [
+            (list(refs), list(lats), list(lons))
+            for refs, lats, lons in zip(g["refs"], g["lats"], g["lons"])
+        ]
+        deg: dict = {}
+        for refs, _, _ in ways:
+            deg[refs[0]] = deg.get(refs[0], 0) + 1
+            deg[refs[-1]] = deg.get(refs[-1], 0) + 1
+        if any(c != 2 for c in deg.values()):
+            continue
+        by_endpoint: dict = {}
+        for idx, (refs, _, _) in enumerate(ways):
+            by_endpoint.setdefault(refs[0], []).append(idx)
+            by_endpoint.setdefault(refs[-1], []).append(idx)
+        used = [False] * len(ways)
+        rings: list = []
+        ok = True
+        for start in range(len(ways)):
+            if used[start]:
+                continue
+            refs0, la0, lo0 = ways[start]
+            used[start] = True
+            chain_lats, chain_lons = list(la0), list(lo0)
+            start_node, cur = refs0[0], refs0[-1]
+            guard = 0
+            while cur != start_node and guard <= len(ways):
+                guard += 1
+                nxt = next((j for j in by_endpoint.get(cur, []) if not used[j]), None)
+                if nxt is None:
+                    ok = False
+                    break
+                refs, la, lo = ways[nxt]
+                used[nxt] = True
+                if refs[0] != cur:  # orient the way to continue the chain
+                    refs, la, lo = refs[::-1], la[::-1], lo[::-1]
+                chain_lats += la
+                chain_lons += lo
+                cur = refs[-1]
+            if not ok or cur != start_node:
+                ok = False
+                break
+            rings.append((chain_lats, chain_lons))
+        if not ok:
+            continue
+        for la, lo in rings:
+            out_rel.append(rel_id)
+            out_lats.append(la)
+            out_lons.append(lo)
+    # explicit dtypes: an empty default-constructed frame gets float64 columns,
+    # which Arrow cannot convert to array<double> (object dtype holds the lists)
+    return pd.DataFrame(
+        {
+            "rel_id": pd.Series(out_rel, dtype="int64"),
+            "lats": pd.Series(out_lats, dtype="object"),
+            "lons": pd.Series(out_lons, dtype="object"),
+        }
+    )
+
+
 def assemble_multipolygons(
-    relations: DataFrame, rings: DataFrame
+    relations: DataFrame, rings: DataFrame, way_lines: DataFrame | None = None
 ) -> DataFrame:
     """type=multipolygon relations → (id, tags, edges) where ``edges`` concatenates
     all member rings (outer + inner). Even-odd ray casting over the union of rings
     gives correct inside-with-holes semantics without explicit winding rules.
 
-    Ring-stitching of open member ways is out of scope for v1 (the reference stores
-    members raw and defines no stitching semantics either — SURVEY.md §7).
+    Closed member ways join pre-assembled ``rings`` directly. When ``way_lines``
+    (from :func:`assemble_way_lines`) is given, OPEN member ways are chained
+    end-to-end on shared endpoint node ids into stitched rings — real planet
+    multipolygons routinely split one outer ring across many open ways, and
+    without stitching those polygons silently vanish from PIP. Stitching runs as
+    an ``applyInPandas`` grouped by relation id: per-group work is bounded by a
+    relation's member count (small), parallelism is across relations, and the
+    shuffle key is ``rel_id`` — the same key the final edge aggregation needs, so
+    the stitch adds no extra exchange. The reference stores members raw and
+    defines no stitching semantics (``src/map_types.jl:149-155``); this is engine
+    surface beyond parity.
     """
     mp = relations.filter(F.col("tags")["type"] == "multipolygon")
     members = mp.select(
@@ -110,7 +249,28 @@ def assemble_multipolygons(
         rings.select(F.col("id").alias("way_id"), "ring"),
         members["m.ref"] == F.col("way_id"),
         "inner",
-    )
+    ).select("rel_id", "rel_tags", "ring")
+    if way_lines is not None:
+        open_members = members.join(
+            way_lines.select(
+                F.col("id").alias("way_id"), "refs", "lats", "lons"
+            ),
+            members["m.ref"] == F.col("way_id"),
+            "inner",
+        ).select("rel_id", "refs", "lats", "lons")
+        stitched = open_members.groupBy("rel_id").applyInPandas(
+            _stitch_open_ways, _STITCH_SCHEMA
+        )
+        rel_tags = mp.select(F.col("id").alias("rel_id"), F.col("tags").alias("rel_tags"))
+        stitched_rings = stitched.join(rel_tags, "rel_id").select(
+            "rel_id",
+            "rel_tags",
+            F.transform(
+                F.arrays_zip("lats", "lons"),
+                lambda p: F.struct(p["lats"].alias("lat"), p["lons"].alias("lon")),
+            ).alias("ring"),
+        )
+        joined = joined.unionByName(stitched_rings)
     return (
         joined.withColumn("ring_edges", geo.ring_to_edges_col(F.col("ring")))
         .groupBy("rel_id")
@@ -225,6 +385,7 @@ def point_in_polygon_join(
     lon_col: str = "lon",
     broadcast: bool = False,
     nsalt: int = 0,
+    salt_id_col: str | None = None,
 ) -> DataFrame:
     """points × polygons → rows where the point lies inside the polygon.
 
@@ -236,6 +397,14 @@ def point_in_polygon_join(
     requested) → exact ray cast as an ``aggregate`` HOF in codegen. A point maps
     to exactly one tile and a polygon covers each tile once, so no post-dedup is
     needed. ``nsalt > 0`` splits hot tiles across ``nsalt`` sub-keys.
+
+    Salt key: ``hash(salt_id_col)`` when given (the point's UNIQUE id, e.g.
+    ``url``), else ``monotonically_increasing_id`` — never the coordinates. The
+    common web-corpus skew is many pages citing the SAME landmark coordinate
+    (boilerplate geo mentions); a coordinate-derived salt maps all of them to ONE
+    bucket and the hot key survives salting, whereas an id-derived salt splits
+    them regardless of coordinate duplication. (The salt only routes rows to
+    partitions — it never affects which rows match — so any per-row value works.)
     """
     lat = F.col(lat_col)
     lon = F.col(lon_col)
@@ -261,10 +430,14 @@ def point_in_polygon_join(
     pts = points.withColumn("tile", xyz_tile_key_col(lat, lon, zoom))
 
     if nsalt > 0:
-        # point side: deterministic pseudo-random salt; polygon side: explode all
-        pts = pts.withColumn(
-            "_salt", F.pmod(F.hash(lat, lon), F.lit(nsalt)).cast("int")
+        # point side: per-row salt (id-derived, NOT coordinate-derived — see
+        # docstring); polygon side: explode the full salt range
+        salt_src = (
+            F.hash(F.col(salt_id_col))
+            if salt_id_col is not None
+            else F.monotonically_increasing_id()
         )
+        pts = pts.withColumn("_salt", F.pmod(salt_src, F.lit(nsalt)).cast("int"))
         poly_narrow = poly_narrow.withColumn(
             "_salt", F.explode(F.sequence(F.lit(0), F.lit(nsalt - 1)))
         )

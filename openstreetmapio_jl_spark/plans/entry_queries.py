@@ -58,7 +58,10 @@ def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # (pbf_to_parquet); for in-session queries the equivalent is persisting the three
 # decoded DataFrames and reusing the SAME plan objects, so a query that consumes
 # ways+nodes several times (ring assembly) doesn't re-run the Python decode
-# kernel per consumer. Keyed by (session, file) — new session or file re-decodes.
+# kernel per consumer. Keyed by (applicationId, file) — applicationId is stable
+# and unique per SparkContext (unlike id(spark), which CPython reuses after GC),
+# so a restarted session can never be handed DataFrames bound to a stopped
+# context; entries from dead contexts are evicted on the next lookup.
 _OSM_BUNDLES: dict = {}
 
 
@@ -66,13 +69,15 @@ def _osm(spark: SparkSession, sf_dir: str):
     from openstreetmapio_jl_spark.sources.pbf_source import read_pbf
 
     paths = ensure_fixtures(sf_dir)
-    key = (id(spark), paths["pbf"])
+    app_id = spark.sparkContext.applicationId
+    for stale in [k for k in _OSM_BUNDLES if k[0] != app_id]:
+        del _OSM_BUNDLES[stale]  # plans bound to a previous (stopped) context
+    key = (app_id, paths["pbf"])
     if key not in _OSM_BUNDLES:
-        b = read_pbf(spark, paths["pbf"])
-        b.nodes = b.nodes.persist()
-        b.ways = b.ways.persist()
-        b.relations = b.relations.persist()
-        _OSM_BUNDLES[key] = b
+        # single-pass: ONE persisted kind-tagged union (each blob decompressed
+        # once, one cached copy); nodes/ways/relations are filter+project reads
+        # of the cache, so no per-kind persists are needed on top
+        _OSM_BUNDLES[key] = read_pbf(spark, paths["pbf"], single_pass=True)
     return _OSM_BUNDLES[key], paths
 
 
@@ -370,14 +375,20 @@ from bands group by 1, 2 having count(*) >= 2
 
 
 def q_doc_ngram_jaccard(spark, sf_dir):
+    """Hot-shingle guard ON (df > 100 ⇒ stopword-shingle): bounds the self-join's
+    O(df²) blowup on boilerplate shingles; the oracle applies the same filter."""
     return dedup.ngram_jaccard_pairs(
-        _load(spark, sf_dir, "documents"), threshold=0.7
+        _load(spark, sf_dir, "documents"), threshold=0.7, max_shingle_df=100
     )
 
 
 SQL_DOC_JACCARD = f"""
-with sh as (
+with sh0 as (
   select doc_id as id, unnest(list_distinct({_sql_shingles('text')})) as s from documents
+),
+sh as (
+  select id, s from sh0
+  where s in (select s from sh0 group by s having count(*) <= 100)
 ),
 sizes as (select id, count(*) as n_shingles from sh group by id),
 common as (
@@ -488,19 +499,17 @@ from documents group by 1, 2
 
 def q_osm_counts(spark, sf_dir):
     """Deliberately bypasses the decoded-bundle memo: this is the bench's
-    decode-throughput probe, so it must run the mapInArrow kernel every time."""
-    from openstreetmapio_jl_spark.sources.pbf_source import read_pbf
+    decode-throughput probe, so it must run the mapInArrow kernel every time.
+
+    Single-pass union scan: ONE mapInArrow pass decompresses + proto-walks each
+    blob once and the census aggregates directly on the kind tag — the plan
+    you'd want at planet scale (the previous 3-scan shape decompressed every
+    blob three times)."""
+    from openstreetmapio_jl_spark.sources.pbf_source import read_pbf_union
 
     paths = ensure_fixtures(sf_dir)
-    b = read_pbf(spark, paths["pbf"])
-    return (
-        b.nodes.select(F.lit("nodes").alias("kind"))
-        .unionByName(b.ways.select(F.lit("ways").alias("kind")))
-        .unionByName(b.relations.select(F.lit("relations").alias("kind")))
-        .groupBy("kind")
-        .count()
-        .withColumnRenamed("count", "n")
-    )
+    union, _meta = read_pbf_union(spark, paths["pbf"])
+    return union.groupBy("kind").count().withColumnRenamed("count", "n")
 
 
 def _sql_osm_counts() -> str:
@@ -663,13 +672,17 @@ from withnodes group by 1, 2
 
 def q_osm_multipolygon_assembly(spark, sf_dir):
     """Multipolygon ring stitching (SURVEY.md §7 hard part): type=multipolygon
-    relations -> concatenated outer+inner ring edge lists (even-odd semantics).
-    Output: per relation, edge count + bbox — the SQL twin re-derives both from
-    raw members->ways->nodes joins, so any assembly defect (lost ring, wrong
-    member filter, bad bbox) breaks equality."""
+    relations -> concatenated outer+inner ring edge lists (even-odd semantics),
+    INCLUDING outer rings split across multiple open member ways (chained
+    end-to-end on shared endpoint node ids). Output: per relation, edge count +
+    bbox — the SQL twin re-derives both from raw members->ways->nodes joins
+    (open-way inclusion via the endpoint-degree test that exactly mirrors the
+    stitcher's accept condition), so any assembly defect (lost ring, wrong
+    member filter, failed stitch, bad bbox) breaks equality."""
     b, _ = _osm(spark, sf_dir)
     rings = SJ.assemble_polygon_rings(b.ways, b.nodes)
-    mp = SJ.assemble_multipolygons(b.relations, rings)
+    lines = SJ.assemble_way_lines(b.ways, b.nodes)
+    mp = SJ.assemble_multipolygons(b.relations, rings, lines)
     return mp.select(
         "id",
         F.size("edges").alias("n_edges"),
@@ -681,6 +694,14 @@ def q_osm_multipolygon_assembly(spark, sf_dir):
 
 
 def _sql_multipolygon() -> str:
+    # Open-member-way inclusion mirrors the engine stitcher's accept condition
+    # WITHOUT recursion: a relation's fully-resolvable open ways are included iff
+    # every endpoint node id occurs exactly twice among their first/last refs
+    # (unique decomposition into simple closed chains — exactly when stitching
+    # succeeds). The stitched-ring representation keeps junction duplicates, so
+    # each included way contributes len(refs) edges and all its coords to the
+    # bbox — the same per-way arithmetic as closed member ways, no ordering
+    # needed in SQL.
     rels = _ofx("truth/relations.parquet")
     ways = _ofx("truth/ways.parquet")
     nodes = _ofx("truth/nodes.parquet")
@@ -690,14 +711,44 @@ with mp as (
   from read_parquet('{rels}')
   where list_filter(map_entries(tags), e -> e.key = 'type')[1].value = 'multipolygon'
 ),
-member_ways as (
-  select rel_id, w.id as way_id, w.refs
+mw as (
+  select rel_id, w.id as way_id, w.refs,
+    (len(w.refs) >= 4 and w.refs[1] = w.refs[-1]) as is_closed
   from mp join read_parquet('{ways}') w on m.ref = w.id
   where m.type = 'way' and m.role in ('outer', 'inner', '')
-    and len(w.refs) >= 4 and w.refs[1] = w.refs[-1]
+),
+open_pts as (
+  select rel_id, way_id, len(refs) as n_refs, unnest(refs) as ref
+  from mw where not is_closed
+),
+open_ok as (
+  select p.rel_id, p.way_id
+  from open_pts p join read_parquet('{nodes}') n on p.ref = n.id
+  group by p.rel_id, p.way_id, p.n_refs
+  having count(*) = p.n_refs
+),
+open_ways as (
+  select w.rel_id, w.way_id, w.refs
+  from mw w join open_ok o on o.rel_id = w.rel_id and o.way_id = w.way_id
+),
+endpoints as (
+  select rel_id, refs[1] as node from open_ways
+  union all
+  select rel_id, refs[-1] as node from open_ways
+),
+ok_rels as (
+  select rel_id from (
+    select rel_id, node, count(*) as c from endpoints group by 1, 2
+  ) group by rel_id having bool_and(c = 2)
+),
+included as (
+  select rel_id, way_id, refs from mw where is_closed
+  union all
+  select o.rel_id, o.way_id, o.refs from open_ways o
+  join ok_rels k on o.rel_id = k.rel_id
 ),
 pts as (
-  select rel_id, way_id, unnest(refs) as ref from member_ways
+  select rel_id, way_id, unnest(refs) as ref from included
 ),
 coords as (
   select p.rel_id, p.way_id, n.lat, n.lon
@@ -766,7 +817,7 @@ def q_pip_hits_per_polygon(spark, sf_dir):
     # salting that key's PIP work serializes into a single task no matter how
     # many executors exist (AQE skew-split divides partitions, not keys)
     hits = SJ.point_in_polygon_join(
-        pts.select("url", "lat", "lon"), polys, zoom=ZOOM, nsalt=16
+        pts.select("url", "lat", "lon"), polys, zoom=ZOOM, nsalt=16, salt_id_col="url"
     )
     return hits.groupBy("polygon_id").count().withColumnRenamed("count", "n_hits")
 
@@ -1124,8 +1175,8 @@ with m as (
 select
   case code when 'img' then 'image' when 'aud' then 'audio' else 'video' end as kind,
   count(*) as n,
-  sum(length('FAKE' || code || ':' || w || 'x' || h || 'x' || nf || ':')
-      + greatest(16, (w * h) // 64)) as total_bytes,
+  cast(sum(length('FAKE' || code || ':' || w || 'x' || h || 'x' || nf || ':')
+      + greatest(16, (w * h) // 64)) as bigint) as total_bytes,
   round(avg(w), 6) as avg_width,
   round(avg(nf), 6) as avg_frames
 from m group by 1

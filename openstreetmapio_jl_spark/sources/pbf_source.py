@@ -44,12 +44,17 @@ _KIND_SCHEMA = {
 @dataclass
 class OSMBundle:
     """The Spark mapping of the reference's ``OpenStreetMap`` container
-    (``src/map_types.jl:178-193``): three DataFrames + a meta dict."""
+    (``src/map_types.jl:178-193``): three DataFrames + a meta dict.
+
+    ``union`` is set by the single-pass read path: the persisted kind-tagged
+    union DataFrame the three entity frames project from. Callers that are done
+    with the bundle should ``union.unpersist()`` (``pbf_to_parquet`` does)."""
 
     nodes: DataFrame
     ways: DataFrame
     relations: DataFrame
     meta: dict
+    union: DataFrame | None = None
 
 
 def blob_index_df(spark: SparkSession, paths: str | list[str]) -> tuple[DataFrame, dict]:
@@ -102,6 +107,91 @@ def _decode_kernel(kind: str, predicate: ElementPredicate | None):
     return kernel
 
 
+def _union_batch(rb: pa.RecordBatch, kind: str) -> pa.RecordBatch:
+    """Pad a per-kind batch to the kind-tagged union schema (absent columns are
+    null buffers — near-zero allocation)."""
+    cols = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
+    n = rb.num_rows
+    arrays = []
+    for field in model.UNION_ARROW:
+        if field.name == "kind":
+            arrays.append(pa.array([kind] * n, pa.string()))
+        elif field.name in cols:
+            arrays.append(cols[field.name])
+        else:
+            arrays.append(pa.nulls(n, field.type))
+    return pa.RecordBatch.from_arrays(arrays, schema=model.UNION_ARROW)
+
+
+def _decode_union_kernel(predicates: dict):
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            paths = batch.column("path").to_pylist()
+            seqs = batch.column("blob_seq").to_pylist()
+            offs = batch.column("data_offset").to_pylist()
+            sizes = batch.column("data_size").to_pylist()
+            for path, seq, off, size in zip(paths, seqs, offs, sizes):
+                payload = blocks.decompress_blob(
+                    blocks.read_blob_payload(path, off, size)
+                )
+                stats = decode.BlockStats()
+                out = decode.decode_primitive_block(
+                    payload, want=("nodes", "ways", "relations"), stats=stats
+                )
+                for kind in ("nodes", "ways", "relations"):
+                    parts = out.get(kind)
+                    if not parts:
+                        continue
+                    schema, _ = _KIND_SCHEMA[kind]
+                    rb = decode.parts_to_batch(parts, schema, seq)
+                    pred = predicates.get(kind)
+                    if pred is not None:
+                        rb = pred.apply_arrow(rb)
+                    if rb.num_rows:
+                        yield _union_batch(rb, kind)
+
+    return kernel
+
+
+def read_pbf_union(
+    spark: SparkSession,
+    paths: str | list[str],
+    *,
+    node_predicate: ElementPredicate | None = None,
+    way_predicate: ElementPredicate | None = None,
+    relation_predicate: ElementPredicate | None = None,
+    index_df: DataFrame | None = None,
+) -> tuple[DataFrame, dict]:
+    """Single-pass decode: ONE ``mapInArrow`` scan emitting kind-tagged batches —
+    each blob is read, decompressed, and proto-walked exactly once (vs once per
+    entity kind in the three-scan path). Returns (union DataFrame, meta).
+
+    The union is a plan, not a materialization: THREE separate consumers of the
+    split frames would still re-run the scan each — the payoff comes from
+    aggregating directly on the union (``groupBy("kind")``), persisting it
+    (``read_pbf(single_pass=True)``), or writing it out once."""
+    meta: dict = {}
+    if index_df is None:
+        index_df, meta = blob_index_df(spark, paths)
+    kernel = _decode_union_kernel(
+        {
+            "nodes": node_predicate,
+            "ways": way_predicate,
+            "relations": relation_predicate,
+        }
+    )
+    return index_df.mapInArrow(kernel, model.UNION_DDL), meta
+
+
+def split_union(union: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Kind-tagged union → (nodes, ways, relations) projections with the
+    canonical per-kind schemas."""
+    return tuple(
+        union.filter(F.col("kind") == kind).select(*model.UNION_KIND_COLUMNS[kind])
+        for kind in ("nodes", "ways", "relations")
+    )
+
+
 def read_pbf_kind(
     spark: SparkSession,
     paths: str | list[str],
@@ -124,23 +214,49 @@ def read_pbf(
     way_predicate: ElementPredicate | None = None,
     relation_predicate: ElementPredicate | None = None,
     dedup_ids: bool = False,
+    single_pass: bool = False,
 ) -> OSMBundle:
     """Full-container read — the ``read_pbf(filename; callbacks...)`` analog
-    (``src/load_pbf.jl:47-87``), with predicates replacing callbacks."""
-    index_df, meta = blob_index_df(spark, paths)
-    index_df = index_df.cache()  # reused by all three scans
-    nodes = read_pbf_kind(spark, paths, "nodes", predicate=node_predicate, index_df=index_df)
-    ways = read_pbf_kind(spark, paths, "ways", predicate=way_predicate, index_df=index_df)
-    relations = read_pbf_kind(
-        spark, paths, "relations", predicate=relation_predicate, index_df=index_df
-    )
+    (``src/load_pbf.jl:47-87``), with predicates replacing callbacks.
+
+    ``single_pass=True`` decodes via ONE kind-tagged union scan and PERSISTS it
+    (decompress each blob once instead of once per entity kind); the returned
+    entity frames are cheap filter+project reads of the cache, and
+    ``bundle.union`` holds the handle to ``unpersist()`` when done. The default
+    three-scan path stays lazy (no persistence side effects)."""
+    if single_pass:
+        index_df, meta = blob_index_df(spark, paths)
+        union, _ = read_pbf_union(
+            spark,
+            paths,
+            node_predicate=node_predicate,
+            way_predicate=way_predicate,
+            relation_predicate=relation_predicate,
+            index_df=index_df,
+        )
+        union = union.persist()
+        nodes, ways, relations = split_union(union)
+    else:
+        union = None
+        index_df, meta = blob_index_df(spark, paths)
+        index_df = index_df.cache()  # reused by all three scans
+        nodes = read_pbf_kind(spark, paths, "nodes", predicate=node_predicate, index_df=index_df)
+        ways = read_pbf_kind(spark, paths, "ways", predicate=way_predicate, index_df=index_df)
+        relations = read_pbf_kind(
+            spark, paths, "relations", predicate=relation_predicate, index_df=index_df
+        )
     if dedup_ids:
         w = Window.partitionBy("id").orderBy(F.desc("blob_seq"))
         nodes, ways, relations = (
             df.withColumn("_rn", F.row_number().over(w)).filter("_rn = 1").drop("_rn")
             for df in (nodes, ways, relations)
         )
-    return OSMBundle(nodes=nodes, ways=ways, relations=relations, meta=meta)
+    return OSMBundle(nodes=nodes, ways=ways, relations=relations, meta=meta, union=union)
+
+
+def read_pbf_single_pass(spark, paths, **kw) -> OSMBundle:
+    """Convenience alias for ``read_pbf(..., single_pass=True)``."""
+    return read_pbf(spark, paths, single_pass=True, **kw)
 
 
 def pbf_to_parquet(
@@ -150,9 +266,12 @@ def pbf_to_parquet(
     **read_kw,
 ) -> dict:
     """Decode once → columnar store. The production pattern: all downstream queries
-    read parquet (column pruning + predicate pushdown for free)."""
-    bundle = read_pbf(spark, paths, **read_kw)
+    read parquet (column pruning + predicate pushdown for free). Single-pass:
+    the first write materializes the persisted union (each blob decompressed
+    once), the other two writes read the cache."""
+    bundle = read_pbf(spark, paths, single_pass=True, **read_kw)
     bundle.nodes.write.mode("overwrite").parquet(f"{out_dir}/nodes")
     bundle.ways.write.mode("overwrite").parquet(f"{out_dir}/ways")
     bundle.relations.write.mode("overwrite").parquet(f"{out_dir}/relations")
+    bundle.union.unpersist()
     return bundle.meta
