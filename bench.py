@@ -220,6 +220,31 @@ def run_scale_one(fx_dir: str, master: str) -> None:
     spark.stop()
 
 
+def print_compare(result: dict, baseline_path: str) -> None:
+    """Per-query delta table vs a previous BENCH_r*.json — makes round-over-round
+    regressions visible in one look (stderr, so the stdout JSON-line contract
+    holds)."""
+    with open(baseline_path) as f:
+        base = json.load(f)
+    if "parsed" in base:  # driver-recorded BENCH_r*.json wraps the JSON line
+        base = base["parsed"]
+    bq = base.get("queries", {})
+    lines = [f"# vs {os.path.basename(baseline_path)} (negative = faster now)"]
+    for name, sec in result["queries"].items():
+        prev = bq.get(name)
+        if prev:
+            delta = sec - prev
+            pct = 100.0 * delta / prev
+            lines.append(f"{name:26s} {prev:7.3f}s -> {sec:7.3f}s  {pct:+6.1f}%")
+        else:
+            lines.append(f"{name:26s}    new -> {sec:7.3f}s")
+    prev_total = base.get("value")
+    if prev_total:
+        pct = 100.0 * (result["value"] - prev_total) / prev_total
+        lines.append(f"{'TOTAL':26s} {prev_total:7.3f}s -> {result['value']:7.3f}s  {pct:+6.1f}%")
+    print("\n".join(lines), file=sys.stderr)
+
+
 if __name__ == "__main__":
     args = [a for a in sys.argv[1:]]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -228,6 +253,14 @@ if __name__ == "__main__":
     elif args and args[0] == "--scale-one":
         run_scale_one(args[1], args[2])
     else:
+        compare_to = None
+        if "--compare" in args:
+            i = args.index("--compare")
+            compare_to = args[i + 1]
+            del args[i : i + 2]
         if args:
             sf_dir = args[0]
-        print(json.dumps(run_bench(sf_dir)))
+        result = run_bench(sf_dir)
+        print(json.dumps(result))
+        if compare_to:
+            print_compare(result, compare_to)

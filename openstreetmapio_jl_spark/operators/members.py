@@ -35,15 +35,36 @@ def resolve_members(
     ways: DataFrame,
     *,
     max_depth: int = 16,
+    handles: list | None = None,
 ) -> DataFrame:
     """→ (root_id, kind, member_id): every element transitively reachable from
     each relation — direct members, members of member relations (recursively),
-    and the node refs of every reachable way. Distinct rows."""
+    and the node refs of every reachable way. Distinct rows.
+
+    Raises a ``RuntimeWarning`` (via ``warnings.warn``) when the frontier is
+    still non-empty after ``max_depth`` rounds: the closure is then INCOMPLETE,
+    and the differential against an unbounded-recursion oracle would otherwise
+    fail with no signal about the cause. Real OSM relation nesting is ≤ ~10
+    levels, so the default depth is safely past fixpoint in practice.
+
+    Storage: per-round deltas persist and stay persisted until the returned
+    DataFrame is consumed — pass ``handles`` (a list) to receive the persisted
+    handles for cleanup. Unpersisting superseded rounds mid-run was measured
+    and rejected (see knn_join: Spark's CacheManager clears dependent caches on
+    ancestor unpersist — recacheByPlan — and the accumulated lineage re-runs).
+    The deltas are membership-edge-sized (tiny next to the node table), so the
+    pinned bytes are bounded by the closure size itself."""
+    import warnings
+
     edges = member_edges(relations).persist()
     reach = edges.select(F.col("src").alias("root"), "type", "ref").persist()
+    if handles is not None:
+        handles.extend([edges, reach])
     frontier = reach.filter(F.col("type") == "relation")
+    converged = False
     for _ in range(max_depth):
         if frontier.isEmpty():
+            converged = True
             break
         nxt = (
             frontier.select(F.col("ref").alias("src"), "root")
@@ -52,10 +73,22 @@ def resolve_members(
         )
         # anti-join vs everything reached: semi-naive delta, also the cycle guard
         new = nxt.join(reach, ["root", "type", "ref"], "left_anti").persist()
+        if handles is not None:
+            handles.append(new)
         if new.isEmpty():
+            converged = True
             break
         reach = reach.unionByName(new).persist()
+        if handles is not None:
+            handles.append(reach)
         frontier = new.filter(F.col("type") == "relation")
+    if not converged and not frontier.isEmpty():
+        warnings.warn(
+            f"resolve_members: closure truncated at max_depth={max_depth} with a "
+            "non-empty frontier — result is INCOMPLETE (raise max_depth)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     way_nodes = (
         reach.filter(F.col("type") == "way")
         .join(ways.select(F.col("id").alias("ref"), "refs"), "ref", "inner")

@@ -762,6 +762,147 @@ from coords group by 1
 """
 
 
+# canonical per-element checksum strings (identical Spark / DuckDB forms):
+# coordinates go through DECIMAL(18,7) → string (exact, full-scale rendering in
+# both engines — no float-formatting divergence), tags are sorted key=value
+# joins, members are ref|type|role joins. The md5-prefix sum is order-free and
+# per-element sensitive: any swapped coordinate, lost tag, or reordered ref
+# changes the checksum.
+
+def _canon_tags_col():
+    return F.coalesce(
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.map_entries("tags"),
+                    lambda e: F.concat_ws("=", e["key"], e["value"]),
+                )
+            ),
+            ",",
+        ),
+        F.lit(""),
+    )
+
+
+def _md5sum_col(canon):
+    return F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("long")
+
+
+_SQL_TAGSTR = (
+    "coalesce(list_aggr(list_sort(list_transform(map_entries(tags),"
+    " e -> e.key || '=' || e.value)), 'string_agg', ','), '')"
+)
+
+
+def q_osm_xml_differential(spark, sf_dir):
+    """XML source parity (SURVEY.md §2 A20/A21): decode the fixture through
+    ``read_osm`` (the XML scan + element parsers) and reduce EVERY element to a
+    canonical checksum — (kind, count, md5-prefix sum over per-element canonical
+    strings covering id, 7-dp coordinates, refs, members, sorted tags). The
+    oracle computes the same from the independent truth parquet, so this is a
+    full XML-decode differential, and together with the ``osm_*`` PBF queries it
+    pins decode(xml) == truth == decode(pbf)."""
+    from openstreetmapio_jl_spark.sources.xml_source import read_osm
+
+    paths = ensure_fixtures(sf_dir)
+    x = read_osm(spark, paths["osm"])
+    dec7 = lambda c: F.col(c).cast("decimal(18,7)").cast("string")  # noqa: E731
+    nodes = x.nodes.select(
+        F.concat_ws(":", "id", dec7("lat"), dec7("lon"), _canon_tags_col()).alias("canon")
+    )
+    ways = x.ways.select(
+        F.concat_ws(
+            ":",
+            "id",
+            F.array_join(F.transform("refs", lambda r: r.cast("string")), ","),
+            _canon_tags_col(),
+        ).alias("canon")
+    )
+    rels = x.relations.select(
+        F.concat_ws(
+            ":",
+            "id",
+            F.array_join(
+                F.transform(
+                    "members",
+                    lambda m: F.concat_ws("|", m["ref"], m["type"], m["role"]),
+                ),
+                ",",
+            ),
+            _canon_tags_col(),
+        ).alias("canon")
+    )
+    parts = [
+        df.select(F.lit(kind).alias("kind"), _md5sum_col(F.col("canon")).alias("h"))
+        for kind, df in (("nodes", nodes), ("ways", ways), ("relations", rels))
+    ]
+    allk = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return allk.groupBy("kind").agg(
+        F.count("*").alias("n"), F.sum("h").alias("checksum")
+    )
+
+
+def _sql_xml_differential() -> str:
+    nodes = _ofx("truth/nodes.parquet")
+    ways = _ofx("truth/ways.parquet")
+    rels = _ofx("truth/relations.parquet")
+    md5sum = "sum(('0x' || substr(md5(canon), 1, 8))::bigint)"
+    return f"""
+with n as (
+  select concat_ws(':', id, (lat::decimal(18,7))::varchar,
+    (lon::decimal(18,7))::varchar, {_SQL_TAGSTR}) as canon
+  from read_parquet('{nodes}')
+),
+w as (
+  select concat_ws(':', id,
+    coalesce(list_aggr(list_transform(refs, r -> r::varchar), 'string_agg', ','), ''),
+    {_SQL_TAGSTR}) as canon
+  from read_parquet('{ways}')
+),
+r as (
+  select concat_ws(':', id,
+    coalesce(list_aggr(list_transform(members,
+      m -> m.ref::varchar || '|' || m.type || '|' || m.role), 'string_agg', ','), ''),
+    {_SQL_TAGSTR}) as canon
+  from read_parquet('{rels}')
+),
+allk as (
+  select 'nodes' as kind, canon from n
+  union all select 'ways', canon from w
+  union all select 'relations', canon from r
+)
+select kind, count(*) as n, cast({md5sum} as bigint) as checksum
+from allk group by kind
+"""
+
+
+def q_osm_urlencode(spark, sf_dir):
+    """URL-encode parity (SURVEY.md §2 A23): the reference's sequential
+    15-character percent-encode (``src/utils.jl:7-24``) as a Column expression
+    chain, applied to every document text; the oracle applies the identical
+    nested-replace chain in DuckDB. Output keeps md5 + length per doc so any
+    order-of-replacement divergence breaks equality."""
+    d = _load(spark, sf_dir, "documents")
+    enc = textfn.url_encode_col(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.md5(F.encode(enc, "UTF-8")).alias("enc_md5"),
+        F.length(enc).alias("enc_len"),
+    )
+
+
+def _sql_urlencode() -> str:
+    expr = "text"
+    for ch, rep in textfn._URL_ENCODE_ORDER:
+        lit = ch.replace("'", "''")
+        lit = {"\n": "chr(10)", "\r": "chr(13)", "\t": "chr(9)"}.get(ch, f"'{lit}'")
+        expr = f"replace({expr}, {lit}, '{rep}')"
+    return f"""
+select doc_id, md5({expr}) as enc_md5, cast(length({expr}) as int) as enc_len
+from documents
+"""
+
+
 def q_osm_around_radius(spark, sf_dir):
     """Native Overpass ``around:radius,lat,lon`` (the reference's only distance
     operator, delegated to the server at load_overpass.jl:49-52 — implemented
@@ -1214,6 +1355,8 @@ def registry() -> dict[str, tuple]:
         "osm_ref_integrity": (q_osm_ref_integrity, _sql_osm_integrity()),
         "osm_member_closure": (q_osm_member_closure, _sql_member_closure()),
         "osm_multipolygon_assembly": (q_osm_multipolygon_assembly, _sql_multipolygon()),
+        "osm_xml_differential": (q_osm_xml_differential, _sql_xml_differential()),
+        "osm_urlencode": (q_osm_urlencode, _sql_urlencode()),
         "osm_around_radius": (q_osm_around_radius, _sql_around_radius()),
         "pages_tile_counts": (q_pages_tile_counts, _sql_pages_tiles()),
         "pip_hits_per_polygon": (q_pip_hits_per_polygon, _sql_pip()),

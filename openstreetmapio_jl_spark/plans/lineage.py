@@ -32,6 +32,22 @@ LINEAGE_SCHEMA = (
     "chunk_key string, n_rows long, run_id string, wall_s double, completed_at timestamp"
 )
 
+# chunk keys become path components (chunk=<key>) and hive-glob matches; a '/',
+# '=', '*' or similar silently breaks the layout AND the resume anti-join, so
+# reject anything outside a conservative path-safe alphabet up front
+import re as _re
+
+_CHUNK_KEY_RE = _re.compile(r"^[A-Za-z0-9._-]+$")
+
+
+def validate_chunk_key(key: str) -> str:
+    if not _CHUNK_KEY_RE.match(key):
+        raise ValueError(
+            f"invalid chunk key {key!r}: keys are embedded in output paths "
+            "(chunk=<key>) and must match [A-Za-z0-9._-]+"
+        )
+    return key
+
 
 class LineageLog:
     """Append-only chunk-completion log backed by a parquet directory."""
@@ -88,6 +104,8 @@ def run_resumable(
     with overwrite (idempotent re-write of half-written chunks), then the chunk
     is committed to the lineage log. Returns run statistics."""
     run_id = run_id or uuid.uuid4().hex[:12]
+    for key in chunk_keys:
+        validate_chunk_key(key)
     log = LineageLog(spark, lineage_dir)
     done = log.completed_keys()
     pending = [k for k in chunk_keys if k not in done]

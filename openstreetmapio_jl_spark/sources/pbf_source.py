@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from openstreetmapio_jl_spark import model
-from openstreetmapio_jl_spark.operators.predicates import ElementPredicate
+from openstreetmapio_jl_spark.operators.predicates import ElementPredicate, ElementTransform
 from openstreetmapio_jl_spark.pbf import blocks, decode
 
 _KIND_SCHEMA = {
@@ -80,7 +80,11 @@ def blob_index_df(spark: SparkSession, paths: str | list[str]) -> tuple[DataFram
     return df.repartition(target, "blob_seq"), meta
 
 
-def _decode_kernel(kind: str, predicate: ElementPredicate | None):
+def _decode_kernel(
+    kind: str,
+    predicate: ElementPredicate | None,
+    transform: ElementTransform | None = None,
+):
     schema, _ = _KIND_SCHEMA[kind]
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -101,6 +105,8 @@ def _decode_kernel(kind: str, predicate: ElementPredicate | None):
                 rb = decode.parts_to_batch(parts, schema, seq)
                 if predicate is not None:
                     rb = predicate.apply_arrow(rb)
+                if transform is not None:
+                    rb = transform.apply_arrow(rb)
                 if rb.num_rows:
                     yield rb
 
@@ -123,7 +129,8 @@ def _union_batch(rb: pa.RecordBatch, kind: str) -> pa.RecordBatch:
     return pa.RecordBatch.from_arrays(arrays, schema=model.UNION_ARROW)
 
 
-def _decode_union_kernel(predicates: dict):
+def _decode_union_kernel(predicates: dict, transforms: dict | None = None):
+    transforms = transforms or {}
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             paths = batch.column("path").to_pylist()
@@ -147,6 +154,9 @@ def _decode_union_kernel(predicates: dict):
                     pred = predicates.get(kind)
                     if pred is not None:
                         rb = pred.apply_arrow(rb)
+                    tf = transforms.get(kind)
+                    if tf is not None:
+                        rb = tf.apply_arrow(rb)
                     if rb.num_rows:
                         yield _union_batch(rb, kind)
 
@@ -160,6 +170,9 @@ def read_pbf_union(
     node_predicate: ElementPredicate | None = None,
     way_predicate: ElementPredicate | None = None,
     relation_predicate: ElementPredicate | None = None,
+    node_transform: ElementTransform | None = None,
+    way_transform: ElementTransform | None = None,
+    relation_transform: ElementTransform | None = None,
     index_df: DataFrame | None = None,
 ) -> tuple[DataFrame, dict]:
     """Single-pass decode: ONE ``mapInArrow`` scan emitting kind-tagged batches —
@@ -178,7 +191,12 @@ def read_pbf_union(
             "nodes": node_predicate,
             "ways": way_predicate,
             "relations": relation_predicate,
-        }
+        },
+        {
+            "nodes": node_transform,
+            "ways": way_transform,
+            "relations": relation_transform,
+        },
     )
     return index_df.mapInArrow(kernel, model.UNION_DDL), meta
 
@@ -198,12 +216,13 @@ def read_pbf_kind(
     kind: str,
     *,
     predicate: ElementPredicate | None = None,
+    transform: ElementTransform | None = None,
     index_df: DataFrame | None = None,
 ) -> DataFrame:
     if index_df is None:
         index_df, _ = blob_index_df(spark, paths)
     _, ddl = _KIND_SCHEMA[kind]
-    return index_df.mapInArrow(_decode_kernel(kind, predicate), ddl)
+    return index_df.mapInArrow(_decode_kernel(kind, predicate, transform), ddl)
 
 
 def read_pbf(
@@ -213,6 +232,9 @@ def read_pbf(
     node_predicate: ElementPredicate | None = None,
     way_predicate: ElementPredicate | None = None,
     relation_predicate: ElementPredicate | None = None,
+    node_transform: ElementTransform | None = None,
+    way_transform: ElementTransform | None = None,
+    relation_transform: ElementTransform | None = None,
     dedup_ids: bool = False,
     single_pass: bool = False,
 ) -> OSMBundle:
@@ -232,6 +254,9 @@ def read_pbf(
             node_predicate=node_predicate,
             way_predicate=way_predicate,
             relation_predicate=relation_predicate,
+            node_transform=node_transform,
+            way_transform=way_transform,
+            relation_transform=relation_transform,
             index_df=index_df,
         )
         union = union.persist()
@@ -240,10 +265,17 @@ def read_pbf(
         union = None
         index_df, meta = blob_index_df(spark, paths)
         index_df = index_df.cache()  # reused by all three scans
-        nodes = read_pbf_kind(spark, paths, "nodes", predicate=node_predicate, index_df=index_df)
-        ways = read_pbf_kind(spark, paths, "ways", predicate=way_predicate, index_df=index_df)
+        nodes = read_pbf_kind(
+            spark, paths, "nodes",
+            predicate=node_predicate, transform=node_transform, index_df=index_df,
+        )
+        ways = read_pbf_kind(
+            spark, paths, "ways",
+            predicate=way_predicate, transform=way_transform, index_df=index_df,
+        )
         relations = read_pbf_kind(
-            spark, paths, "relations", predicate=relation_predicate, index_df=index_df
+            spark, paths, "relations",
+            predicate=relation_predicate, transform=relation_transform, index_df=index_df,
         )
     if dedup_ids:
         w = Window.partitionBy("id").orderBy(F.desc("blob_seq"))
