@@ -48,7 +48,7 @@ HOT_CENTER = (54.2625, 9.9840)
 EXTENT = (40.0, -5.0, 60.0, 20.0)
 
 # bump to invalidate materialized .fixtures trees when generation logic changes
-GENERATOR_VERSION = "7"
+GENERATOR_VERSION = "8"
 
 _POI_TYPES = ["restaurant", "cafe", "bar", "school", "pharmacy", "bank", "fuel"]
 _CUISINES = ["italian", "german", "indian", "thai", "greek"]
@@ -664,6 +664,87 @@ def _truth_polygons(nodes, ways) -> pa.Table:
     )
 
 
+def _truth_multipolygons(nodes, ways, relations) -> pa.Table:
+    """type=multipolygon relations → PIP-ready polygon rows (id, edges, bbox),
+    mirroring ``assemble_multipolygons`` semantics exactly — including the
+    open-member-way stitching accept rule (every endpoint node id occurring
+    exactly twice among the relation's resolvable open ways).
+
+    Edges are emitted PER WAY as consecutive-point segments: the engine's
+    stitched-chain representation only adds zero-length junction/wrap edges on
+    top of these, and zero-length edges can never satisfy the ray-cast crossing
+    test (the crossing predicate is also symmetric under endpoint swap, so way
+    orientation is irrelevant) — identical hit parity by construction."""
+    id2pos = {n["id"]: (n["lat"], n["lon"]) for n in nodes}
+    wby = {w["id"]: w for w in ways}
+    ids, edges_col, minlat, maxlat, minlon, maxlon = [], [], [], [], [], []
+    for rel in relations:
+        tags = rel.get("tags") or {}
+        if tags.get("type") != "multipolygon":
+            continue
+        closed_rings: list[list[tuple]] = []
+        open_ways: list[tuple[list, list]] = []
+        for m in rel["members"]:
+            if m["type"] != "way" or m["role"] not in ("outer", "inner", ""):
+                continue
+            w = wby.get(m["ref"])
+            if w is None:
+                continue
+            refs = w["refs"]
+            if w.get("positions"):
+                pts = [(p[0], p[1]) for p in w["positions"]]
+            elif all(r in id2pos for r in refs):
+                pts = [id2pos[r] for r in refs]
+            else:
+                continue
+            if len(refs) >= 4 and refs[0] == refs[-1]:
+                closed_rings.append(pts)
+            else:
+                open_ways.append((refs, pts))
+        deg: dict = {}
+        for refs, _ in open_ways:
+            deg[refs[0]] = deg.get(refs[0], 0) + 1
+            deg[refs[-1]] = deg.get(refs[-1], 0) + 1
+        include_open = bool(open_ways) and all(c == 2 for c in deg.values())
+        rings = closed_rings + ([pts for _, pts in open_ways] if include_open else [])
+        if not rings:
+            continue
+        edges = []
+        lats, lons = [], []
+        for pts in rings:
+            for i in range(len(pts) - 1):
+                (y1, x1), (y2, x2) = pts[i], pts[i + 1]
+                edges.append({"y1": y1, "x1": x1, "y2": y2, "x2": x2})
+            lats.extend(p[0] for p in pts)
+            lons.extend(p[1] for p in pts)
+        ids.append(rel["id"])
+        edges_col.append(edges)
+        minlat.append(min(lats))
+        maxlat.append(max(lats))
+        minlon.append(min(lons))
+        maxlon.append(max(lons))
+    edge_type = pa.list_(
+        pa.struct(
+            [
+                pa.field("y1", pa.float64()),
+                pa.field("x1", pa.float64()),
+                pa.field("y2", pa.float64()),
+                pa.field("x2", pa.float64()),
+            ]
+        )
+    )
+    return pa.table(
+        {
+            "id": pa.array(ids, pa.int64()),
+            "edges": pa.array(edges_col, edge_type),
+            "min_lat": pa.array(minlat, pa.float64()),
+            "max_lat": pa.array(maxlat, pa.float64()),
+            "min_lon": pa.array(minlon, pa.float64()),
+            "max_lon": pa.array(maxlon, pa.float64()),
+        }
+    )
+
+
 def materialize_fixtures(sf: float, out_dir: str, *, seed: int = 42) -> dict[str, str]:
     """Idempotent: builds the full fixture tree for one scale factor (no Spark).
 
@@ -684,6 +765,7 @@ def materialize_fixtures(sf: float, out_dir: str, *, seed: int = 42) -> dict[str
         "truth_ways": f"{out_dir}/truth/ways.parquet",
         "truth_relations": f"{out_dir}/truth/relations.parquet",
         "truth_polygons": f"{out_dir}/truth/polygons.parquet",
+        "truth_multipolygons": f"{out_dir}/truth/multipolygons.parquet",
         "truth_cells": f"{out_dir}/truth/cells.parquet",
     }
     marker = f"{out_dir}/_COMPLETE"
@@ -711,6 +793,11 @@ def materialize_fixtures(sf: float, out_dir: str, *, seed: int = 42) -> dict[str
     pq.write_table(wt, paths["truth_ways"], row_group_size=16384)
     pq.write_table(rt, paths["truth_relations"], row_group_size=16384)
     pq.write_table(_truth_polygons(nodes, ways), paths["truth_polygons"], row_group_size=16384)
+    pq.write_table(
+        _truth_multipolygons(nodes, ways, rels),
+        paths["truth_multipolygons"],
+        row_group_size=16384,
+    )
     with open(marker, "w") as f:
         f.write(GENERATOR_VERSION + "\n")
     return paths

@@ -963,7 +963,7 @@ def q_pip_hits_per_polygon(spark, sf_dir):
     return hits.groupBy("polygon_id").count().withColumnRenamed("count", "n_hits")
 
 
-def _sql_pip() -> str:
+def _sql_pip(truth_polygons: str = "truth/polygons.parquet") -> str:
     return f"""
 with g as (
   select url,
@@ -976,14 +976,14 @@ with g as (
 ),
 p as (
   select id, unnest(edges) as e
-  from read_parquet('{_ofx("truth/polygons.parquet")}')
+  from read_parquet('{_ofx(truth_polygons)}')
 ),
 cr as (
   select g.url, p.id,
     case when ((p.e.y1 > g.plat) != (p.e.y2 > g.plat))
           and (g.plon < (p.e.x2 - p.e.x1) * (g.plat - p.e.y1) / (p.e.y2 - p.e.y1) + p.e.x1)
     then 1 else 0 end as c
-  from g join read_parquet('{_ofx("truth/polygons.parquet")}') b
+  from g join read_parquet('{_ofx(truth_polygons)}') b
     on g.plat between b.min_lat and b.max_lat and g.plon between b.min_lon and b.max_lon
   join p on p.id = b.id
 )
@@ -991,6 +991,25 @@ select id as polygon_id, count(distinct url) as n_hits
 from (select url, id from cr group by url, id having sum(c) % 2 = 1)
 group by id
 """
+
+
+def q_pip_hits_multipolygon(spark, sf_dir):
+    """PIP against ASSEMBLED MULTIPOLYGONS (closed member rings + open-way
+    stitched rings, even-odd hole semantics) — the flagship join fed by the full
+    relation-assembly pipeline instead of plain closed ways. The oracle ray-casts
+    the independent truth/multipolygons.parquet, whose construction mirrors the
+    stitcher's accept rule, so a lost stitched ring or a mis-chained segment
+    changes hit counts and breaks equality."""
+    b, paths = _osm(spark, sf_dir)
+    rings = SJ.assemble_polygon_rings(b.ways, b.nodes)
+    lines = SJ.assemble_way_lines(b.ways, b.nodes)
+    mp = SJ.assemble_multipolygons(b.relations, rings, lines).drop("tags")
+    pages = spark.read.parquet(paths["pages"])
+    pts = geocode.pages_with_cells(pages, zoom=ZOOM)
+    hits = SJ.point_in_polygon_join(
+        pts.select("url", "lat", "lon"), mp, zoom=ZOOM, nsalt=8, salt_id_col="url"
+    )
+    return hits.groupBy("polygon_id").count().withColumnRenamed("count", "n_hits")
 
 
 def q_knn_pages_to_poi(spark, sf_dir):
@@ -1360,6 +1379,10 @@ def registry() -> dict[str, tuple]:
         "osm_around_radius": (q_osm_around_radius, _sql_around_radius()),
         "pages_tile_counts": (q_pages_tile_counts, _sql_pages_tiles()),
         "pip_hits_per_polygon": (q_pip_hits_per_polygon, _sql_pip()),
+        "pip_hits_multipolygon": (
+            q_pip_hits_multipolygon,
+            _sql_pip("truth/multipolygons.parquet"),
+        ),
         "knn_pages_to_poi": (q_knn_pages_to_poi, _sql_knn()),
         "tile_pyramid_z11": (q_tile_pyramid, _sql_pyramid()),
         "pages_text_invariant": (q_pages_text_invariant, _sql_text_invariant()),
