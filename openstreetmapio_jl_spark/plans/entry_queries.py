@@ -891,15 +891,82 @@ def q_osm_urlencode(spark, sf_dir):
     )
 
 
-def _sql_urlencode() -> str:
-    expr = "text"
+def _sql_urlencode_expr(expr: str) -> str:
+    """The reference's sequential 15-char percent-encode as nested DuckDB
+    replace() calls — identical order to ``textfn._URL_ENCODE_ORDER``."""
     for ch, rep in textfn._URL_ENCODE_ORDER:
         lit = ch.replace("'", "''")
         lit = {"\n": "chr(10)", "\r": "chr(13)", "\t": "chr(9)"}.get(ch, f"'{lit}'")
         expr = f"replace({expr}, {lit}, '{rep}')"
+    return expr
+
+
+def _sql_urlencode() -> str:
+    enc = _sql_urlencode_expr("text")
     return f"""
-select doc_id, md5({expr}) as enc_md5, cast(length({expr}) as int) as enc_len
+select doc_id, md5({enc}) as enc_md5, cast(length({enc}) as int) as enc_len
 from documents
+"""
+
+
+def q_overpass_url_build(spark, sf_dir):
+    """Overpass request construction parity (SURVEY.md §2 A24, minus the network
+    round-trip which stays offline/injectable): builds the full request URL —
+    endpoint + OverpassQL template (``load_overpass.jl:82-92``) + sequential
+    percent-encoding — through the REAL Python builder (``build_query`` /
+    ``url_encode``) inside an Arrow-batched pandas UDF, over bbox and
+    around-radius bounds derived from the nation table (integer-valued so string
+    rendering is engine-independent). The oracle reconstructs the byte-identical
+    URL in SQL, pinning template text, bounds forms, and encode order. This is a
+    metadata-sized parity probe (25 rows), not a hot path."""
+    import pandas as pd
+
+    # no type hints: the module-level `from __future__ import annotations` turns
+    # them into strings pandas_udf cannot resolve; the DDL string is the contract
+    @F.pandas_udf("string")
+    def overpass_url(nk):
+        from openstreetmapio_jl_spark.functions.text import url_encode
+        from openstreetmapio_jl_spark.sources import overpass_source as O
+
+        out = []
+        for v in nk:
+            v = int(v)
+            if v % 2 == 0:
+                bounds = O.bbox_bounds(v, v + 1, v + 2, v + 3)
+            else:
+                bounds = O.around_bounds(v, v + 1, v * 100)
+            q = O.build_query(bounds, timeout=25)
+            out.append(f"{O.OVERPASS_ENDPOINTS[0]}?data={url_encode(q)}")
+        return pd.Series(out)
+
+    n = _load(spark, sf_dir, "nation")
+    return n.select("n_nationkey", overpass_url(F.col("n_nationkey")).alias("url"))
+
+
+def _sql_overpass_url() -> str:
+    from openstreetmapio_jl_spark.sources import overpass_source as O
+
+    nl = "chr(10)"
+    raw = (
+        f"'[out:xml][timeout:25];' || {nl} || '(' || {nl} || "
+        f"'  node(' || bounds || ');' || {nl} || "
+        f"'  way(' || bounds || ');' || {nl} || "
+        f"'  relation(' || bounds || ');' || {nl} || "
+        f"');' || {nl} || 'out body;' || {nl} || '>;' || {nl} || 'out skel qt;' || {nl}"
+    )
+    return f"""
+with q as (
+  select n_nationkey,
+    case when n_nationkey % 2 = 0
+      then n_nationkey || ',' || (n_nationkey + 1) || ',' || (n_nationkey + 2) || ',' || (n_nationkey + 3)
+      else 'around:' || (n_nationkey * 100) || ',' || n_nationkey || ',' || (n_nationkey + 1)
+    end as bounds
+  from nation
+),
+raw as (select n_nationkey, {raw} as query from q)
+select n_nationkey,
+  '{O.OVERPASS_ENDPOINTS[0]}?data=' || {_sql_urlencode_expr('query')} as url
+from raw
 """
 
 
@@ -1376,6 +1443,7 @@ def registry() -> dict[str, tuple]:
         "osm_multipolygon_assembly": (q_osm_multipolygon_assembly, _sql_multipolygon()),
         "osm_xml_differential": (q_osm_xml_differential, _sql_xml_differential()),
         "osm_urlencode": (q_osm_urlencode, _sql_urlencode()),
+        "overpass_url_build": (q_overpass_url_build, _sql_overpass_url()),
         "osm_around_radius": (q_osm_around_radius, _sql_around_radius()),
         "pages_tile_counts": (q_pages_tile_counts, _sql_pages_tiles()),
         "pip_hits_per_polygon": (q_pip_hits_per_polygon, _sql_pip()),
