@@ -48,7 +48,7 @@ HOT_CENTER = (54.2625, 9.9840)
 EXTENT = (40.0, -5.0, 60.0, 20.0)
 
 # bump to invalidate materialized .fixtures trees when generation logic changes
-GENERATOR_VERSION = "8"
+GENERATOR_VERSION = "10"
 
 _POI_TYPES = ["restaurant", "cafe", "bar", "school", "pharmacy", "bank", "fuel"]
 _CUISINES = ["italian", "german", "indian", "thai", "greek"]
@@ -61,7 +61,8 @@ def _r7(x: float) -> float:
 
 
 def _add_scaled_elements(
-    rng, nodes, ways, n_nodes: int, n_ways: int, rand_info, split_groups=None
+    rng, nodes, ways, n_nodes: int, n_ways: int, rand_info,
+    split_groups=None, ring_pairs=None,
 ) -> None:
     """Locality-aware scale-up beyond the 612/29/3 golden core.
 
@@ -76,7 +77,14 @@ def _add_scaled_elements(
     emitted as 2-3 OPEN ways sharing endpoint nodes (the middle segment written
     REVERSED so stitching must re-orient it) — the real-planet multipolygon
     shape where one outer ring spans many open member ways; the grouped way ids
-    are appended to ``split_groups`` for relation construction."""
+    are appended to ``split_groups`` for relation construction.
+
+    ``ring_pairs`` (a list) collects (outer_way_id, inner_way_id) pairs created
+    as CONCENTRIC closed rings at one center — the realistic lake-with-island
+    multipolygon whose bbox stays LOCAL. (Real multipolygons are local; a
+    far-apart member pair makes a continent-sized bbox. The relation builder
+    still emits a handful of those deliberately to exercise the adaptive
+    multi-resolution cover.)"""
     import math
 
     next_nid = 2_000_000_000
@@ -111,6 +119,43 @@ def _add_scaled_elements(
             )
             ring_ids.append(next_nid)
             pts.append((lat, lon))
+        if closed and ring_pairs is not None and i % 10 == 8:
+            # concentric outer+inner rings (lake with island): LOCAL bbox.
+            # outer = the ring just built; inner = a smaller ring, same center
+            next_wid += rng.randint(1, 99)
+            outer_wid = next_wid
+            outer = {
+                "id": outer_wid,
+                "refs": ring_ids + [ring_ids[0]],
+                "tags": {"natural": "water", "name": f"Lake {i}"},
+                "info": rand_info(i),
+            }
+            if i % 4 == 0:
+                outer["positions"] = pts + [pts[0]]
+            ways.append(outer)
+            in_ids, in_pts = [], []
+            for a in angles:
+                rr = radius * 0.35 * rng.uniform(0.85, 1.0)
+                lat = _r7(max(-89.9, min(89.9, clat + rr * math.sin(a))))
+                lon = _r7(max(-179.9, min(179.9, clon + rr * math.cos(a) * lon_stretch)))
+                next_nid += rng.randint(1, 50)
+                nodes.append(
+                    {"id": next_nid, "lat": lat, "lon": lon, "tags": None, "info": rand_info(i)}
+                )
+                in_ids.append(next_nid)
+                in_pts.append((lat, lon))
+            next_wid += rng.randint(1, 99)
+            inner = {
+                "id": next_wid,
+                "refs": in_ids + [in_ids[0]],
+                "tags": {"place": "island", "name": f"Island {i}"},
+                "info": rand_info(i),
+            }
+            if i % 4 == 0:
+                inner["positions"] = in_pts + [in_pts[0]]
+            ways.append(inner)
+            ring_pairs.append((outer_wid, next_wid))
+            continue
         if closed and split_groups is not None and i % 10 == 4 and k >= 5:
             # ring split into open segments: [0..a], [a..b] REVERSED, [b..0]
             nseg = 3 if k >= 6 else 2
@@ -135,7 +180,31 @@ def _add_scaled_elements(
                     w["positions"] = seg_pts
                 ways.append(w)
                 group.append(next_wid)
-            split_groups.append(group)
+            # concentric closed inner ring so split-ring relations can carry a
+            # LOCAL inner member (a far-away inner would make the relation's
+            # bbox continent-sized, which is its own deliberate fixture case)
+            in_ids, in_pts = [], []
+            for a in angles:
+                rr = radius * 0.35 * rng.uniform(0.85, 1.0)
+                ilat = _r7(max(-89.9, min(89.9, clat + rr * math.sin(a))))
+                ilon = _r7(max(-179.9, min(179.9, clon + rr * math.cos(a) * lon_stretch)))
+                next_nid += rng.randint(1, 50)
+                nodes.append(
+                    {"id": next_nid, "lat": ilat, "lon": ilon, "tags": None, "info": rand_info(i)}
+                )
+                in_ids.append(next_nid)
+                in_pts.append((ilat, ilon))
+            next_wid += rng.randint(1, 99)
+            inner_w = {
+                "id": next_wid,
+                "refs": in_ids + [in_ids[0]],
+                "tags": {"place": "islet"},
+                "info": rand_info(i),
+            }
+            if i % 4 == 0:
+                inner_w["positions"] = in_pts + [in_pts[0]]
+            ways.append(inner_w)
+            split_groups.append((group, next_wid))
             continue
         refs = ring_ids + [ring_ids[0]] if closed else ring_ids
         if closed:
@@ -287,9 +356,10 @@ def make_osm(seed: int = 42, n_nodes: int = 612, n_ways: int = 29, n_relations: 
             w["positions"] = [id_to_pos[ref] for ref in refs]
         ways.append(w)
     split_groups: list[list[int]] = []
+    ring_pairs: list[tuple[int, int]] = []
     if n_nodes > n_base_nodes or n_ways > n_base_ways:
         _add_scaled_elements(
-            rng, nodes, ways, n_nodes, n_ways, rand_info, split_groups
+            rng, nodes, ways, n_nodes, n_ways, rand_info, split_groups, ring_pairs
         )
         nodes.sort(key=lambda n: n["id"])
     ways.sort(key=lambda w: w["id"])
@@ -298,7 +368,7 @@ def make_osm(seed: int = 42, n_nodes: int = 612, n_ways: int = 29, n_relations: 
         w["id"]
         for w in ways
         if not (len(w["refs"]) >= 4 and w["refs"][0] == w["refs"][-1])
-        and not any(w["id"] in g for g in split_groups)
+        and not any(w["id"] in g for g, _inner in split_groups)
     ]
 
     relations: list[dict] = []
@@ -337,14 +407,11 @@ def make_osm(seed: int = 42, n_nodes: int = 612, n_ways: int = 29, n_relations: 
     for i in range(max(0, n_relations - len(relations))):
         if i % 8 == 1 and split_groups:
             # split-ring multipolygon: the outer ring spans several OPEN member
-            # ways (one reversed) — exercises chain stitching; an inner closed
-            # ring rides along when available
-            group = split_groups[(i // 8) % len(split_groups)]
+            # ways (one reversed) — exercises chain stitching; the group's
+            # CONCENTRIC closed inner ring rides along (local bbox)
+            group, inner_wid = split_groups[(i // 8) % len(split_groups)]
             members = [{"ref": wid, "type": "way", "role": "outer"} for wid in group]
-            if mp_pool:
-                members.append(
-                    {"ref": mp_pool[(i * 3 + 2) % len(mp_pool)], "type": "way", "role": "inner"}
-                )
+            members.append({"ref": inner_wid, "type": "way", "role": "inner"})
             relations.append(
                 {
                     "id": KNOWN_RELATION_ID + 100 + i,
@@ -374,11 +441,16 @@ def make_osm(seed: int = 42, n_nodes: int = 612, n_ways: int = 29, n_relations: 
                 }
             )
             continue
-        if i % 4 == 3 and len(mp_pool) >= 2:
-            # scaled multipolygons: outer+inner closed rings so ring stitching
-            # and PIP-with-holes are exercised beyond the single golden instance
-            outer = mp_pool[i % len(mp_pool)]
-            inner = mp_pool[(i * 7 + 1) % len(mp_pool)]
+        if i % 4 == 3 and (ring_pairs or len(mp_pool) >= 2):
+            # scaled multipolygons: LOCAL concentric outer+inner ring pairs
+            # (realistic lake-with-island bboxes); every 5th one instead pairs
+            # two FAR-apart rings — the deliberate continent-sized-bbox case
+            # that the adaptive multi-resolution cover must absorb
+            if ring_pairs and not (i % 20 == 19 and len(mp_pool) >= 2):
+                outer, inner = ring_pairs[(i // 4) % len(ring_pairs)]
+            else:
+                outer = mp_pool[i % len(mp_pool)]
+                inner = mp_pool[(i * 7 + 1) % len(mp_pool)]
             relations.append(
                 {
                     "id": KNOWN_RELATION_ID + 100 + i,

@@ -19,14 +19,23 @@ GEO_RE = r"geo:(-?[0-9]+\.[0-9]+),(-?[0-9]+\.[0-9]+)"
 def extract_geocodes(pages: DataFrame, *, text_col: str = "text") -> DataFrame:
     """pages → + (lat, lon) for rows with a geo mention (others dropped).
     One mention per page in v1 (first match); multi-mention explode is a
-    straightforward extension via ``regexp_extract_all``."""
+    straightforward extension via ``regexp_extract_all``.
+
+    Hot-path shape: a cheap ``contains('geo:')`` substring prefilter gates the
+    regex (on a real web corpus most pages carry no geo mention at all), and the
+    regex runs ONCE per surviving row (extract group 0, then split) instead of
+    once per capture group — at 10^12 documents the regex is the dominant cost
+    of this stage."""
+    m = F.regexp_extract(F.col(text_col), GEO_RE, 0)
     out = (
-        pages.withColumn("_lat_s", F.regexp_extract(F.col(text_col), GEO_RE, 1))
-        .withColumn("_lon_s", F.regexp_extract(F.col(text_col), GEO_RE, 2))
-        .filter(F.col("_lat_s") != "")
-        .withColumn("lat", F.col("_lat_s").cast("double"))
-        .withColumn("lon", F.col("_lon_s").cast("double"))
-        .drop("_lat_s", "_lon_s")
+        pages.filter(F.col(text_col).contains("geo:"))
+        .withColumn("_m", m)
+        .filter(F.col("_m") != "")
+        # "_m" is "geo:<lat>,<lon>" — one split, no second regex pass
+        .withColumn("_parts", F.split(F.substring(F.col("_m"), 5, 2_147_483_647), ","))
+        .withColumn("lat", F.element_at("_parts", 1).cast("double"))
+        .withColumn("lon", F.element_at("_parts", 2).cast("double"))
+        .drop("_m", "_parts")
         .filter(F.col("lat").between(-90.0, 90.0) & F.col("lon").between(-180.0, 180.0))
     )
     return out

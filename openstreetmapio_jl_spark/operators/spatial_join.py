@@ -88,6 +88,26 @@ def assemble_polygon_rings(
     return with_pos.unionByName(reassembled)
 
 
+def multipolygon_member_ways(relations: DataFrame, ways: DataFrame) -> DataFrame:
+    """Semi-join prune: only the ways referenced as members (way-type,
+    outer/inner/'' role) of type=multipolygon relations.
+
+    Feed THIS into ring/line assembly when the goal is relation polygons:
+    multipolygon member ways are a small fraction of all ways on a real planet
+    file, and ring assembly is a posexplode + node join + per-way aggregation —
+    pruning first keeps that work proportional to the relation set, not the way
+    table. The member-ref side is relation-sized (tiny), so the semi-join
+    broadcasts."""
+    refs = (
+        relations.filter(F.col("tags")["type"] == "multipolygon")
+        .select(F.explode("members").alias("m"))
+        .filter((F.col("m.type") == "way") & F.col("m.role").isin("outer", "inner", ""))
+        .select(F.col("m.ref").alias("id"))
+        .distinct()
+    )
+    return ways.join(F.broadcast(refs), "id", "left_semi")
+
+
 def assemble_way_lines(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     """OPEN ways → (id, refs, lats, lons): the ordered coordinate polyline plus the
     node-id sequence (stitching chains on node IDS, not coordinates — distinct
@@ -344,6 +364,22 @@ def tile_key(x: Column, y: Column, z: int) -> Column:
     )
 
 
+def tile_key_col(x: Column, y: Column, z: Column) -> Column:
+    """tile_key with a per-row zoom column (adaptive-cover path)."""
+    return (
+        z.cast("long") * F.lit(1 << 58).cast("long")
+        + x * F.lit(1 << 29).cast("long")
+        + y
+    )
+
+
+def _shift_right(col: Column, d: Column) -> Column:
+    """col >> d with a COLUMN shift amount (Spark's shiftright needs a literal).
+    Exact for tile indexes: values < 2^29 and 2^d are both exactly representable
+    as doubles."""
+    return F.floor(col / F.pow(F.lit(2.0), d)).cast("long")
+
+
 def tile_cover_bbox(
     min_lat: Column, max_lat: Column, min_lon: Column, max_lon: Column, z: int
 ) -> Column:
@@ -372,6 +408,51 @@ def tile_cover_bbox(
     )
 
 
+def adaptive_cover_cols(
+    min_lat: Column, max_lat: Column, min_lon: Column, max_lon: Column,
+    z: int, max_side: int = 8,
+) -> tuple[Column, Column]:
+    """(lvl, ARRAY<BIGINT> tile keys at lvl): per-polygon multi-resolution cover.
+
+    A polygon whose bbox spans more than ``max_side`` tiles per axis at ``z`` is
+    covered at the coarser level where its span fits — so the cover is bounded
+    by ``max_side²`` keys per polygon REGARDLESS of polygon size. Without this,
+    one continent-sized relation polygon (a country boundary, a sea) explodes
+    into millions of z13 tiles and its cover dominates the whole join. Local
+    polygons (the overwhelming majority) keep the full-resolution level — their
+    candidate sets stay tight."""
+    n = 1 << z
+    y0 = _tile_row_of(max_lat, z)
+    y1 = _tile_row_of(min_lat, z)
+    x_lo = _tile_of(min_lon, z)
+    x_hi = _tile_of(max_lon, z)
+    crosses = (max_lon - min_lon) > F.lit(180.0)
+    sx = F.when(crosses, F.lit(n) - x_hi + x_lo + 1).otherwise(x_hi - x_lo + 1)
+    sy = y1 - y0 + 1
+    span = F.greatest(sx, sy).cast("double")
+    d = (
+        F.when(span <= F.lit(float(max_side)), F.lit(0.0))
+        .otherwise(F.ceil(F.log2(span / F.lit(float(max_side)))))
+        .cast("int")
+    )
+    d = F.least(d, F.lit(z))
+    lvl = (F.lit(z) - d).cast("int")
+    nl = _shift_right(F.lit(n).cast("long"), d)  # tiles per axis at lvl
+    xl_lo, xl_hi = _shift_right(x_lo, d), _shift_right(x_hi, d)
+    yl0, yl1 = _shift_right(y0, d), _shift_right(y1, d)
+    xs = F.when(
+        crosses & (xl_hi > xl_lo),
+        F.concat(F.sequence(xl_hi, nl - 1), F.sequence(F.lit(0).cast("long"), xl_lo)),
+    ).otherwise(F.sequence(F.least(xl_lo, xl_hi), F.greatest(xl_lo, xl_hi)))
+    keys = F.flatten(
+        F.transform(
+            xs,
+            lambda xx: F.transform(F.sequence(yl0, yl1), lambda yy: tile_key_col(xx, yy, lvl)),
+        )
+    )
+    return lvl, keys
+
+
 # ---------------------------------------------------------------------------
 # the PIP join
 # ---------------------------------------------------------------------------
@@ -386,6 +467,8 @@ def point_in_polygon_join(
     broadcast: bool = False,
     nsalt: int = 0,
     salt_id_col: str | None = None,
+    adaptive_cover: bool = False,
+    max_cover_side: int = 8,
 ) -> DataFrame:
     """points × polygons → rows where the point lies inside the polygon.
 
@@ -405,6 +488,16 @@ def point_in_polygon_join(
     bucket and the hot key survives salting, whereas an id-derived salt splits
     them regardless of coordinate duplication. (The salt only routes rows to
     partitions — it never affects which rows match — so any per-row value works.)
+
+    ``adaptive_cover=True`` switches to the multi-resolution cover
+    (:func:`adaptive_cover_cols`): polygons whose bbox exceeds
+    ``max_cover_side`` tiles per axis are covered at a coarser level (≤
+    ``max_cover_side²`` keys each — continent-sized relation polygons stop
+    exploding the cover), and each point emits one key per DISTINCT level
+    actually present on the polygon side (discovered with one tiny
+    polygon-side-only driver action; the usual case is a single level, i.e.
+    zero point-side overhead). A point still meets each polygon in exactly one
+    (level, tile) bucket, so no post-dedup is needed.
     """
     lat = F.col(lat_col)
     lon = F.col(lon_col)
@@ -413,21 +506,50 @@ def point_in_polygon_join(
     # shipping them per (tile × candidate point) materializes O(candidates ×
     # ring_size) doubles through the shuffle (observed 34 GB at sf0.1 before this
     # split). They are re-attached by polygon_id only for bbox-surviving pairs.
-    poly_narrow = polygons.select(
+    poly_base = polygons.select(
         F.col("id").alias("polygon_id"),
         "min_lat",
         "max_lat",
         "min_lon",
         "max_lon",
-    ).withColumn(
-        "tile",
-        F.explode(
-            tile_cover_bbox(
-                F.col("min_lat"), F.col("max_lat"), F.col("min_lon"), F.col("max_lon"), z=zoom
-            )
-        ),
     )
-    pts = points.withColumn("tile", xyz_tile_key_col(lat, lon, zoom))
+    if adaptive_cover:
+        lvl, keys = adaptive_cover_cols(
+            F.col("min_lat"), F.col("max_lat"), F.col("min_lon"), F.col("max_lon"),
+            z=zoom, max_side=max_cover_side,
+        )
+        with_lvl = poly_base.withColumn("_lvl", lvl)
+        levels = sorted(
+            r[0] for r in with_lvl.select("_lvl").distinct().collect()
+        )
+        poly_narrow = with_lvl.withColumn("tile", F.explode(keys)).drop("_lvl")
+        x13 = _tile_of(lon, zoom)
+        y13 = _tile_row_of(lat, zoom)
+        pts = points.withColumn(
+            "tile",
+            F.explode(
+                F.array(
+                    *[
+                        tile_key_col(
+                            _shift_right(x13, F.lit(zoom - l)),
+                            _shift_right(y13, F.lit(zoom - l)),
+                            F.lit(l),
+                        )
+                        for l in levels
+                    ]
+                )
+            ),
+        )
+    else:
+        poly_narrow = poly_base.withColumn(
+            "tile",
+            F.explode(
+                tile_cover_bbox(
+                    F.col("min_lat"), F.col("max_lat"), F.col("min_lon"), F.col("max_lon"), z=zoom
+                )
+            ),
+        )
+        pts = points.withColumn("tile", xyz_tile_key_col(lat, lon, zoom))
 
     if nsalt > 0:
         # point side: per-row salt (id-derived, NOT coordinate-derived — see

@@ -680,8 +680,9 @@ def q_osm_multipolygon_assembly(spark, sf_dir):
     stitcher's accept condition), so any assembly defect (lost ring, wrong
     member filter, failed stitch, bad bbox) breaks equality."""
     b, _ = _osm(spark, sf_dir)
-    rings = SJ.assemble_polygon_rings(b.ways, b.nodes)
-    lines = SJ.assemble_way_lines(b.ways, b.nodes)
+    mw = SJ.multipolygon_member_ways(b.relations, b.ways)
+    rings = SJ.assemble_polygon_rings(mw, b.nodes)
+    lines = SJ.assemble_way_lines(mw, b.nodes)
     mp = SJ.assemble_multipolygons(b.relations, rings, lines)
     return mp.select(
         "id",
@@ -1068,13 +1069,19 @@ def q_pip_hits_multipolygon(spark, sf_dir):
     stitcher's accept rule, so a lost stitched ring or a mis-chained segment
     changes hit counts and breaks equality."""
     b, paths = _osm(spark, sf_dir)
-    rings = SJ.assemble_polygon_rings(b.ways, b.nodes)
-    lines = SJ.assemble_way_lines(b.ways, b.nodes)
+    mw = SJ.multipolygon_member_ways(b.relations, b.ways)
+    rings = SJ.assemble_polygon_rings(mw, b.nodes)
+    lines = SJ.assemble_way_lines(mw, b.nodes)
     mp = SJ.assemble_multipolygons(b.relations, rings, lines).drop("tags")
     pages = spark.read.parquet(paths["pages"])
     pts = geocode.pages_with_cells(pages, zoom=ZOOM)
+    # adaptive cover: relation polygons include deliberately continent-scale
+    # bboxes (outer+inner rings far apart) whose z13 cover would explode into
+    # ~10^5 tiles each; the multi-resolution cover bounds every polygon to
+    # max_cover_side^2 keys
     hits = SJ.point_in_polygon_join(
-        pts.select("url", "lat", "lon"), mp, zoom=ZOOM, nsalt=8, salt_id_col="url"
+        pts.select("url", "lat", "lon"), mp, zoom=ZOOM, nsalt=8, salt_id_col="url",
+        adaptive_cover=True,
     )
     return hits.groupBy("polygon_id").count().withColumnRenamed("count", "n_hits")
 

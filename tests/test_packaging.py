@@ -84,3 +84,48 @@ def test_spark_submit_pyfiles_resumable(pyfiles_zip, tmp_path, osm_data):
     assert p2.returncode == 0, p2.stderr[-4000:]
     stats2 = json.loads([l for l in p2.stdout.splitlines() if l.startswith("{")][-1])
     assert stats2["processed"] == 0 and stats2["skipped"] == 4
+
+
+@pytest.mark.slow
+def test_spark_submit_decode_job(pyfiles_zip, tmp_path, osm_data):
+    """decode_job: single-pass PBF -> parquet via spark-submit, resumable, and
+    the three entity tables land with the canonical schemas + correct counts."""
+    from openstreetmapio_jl_spark.fixtures import generator as G
+
+    meta, nodes, ways, rels = osm_data
+    pbf = str(tmp_path / "f.pbf")
+    G.write_fixture_pbf(pbf, meta, nodes, ways, rels, nodes_per_block=100)
+
+    out, lin = str(tmp_path / "osm"), str(tmp_path / "osm_lineage")
+    cmd = [
+        _spark_submit(),
+        "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.driver.host=127.0.0.1",
+        "--py-files", pyfiles_zip,
+        os.path.join(REPO, "jobs", "decode_job.py"),
+        "--pbf", pbf, "--out", out, "--lineage", lin, "--chunks", "3",
+    ]
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    p = subprocess.run(
+        cmd, cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=600
+    )
+    assert p.returncode == 0, p.stderr[-4000:]
+    stats = json.loads([l for l in p.stdout.splitlines() if l.startswith("{")][-1])
+    assert stats["processed"] == 3 and stats["skipped"] == 0
+
+    counts = {
+        kind: pq.read_table(os.path.join(out, kind)).num_rows
+        for kind in ("nodes", "ways", "relations")
+    }
+    assert counts == {"nodes": 613, "ways": 29, "relations": 3}
+    node_cols = pq.read_table(os.path.join(out, "nodes")).schema.names
+    assert node_cols == ["id", "lat", "lon", "tags", "info", "blob_seq"]
+
+    # resume is a no-op for the chunked union stage
+    p2 = subprocess.run(
+        cmd, cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=600
+    )
+    assert p2.returncode == 0, p2.stderr[-4000:]
+    stats2 = json.loads([l for l in p2.stdout.splitlines() if l.startswith("{")][-1])
+    assert stats2["processed"] == 0 and stats2["skipped"] == 3

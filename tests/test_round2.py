@@ -249,6 +249,87 @@ def test_way_lines_use_positions_when_present(spark):
 
 
 # ---------------------------------------------------------------------------
+# adaptive multi-resolution tile cover
+# ---------------------------------------------------------------------------
+
+def test_adaptive_cover_bounds_keys_and_matches_exact_join(spark):
+    # one LOCAL polygon + one CONTINENT-spanning polygon (two far rings —
+    # the shape whose z13 cover would explode into ~10^5 tiles)
+    ring_a = [(10.0, 10.0), (10.0, 10.1), (10.1, 10.1), (10.1, 10.0), (10.0, 10.0)]
+    ring_b = [(40.0, -5.0), (40.0, 20.0), (60.0, 20.0), (60.0, -5.0), (40.0, -5.0)]
+    rings = spark.createDataFrame(
+        [
+            (1, None, [{"lat": a, "lon": o} for a, o in ring_a]),
+            (2, None, [{"lat": a, "lon": o} for a, o in ring_b]),
+        ],
+        "id long, tags map<string,string>, ring array<struct<lat:double,lon:double>>",
+    )
+    polys = SJ.polygons_with_edges(rings)
+    lvl, keys = SJ.adaptive_cover_cols(
+        F.col("min_lat"), F.col("max_lat"), F.col("min_lon"), F.col("max_lon"), z=13
+    )
+    sizes = {
+        r.id: (r.l, r.s)
+        for r in polys.select("id", lvl.alias("l"), F.size(keys).alias("s")).collect()
+    }
+    assert sizes[1][0] == 13  # local polygon keeps full resolution
+    assert sizes[2][0] < 13  # continental polygon coarsens
+    assert all(s <= 81 for _, s in sizes.values())  # bounded cover everywhere
+
+    pts = spark.createDataFrame(
+        [("in_a", 10.05, 10.05), ("in_b", 50.0, 8.0), ("out", -30.0, -100.0)],
+        "url string, lat double, lon double",
+    )
+    def hitset(**kw):
+        df = SJ.point_in_polygon_join(pts, polys, zoom=13, **kw)
+        return {(r.url, r.polygon_id) for r in df.select("url", "polygon_id").collect()}
+
+    want = {("in_a", 1), ("in_b", 2)}
+    assert hitset(adaptive_cover=True) == want
+    # brute-force twin (bbox+raycast cross join) agrees
+    brute = (
+        pts.crossJoin(polys.withColumnRenamed("id", "polygon_id"))
+        .filter(
+            F.col("lat").between(F.col("min_lat"), F.col("max_lat"))
+            & F.col("lon").between(F.col("min_lon"), F.col("max_lon"))
+        )
+        .filter(__import__("openstreetmapio_jl_spark.functions.geo", fromlist=["geo"]).pip_crossings_col(
+            F.col("lat"), F.col("lon"), F.col("edges")))
+    )
+    assert {(r.url, r.polygon_id) for r in brute.select("url", "polygon_id").collect()} == want
+
+
+def test_adaptive_cover_agrees_with_static_cover_at_its_level(spark):
+    """The shifted-range adaptive cover must produce exactly the key set the
+    static cover yields at the chosen coarse level — including the
+    antimeridian-crosser branch (two x-bands, no wrap-the-world explosion)."""
+    polys = spark.createDataFrame(
+        [(1, 40.0, 60.0, -5.0, 20.0), (2, -10.0, 10.0, -179.0, 179.0)],
+        "id long, min_lat double, max_lat double, min_lon double, max_lon double",
+    )
+    # crosser convention matches tile_cover_bbox: raw span > 180 ⇒ crosser,
+    # with min_lon/max_lon being the raw min/max
+    lvl, keys = SJ.adaptive_cover_cols(
+        F.col("min_lat"), F.col("max_lat"), F.col("min_lon"), F.col("max_lon"), z=13
+    )
+    got = {
+        r.id: (r.l, sorted(r.k))
+        for r in polys.select("id", lvl.alias("l"), keys.alias("k")).collect()
+    }
+    for pid in (1, 2):
+        level, adaptive_keys = got[pid]
+        assert level < 13
+        assert len(adaptive_keys) <= 81
+        static = polys.filter(F.col("id") == pid).select(
+            SJ.tile_cover_bbox(
+                F.col("min_lat"), F.col("max_lat"), F.col("min_lon"), F.col("max_lon"),
+                z=level,
+            ).alias("k")
+        ).collect()[0].k
+        assert adaptive_keys == sorted(static)
+
+
+# ---------------------------------------------------------------------------
 # persist discipline in iterative operators
 # ---------------------------------------------------------------------------
 
