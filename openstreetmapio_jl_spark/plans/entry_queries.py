@@ -285,11 +285,14 @@ def _run_stream(spark, make_result, output_mode: str):
 def _stream_dir(sf_dir: str) -> str:
     """The file stream source wants a DIRECTORY; expose the single events.parquet
     through a symlinked temp dir."""
-    import os
+    return _symlink_dir(os.path.abspath(_t(sf_dir, "events")), "events.parquet")
+
+
+def _symlink_dir(src_path: str, link_name: str) -> str:
     import tempfile
 
-    d = tempfile.mkdtemp(prefix="osmjl_spark_evsrc_")
-    os.symlink(os.path.abspath(_t(sf_dir, "events")), os.path.join(d, "events.parquet"))
+    d = tempfile.mkdtemp(prefix="osmjl_spark_src_")
+    os.symlink(src_path, os.path.join(d, link_name))
     return d
 
 
@@ -319,6 +322,29 @@ def q_events_stream_sessionize(spark, sf_dir):
     )
     return updates.groupBy("user_id").agg(
         F.max("n_sessions").alias("n_sessions"), F.max("n_events").alias("n_events")
+    )
+
+
+def q_pages_stream_pip(spark, sf_dir):
+    """STREAM-STATIC flagship: the web-pages feed as a file-source stream,
+    geocoded and PIP-joined (cell equi-join + exact ray cast) against the
+    once-prepared static polygon dimension — the north-star steady-state shape
+    (polygons built once, pages arriving forever). AvailableNow + complete-mode
+    aggregation makes the streaming result exactly the batch result, so the
+    SAME oracle as pip_hits_per_polygon applies unchanged."""
+    from openstreetmapio_jl_spark import streaming as S
+
+    b, paths = _osm(spark, sf_dir)
+    rings = SJ.assemble_polygon_rings(b.ways, b.nodes)
+    polys = SJ.polygons_with_edges(rings)
+    src = _symlink_dir(os.path.abspath(paths["pages"]), "pages.parquet")
+    return _run_stream(
+        spark,
+        lambda: S.pip_enrich_stream(S.read_pages_stream(spark, src), polys, zoom=ZOOM)
+        .groupBy("polygon_id")
+        .count()
+        .withColumnRenamed("count", "n_hits"),
+        "complete",
     )
 
 
@@ -1458,6 +1484,7 @@ def registry() -> dict[str, tuple]:
             q_pip_hits_multipolygon,
             _sql_pip("truth/multipolygons.parquet"),
         ),
+        "pages_stream_pip": (q_pages_stream_pip, _sql_pip()),
         "knn_pages_to_poi": (q_knn_pages_to_poi, _sql_knn()),
         "tile_pyramid_z11": (q_tile_pyramid, _sql_pyramid()),
         "pages_text_invariant": (q_pages_text_invariant, _sql_text_invariant()),

@@ -125,6 +125,32 @@ def sessionize_stream(events: DataFrame, *, gap_s: int = 1800) -> DataFrame:
     )
 
 
+def read_pages_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over a web-pages parquet directory — the
+    continuously-arriving Common-Crawl-style feed of BASELINE.json's
+    north_star."""
+    from openstreetmapio_jl_spark import model
+
+    return spark.readStream.schema(model.PAGES_DDL).parquet(path)
+
+
+def pip_enrich_stream(
+    pages: DataFrame, polygons: DataFrame, *, zoom: int = 13
+) -> DataFrame:
+    """STREAM-STATIC spatial enrichment: the geocoded page stream joined against
+    the static (once-prepared) polygon dimension via the same cell-keyed equi-join
+    + exact ray-cast as the batch flagship — Structured Streaming supports
+    stream-static inner equi-joins natively, so the whole operator tree
+    (regexp geocode → tile key → join → bbox filter → edges re-attach → ray
+    cast) is streaming-legal with zero operator changes. This is the steady-state
+    production shape: polygons built once, pages arriving forever."""
+    from openstreetmapio_jl_spark.operators import geocode
+    from openstreetmapio_jl_spark.operators import spatial_join as SJ
+
+    pts = geocode.extract_geocodes(pages).select("url", "lat", "lon")
+    return SJ.point_in_polygon_join(pts, polygons, zoom=zoom)
+
+
 def run_available_now(
     result: DataFrame,
     *,

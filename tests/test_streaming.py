@@ -120,3 +120,54 @@ def test_available_now_resume_is_idempotent(spark, stream_src, tmp_path):
     )
     second = spark.sql("select * from t_resume2").collect()
     assert second == []  # nothing new to process — backfill is idempotent
+
+
+def test_pip_enrich_stream_matches_batch(spark, tmp_path):
+    """Stream-static spatial enrichment: streaming pages PIP-joined against a
+    static polygon dimension equals the batch join on the same input."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from openstreetmapio_jl_spark.operators import spatial_join as SJ
+
+    ring = [(49.9, 7.9), (49.9, 8.1), (50.1, 8.1), (50.1, 7.9), (49.9, 7.9)]
+    rings = spark.createDataFrame(
+        [(5, None, [{"lat": a, "lon": o} for a, o in ring])],
+        "id long, tags map<string,string>, ring array<struct<lat:double,lon:double>>",
+    )
+    polys = SJ.polygons_with_edges(rings)
+
+    src = tmp_path / "pages_src"
+    src.mkdir()
+    rows = [
+        ("u_in1", "visit geo:50.0000000,8.0000000 now"),
+        ("u_in2", "also geo:50.0500000,7.9500000 here"),
+        ("u_out", "far geo:10.0000000,10.0000000 away"),
+        ("u_none", "no mention at all"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "url": pa.array([r[0] for r in rows]),
+                "warc_ts": pa.array([None] * len(rows), pa.timestamp("us")),
+                "html": pa.array([b""] * len(rows), pa.binary()),
+                "text": pa.array([r[1] for r in rows]),
+                "lang": pa.array(["en"] * len(rows)),
+            }
+        ),
+        str(src / "part-0.parquet"),
+    )
+    hits = S.pip_enrich_stream(
+        S.read_pages_stream(spark, str(src)), polys, zoom=10
+    ).select("url", "polygon_id")
+    S.run_available_now(
+        hits,
+        query_name="t_pip_stream",
+        output_mode="append",
+        checkpoint_dir=str(tmp_path / "ckpt_pip"),
+    )
+    got = {
+        (r.url, r.polygon_id)
+        for r in spark.sql("select * from t_pip_stream").collect()
+    }
+    assert got == {("u_in1", 5), ("u_in2", 5)}
