@@ -1383,6 +1383,109 @@ from n
 """
 
 
+def _mm_payloads(spark, sf_dir):
+    """Deterministic fake media payloads per doc_id (shared by all mm queries;
+    fixture side — the per-payload Python loop is synthesis, not engine path)."""
+    import pandas as pd
+
+    from openstreetmapio_jl_spark.operators import multimodal as MM
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for d in ids:
+                d = int(d)
+                kind = ["img", "aud", "vid"][d % 3]
+                w, h = 64 + d % 8 * 16, 64 + d % 5 * 16
+                nf = 1 if kind == "img" else d % 30 + 1
+                payloads.append(MM.make_fake_payload(kind, w, h, nf, seed=d))
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.mapInPandas(gen, "doc_id long, payload binary")
+
+
+# the doc_id → synthetic-media arithmetic, as SQL (oracle side of every mm query)
+_SQL_MM_BASE = """
+  select doc_id,
+    ['img', 'aud', 'vid'][doc_id % 3 + 1] as code,
+    64 + doc_id % 8 * 16 as w,
+    64 + doc_id % 5 * 16 as h,
+    case when doc_id % 3 = 0 then 1 else doc_id % 30 + 1 end as nf,
+    greatest(16, (64 + doc_id % 8 * 16) * (64 + doc_id % 5 * 16) // 64) as body
+  from documents
+"""
+
+
+def q_mm_resize_stats(spark, sf_dir):
+    """Image-resize stage differential: payloads → resize_images(96, 96) (the
+    Arrow-batched mapInPandas rewrite; non-images pass through) → metadata
+    re-extract → per-kind aggregate. The oracle re-derives post-resize geometry
+    and byte counts purely arithmetically from doc_id, so header rewrite errors,
+    body subsampling off-by-ones, or pass-through damage to non-images all break
+    equality."""
+    from openstreetmapio_jl_spark.operators import multimodal as MM
+
+    media = _mm_payloads(spark, sf_dir)
+    resized = MM.resize_images(media, 96, 96)
+    dec = MM.extract_media_metadata(resized)
+    return (
+        dec.groupBy(F.col("meta.kind").alias("kind"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("meta.byte_len").alias("total_bytes"),
+            F.round(F.avg(F.col("meta.width") * F.col("meta.height")), 6).alias("avg_pixels"),
+        )
+    )
+
+
+def _sql_mm_resize() -> str:
+    return f"""
+with m as ({_SQL_MM_BASE}),
+r as (
+  select doc_id, code,
+    case when code = 'img' then 96 else w end as w2,
+    case when code = 'img' then 96 else h end as h2,
+    nf,
+    case when code = 'img'
+      then length('FAKEimg:96x96x' || nf || ':')
+           + greatest(16, cast(floor(body * least(1.0, 9216.0 / (w * h))) as bigint))
+      else length('FAKE' || code || ':' || w || 'x' || h || 'x' || nf || ':') + body
+    end as nbytes
+  from m
+)
+select
+  case code when 'img' then 'image' when 'aud' then 'audio' else 'video' end as kind,
+  count(*) as n,
+  cast(sum(nbytes) as bigint) as total_bytes,
+  round(avg(w2 * h2), 6) as avg_pixels
+from r group by 1
+"""
+
+
+def q_mm_frame_sample(spark, sf_dir):
+    """Video frame-sampling differential: the row-explosion mapInPandas stage
+    (one output row per kept frame). Oracle = generate_series over the same
+    doc_id-derived frame counts — a lost video, wrong stride, or off-by-one on
+    the frame range breaks equality. (frame_sha1 stays engine-side: sha1 over
+    binary isn't portable SQL; the row-set equality pins the sampling logic.)"""
+    from openstreetmapio_jl_spark.operators import multimodal as MM
+
+    media = _mm_payloads(spark, sf_dir).withColumnRenamed("doc_id", "media_id")
+    frames = MM.sample_video_frames(media, every_n=7)
+    return frames.select("media_id", "frame_idx")
+
+
+def _sql_mm_frames() -> str:
+    return f"""
+with m as ({_SQL_MM_BASE})
+select doc_id as media_id, cast(unnest(generate_series(0, nf - 1, 7)) as int) as frame_idx
+from m where code = 'vid'
+"""
+
+
 def q_mm_media_stats(spark, sf_dir):
     """Multimodal plumbing differential: deterministic fake media payloads are
     synthesized per doc_id (BINARY column), pushed through the REAL Arrow-batched
@@ -1495,4 +1598,6 @@ def registry() -> dict[str, tuple]:
         "emb_lsh_neardup": (q_emb_lsh_neardup, _sql_lsh_neardup()),
         "doc_fingerprint": (q_doc_fingerprint, _sql_doc_fingerprint()),
         "mm_media_stats": (q_mm_media_stats, _sql_mm_stats()),
+        "mm_resize_stats": (q_mm_resize_stats, _sql_mm_resize()),
+        "mm_frame_sample": (q_mm_frame_sample, _sql_mm_frames()),
     }
