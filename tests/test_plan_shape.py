@@ -1,0 +1,81 @@
+"""Automated physical-plan guards: the scale invariants PLANS.md documents,
+pinned as tests so a refactor can't silently regress them.
+
+- NO row-at-a-time Python (``BatchEvalPython``) in any headline plan — the
+  BASELINE.json input_hint contract. Arrow-batched stages (MapInArrow /
+  MapInPandas / FlatMapGroupsInPandas) are the only sanctioned Python.
+- Filters reach the parquet scan (PushedFilters) on the relational queries.
+- The flagship PIP join ships the polygon side NARROW through the tile
+  exchange: no ``edges`` column may appear in an Exchange below the final
+  edges re-attach join.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+
+def _plan(spark, df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def sf_dir(tmp_path_factory):
+    # plan-shape checks are scale-independent; the smallest fixture keeps the
+    # decode/persist setup cheap
+    return "/root/testdata/sf0.001"
+
+
+HEADLINE_BATCH = [
+    "agg_pricing_summary",
+    "join_revenue_by_nation",
+    "doc_minhash_lsh",
+    "doc_simhash",
+    "sim_cosine_topk",
+    "pages_tile_counts",
+    "pip_hits_per_polygon",
+    "knn_pages_to_poi",
+    "tile_pyramid_z11",
+]
+
+
+def test_no_row_python_in_headline_plans(spark, sf_dir):
+    from openstreetmapio_jl_spark.plans import entry_queries as EQ
+
+    reg = EQ.registry()
+    for name in HEADLINE_BATCH:
+        df = reg[name][0](spark, sf_dir)
+        plan = _plan(spark, df)
+        assert "BatchEvalPython" not in plan, f"row-at-a-time Python UDF in {name}"
+
+
+def test_relational_filters_push_to_parquet_scan(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    plan = _plan(spark, df)
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "GreaterThan(l_quantity" in m.group(1)
+    m2 = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m2 and "l_extendedprice" not in m2.group(1)  # column pruning holds
+
+
+def test_pip_polygon_side_narrow_through_tile_exchange(spark, sf_dir):
+    from openstreetmapio_jl_spark.plans import entry_queries as EQ
+
+    df = EQ.q_pip_hits_per_polygon(spark, sf_dir)
+    plan = _plan(spark, df)
+    # every Exchange's output attribute list must exclude the edges array —
+    # edges are re-attached by polygon_id only AFTER the bbox prefilter
+    for m in re.finditer(r"\(\d+\) Exchange[^\n]*\n(?:[^\n]*\n){0,3}", plan):
+        block = m.group(0)
+        args = re.search(r"Arguments: [^\n]*", block)
+        if args:
+            assert "edges" not in args.group(0), (
+                "edges array rides a shuffle exchange:\n" + block
+            )
