@@ -307,3 +307,54 @@ def pbf_to_parquet(
     bundle.relations.write.mode("overwrite").parquet(f"{out_dir}/relations")
     bundle.union.unpersist()
     return bundle.meta
+
+
+def pbf_to_bucketed_tables(
+    spark: SparkSession,
+    paths: str | list[str],
+    *,
+    n_buckets: int = 64,
+    table_prefix: str = "osm",
+    **read_kw,
+) -> dict:
+    """Decode once → BUCKETED entity tables (``<prefix>_nodes/_ways/_relations``),
+    nodes and exploded way-refs bucketed+sorted on the join key.
+
+    The scale rationale: ring/polyline assembly is ``posexplode(refs) ⋈ nodes``
+    — at planet scale (~9G nodes, ~70G way-refs) that equi-join shuffles BOTH
+    sides on every run. Bucketing both tables into the same bucket count on the
+    node-id key makes the join co-located: Catalyst plans a zero-Exchange
+    SortMergeJoin (verified by ``tests/test_plan_shape.py``), so the shuffle is
+    paid ONCE at ingest and never again. ``<prefix>_way_refs`` is the exploded
+    (way_id, seq, ref) form — pre-exploding at ingest also keeps the refs
+    explode out of every downstream join.
+
+    Spark bucketing requires ``saveAsTable`` (bucket metadata lives in the
+    catalog); the default in-sandbox catalog (Derby + spark-warehouse/) works
+    without extra services. Returns meta."""
+    bundle = read_pbf(spark, paths, single_pass=True, **read_kw)
+    (
+        bundle.nodes.write.mode("overwrite")
+        .bucketBy(n_buckets, "id")
+        .sortBy("id")
+        .format("parquet")
+        .saveAsTable(f"{table_prefix}_nodes")
+    )
+    way_refs = bundle.ways.select(
+        F.col("id").alias("way_id"), F.posexplode("refs").alias("seq", "ref")
+    )
+    (
+        way_refs.write.mode("overwrite")
+        .bucketBy(n_buckets, "ref")
+        .sortBy("ref")
+        .format("parquet")
+        .saveAsTable(f"{table_prefix}_way_refs")
+    )
+    bundle.ways.write.mode("overwrite").format("parquet").saveAsTable(
+        f"{table_prefix}_ways"
+    )
+    bundle.relations.write.mode("overwrite").format("parquet").saveAsTable(
+        f"{table_prefix}_relations"
+    )
+    bundle.union.unpersist()
+    return bundle.meta

@@ -79,3 +79,34 @@ def test_pip_polygon_side_narrow_through_tile_exchange(spark, sf_dir):
             assert "edges" not in args.group(0), (
                 "edges array rides a shuffle exchange:\n" + block
             )
+
+
+def test_bucketed_entity_tables_join_without_shuffle(spark, fixture_pbf):
+    """The ingest-time shuffle pays off: bucketed way_refs ⋈ nodes on the node
+    id plans with ZERO shuffle exchanges (co-located SortMergeJoin) — at planet
+    scale this is the difference between shuffling ~70G refs per assembly run
+    and never shuffling them again after ingest."""
+    from pyspark.sql import functions as F
+
+    from openstreetmapio_jl_spark.sources.pbf_source import pbf_to_bucketed_tables
+
+    meta = pbf_to_bucketed_tables(
+        spark, fixture_pbf, n_buckets=4, table_prefix="t_bkt"
+    )
+    assert meta.get("bbox")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        refs = spark.table("t_bkt_way_refs")
+        nodes = spark.table("t_bkt_nodes").select(
+            F.col("id").alias("ref"), "lat", "lon"
+        )
+        joined = refs.join(nodes, "ref", "inner")
+        plan = _plan(spark, joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        # and the join is CORRECT: every ref resolves on the fixture
+        n_refs = refs.count()
+        assert joined.count() == n_refs
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
