@@ -331,7 +331,20 @@ def pbf_to_bucketed_tables(
 
     Spark bucketing requires ``saveAsTable`` (bucket metadata lives in the
     catalog); the default in-sandbox catalog (Derby + spark-warehouse/) works
-    without extra services. Returns meta."""
+    without extra services. Idempotent: existing tables are dropped and stale
+    managed-table locations (left by a previous session with a different
+    metastore) are cleared, so re-ingest always succeeds. Returns meta."""
+    import os
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    warehouse = warehouse.removeprefix("file:")
+    for suffix in ("nodes", "way_refs", "ways", "relations"):
+        name = f"{table_prefix}_{suffix}"
+        spark.sql(f"drop table if exists {name}")
+        loc = os.path.join(warehouse, name)
+        if os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
     bundle = read_pbf(spark, paths, single_pass=True, **read_kw)
     (
         bundle.nodes.write.mode("overwrite")
