@@ -358,6 +358,42 @@ def q_events_stream_sessionize(spark, sf_dir):
     )
 
 
+def q_events_band_join(spark, sf_dir):
+    """Temporal band join (no native Spark operator; naive non-equi planning is
+    a nested loop): purchases matched to same-user clicks within ±600 s via the
+    gap-binned equi-join (operators/temporal.py) — the 1-D twin of the
+    cell-keyed spatial join. Oracle = the plain non-equi SQL join, so bin
+    boundary off-by-ones or dropped/duplicated pairs break equality."""
+    from openstreetmapio_jl_spark.operators import temporal
+
+    e = _load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    pairs = temporal.band_join(
+        p, c, left_ts="p_ts", right_ts="c_ts", gap_s=600, keys=["user_id"]
+    )
+    return pairs.groupBy("p_id").count().withColumnRenamed("count", "n_clicks")
+
+
+SQL_EVENTS_BAND = """
+with p as (
+  select event_id as p_id, user_id, cast(floor(epoch(ts)) as bigint) as p_ts
+  from events where event_type = 'purchase'
+),
+c as (
+  select user_id, cast(floor(epoch(ts)) as bigint) as c_ts
+  from events where event_type = 'click'
+)
+select p_id, count(*) as n_clicks
+from p join c on p.user_id = c.user_id and abs(p_ts - c_ts) <= 600
+group by p_id
+"""
+
+
 def q_pages_stream_pip(spark, sf_dir):
     """STREAM-STATIC flagship: the web-pages feed as a file-source stream,
     geocoded and PIP-joined (cell equi-join + exact ray cast) against the
@@ -1590,6 +1626,7 @@ def registry() -> dict[str, tuple]:
         "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
         "events_stream_tumbling": (q_events_stream_tumbling, SQL_EVENTS_TUMBLING),
         "events_stream_sessionize": (q_events_stream_sessionize, SQL_EVENTS_SESSIONIZE),
+        "events_band_join": (q_events_band_join, SQL_EVENTS_BAND),
         "doc_exact_dups": (q_doc_exact_dups, SQL_DOC_EXACT),
         "doc_minhash_lsh": (q_doc_minhash_lsh, _sql_minhash_lsh()),
         "doc_ngram_jaccard": (q_doc_ngram_jaccard, SQL_DOC_JACCARD),

@@ -442,3 +442,45 @@ def test_lineage_rejects_path_breaking_chunk_keys(spark, tmp_path):
                 lineage_dir=str(tmp_path / "lin"),
             )
     assert lineage.validate_chunk_key("blob_0001.k-2") == "blob_0001.k-2"
+
+
+# ---------------------------------------------------------------------------
+# temporal band join
+# ---------------------------------------------------------------------------
+
+def test_band_join_matches_bruteforce_at_boundaries(spark):
+    from openstreetmapio_jl_spark.operators import temporal
+
+    # gap 60s; pairs engineered to straddle bin boundaries and hit the exact
+    # band edge (dt == gap kept, dt == gap+1 dropped)
+    base = 1_700_000_000
+    lrows = [(1, base), (2, base + 59), (3, base + 121), (4, base + 240)]
+    rrows = [(10, base + 60), (11, base + 119), (12, base + 180), (13, base + 301)]
+    l = spark.createDataFrame(
+        [(i, __import__("datetime").datetime.utcfromtimestamp(t)) for i, t in lrows],
+        "l_id long, l_ts timestamp",
+    )
+    r = spark.createDataFrame(
+        [(i, __import__("datetime").datetime.utcfromtimestamp(t)) for i, t in rrows],
+        "r_id long, r_ts timestamp",
+    )
+    got = {
+        (x.l_id, x.r_id)
+        for x in temporal.band_join(
+            l, r, left_ts="l_ts", right_ts="r_ts", gap_s=60
+        ).collect()
+    }
+    want = {
+        (li, ri)
+        for li, lt in lrows
+        for ri, rt in rrows
+        if abs(lt - rt) <= 60
+    }
+    assert got == want
+    assert (1, 10) in want  # dt == gap exactly: kept
+    assert (4, 13) not in want and abs(240 - 301) == 61  # gap+1: dropped
+    # duplicates impossible: result size equals distinct pair count
+    rows = temporal.band_join(
+        l, r, left_ts="l_ts", right_ts="r_ts", gap_s=60
+    ).count()
+    assert rows == len(want)
