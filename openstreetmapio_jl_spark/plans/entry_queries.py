@@ -222,6 +222,64 @@ on n_nationkey = b.nk
 """
 
 
+def q_events_rollup(spark, sf_dir):
+    """Multi-level aggregation: ROLLUP over (event_type, day) — per-type-per-day
+    counts, per-type subtotals, and the grand total in one pass (Spark expands
+    to a single Expand + hash aggregate; no per-level rescans). NULL grouping
+    columns are replaced with sentinels so the oracle hash is unambiguous."""
+    e = _load(spark, sf_dir, "events")
+    return (
+        e.withColumn("day", F.to_date("ts").cast("string"))
+        .rollup("event_type", "day")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast(_DEC6)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("day", F.lit("<all>")).alias("day"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SQL_EVENTS_ROLLUP = """
+select coalesce(event_type, '<all>') as event_type,
+  coalesce(cast(cast(ts as date) as varchar), '<all>') as day,
+  count(*) as n,
+  cast(sum(cast(value as decimal(18,6))) as double) as sum_value
+from events
+group by rollup(event_type, cast(cast(ts as date) as varchar))
+"""
+
+
+def q_doc_len_quantiles(spark, sf_dir):
+    """Exact quantiles per group: document-length quartiles per language.
+    Spark's exact ``percentile`` and DuckDB's ``quantile_cont`` share the
+    linear-interpolation definition (index = p·(n−1)), so the differential is
+    exact after 6-dp rounding. (The approximate path — percentile_approx /
+    t-digest — is the 100-TB variant; its sketches aren't engine-portable, so
+    the oracle-checked query pins the exact semantics.)"""
+    d = _load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        *[
+            F.round(F.percentile(F.col("n_chars"), F.lit(p)), 6).alias(name)
+            for p, name in ((0.25, "q1"), (0.5, "median"), (0.75, "q3"))
+        ],
+    )
+
+
+SQL_DOC_QUANTILES = """
+select lang, count(*) as n_docs,
+  round(quantile_cont(n_chars, 0.25), 6) as q1,
+  round(quantile_cont(n_chars, 0.5), 6) as median,
+  round(quantile_cont(n_chars, 0.75), 6) as q3
+from documents group by lang
+"""
+
+
 def q_events_tumbling(spark, sf_dir):
     """Time-windowed agg: 5-minute tumbling counts per event type (the batch twin
     of the streaming pipeline in streaming/)."""
@@ -1627,6 +1685,8 @@ def registry() -> dict[str, tuple]:
         "events_stream_tumbling": (q_events_stream_tumbling, SQL_EVENTS_TUMBLING),
         "events_stream_sessionize": (q_events_stream_sessionize, SQL_EVENTS_SESSIONIZE),
         "events_band_join": (q_events_band_join, SQL_EVENTS_BAND),
+        "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
+        "doc_len_quantiles": (q_doc_len_quantiles, SQL_DOC_QUANTILES),
         "doc_exact_dups": (q_doc_exact_dups, SQL_DOC_EXACT),
         "doc_minhash_lsh": (q_doc_minhash_lsh, _sql_minhash_lsh()),
         "doc_ngram_jaccard": (q_doc_ngram_jaccard, SQL_DOC_JACCARD),
