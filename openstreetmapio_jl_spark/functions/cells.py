@@ -421,6 +421,83 @@ def hex_ring(cell: int, k: int) -> list[int]:
 
 
 # ---------------------------------------------------------------------------
+# geohash (public base32 bit-interleave spec) — PURE Catalyst column math
+# ---------------------------------------------------------------------------
+
+GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_plan(precision: int):
+    """Shared bit plan: per character, the 5 (source, bit-from-msb) pairs.
+    Global bit g (MSB-first) takes lon when g is even, lat when odd."""
+    bits = 5 * precision
+    lon_bits = (bits + 1) // 2
+    lat_bits = bits // 2
+    plan = []
+    for c in range(precision):
+        group = []
+        for j in range(5):
+            g = c * 5 + j
+            if g % 2 == 0:
+                group.append(("lon", lon_bits - 1 - g // 2, 4 - j))
+            else:
+                group.append(("lat", lat_bits - 1 - g // 2, 4 - j))
+        plan.append(group)
+    return lon_bits, lat_bits, plan
+
+
+def geohash_col(lat: Column, lon: Column, precision: int = 7) -> Column:
+    """Geohash as a whole-stage-codegen Column expression — no UDF, no Python:
+    scale lat/lon to fixed-point ints, interleave bits (lon first, MSB-first),
+    emit base32 characters via element_at on a literal char array. The DuckDB
+    twin (:func:`geohash_sql`) re-derives the identical arithmetic, so the
+    differential needs no truth file."""
+    lon_bits, lat_bits, plan = _geohash_plan(precision)
+    lon_i = F.least(
+        F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << lon_bits))),
+        F.lit((1 << lon_bits) - 1),
+    ).cast("long")
+    lat_i = F.least(
+        F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << lat_bits))),
+        F.lit((1 << lat_bits) - 1),
+    ).cast("long")
+    src = {"lon": lon_i, "lat": lat_i}
+    chars = F.array(*[F.lit(ch) for ch in GEOHASH32])
+    out = []
+    for group in plan:
+        idx = None
+        for which, bit, out_pos in group:
+            term = F.shiftleft(
+                F.shiftright(src[which], bit).bitwiseAND(F.lit(1)), out_pos
+            )
+            idx = term if idx is None else idx + term
+        out.append(F.element_at(chars, idx.cast("int") + 1))
+    return F.concat(*out)
+
+
+def geohash_sql(lat_expr: str, lon_expr: str, precision: int = 7) -> str:
+    """The identical arithmetic as an ANSI/DuckDB SQL expression."""
+    lon_bits, lat_bits, plan = _geohash_plan(precision)
+    lon_i = (
+        f"least(cast(floor(({lon_expr} + 180.0) / 360.0 * {float(1 << lon_bits)})"
+        f" as bigint), {(1 << lon_bits) - 1})"
+    )
+    lat_i = (
+        f"least(cast(floor(({lat_expr} + 90.0) / 180.0 * {float(1 << lat_bits)})"
+        f" as bigint), {(1 << lat_bits) - 1})"
+    )
+    src = {"lon": f"({lon_i})", "lat": f"({lat_i})"}
+    parts = []
+    for group in plan:
+        terms = " + ".join(
+            f"((({src[which]} >> {bit}) & 1) << {out_pos})"
+            for which, bit, out_pos in group
+        )
+        parts.append(f"substr('{GEOHASH32}', cast({terms} as int) + 1, 1)")
+    return " || ".join(parts)
+
+
+# ---------------------------------------------------------------------------
 # Arrow-batched pandas UDF wrappers
 # ---------------------------------------------------------------------------
 

@@ -1374,6 +1374,35 @@ def _sql_hex_cells() -> str:
     return f"select url, hex_cell from read_parquet('{_ofx('truth/cells.parquet')}')"
 
 
+def q_geohash_cells_pages(spark, sf_dir):
+    """Geohash (precision 7) assignment as PURE whole-stage-codegen column math
+    — no UDF anywhere (unlike the vendored-curve S2/hex paths, geohash's
+    bit-interleave is small enough to stay in Catalyst). The oracle re-derives
+    the identical fixed-point arithmetic in SQL, so this differential needs no
+    truth file — two fully independent implementations."""
+    pages = _pages(spark, sf_dir)
+    pts = geocode.extract_geocodes(pages)
+    return pts.select(
+        "url", cells.geohash_col(F.col("lat"), F.col("lon"), 7).alias("gh")
+    )
+
+
+def _sql_geohash_cells() -> str:
+    gh = cells.geohash_sql("plat", "plon", 7)
+    return f"""
+with g as (
+  select url,
+    cast(regexp_extract(text, '{geocode.GEO_RE}', 1) as double) as plat,
+    cast(regexp_extract(text, '{geocode.GEO_RE}', 2) as double) as plon
+  from read_parquet('{_ofx("pages.parquet")}')
+  where regexp_extract(text, '{geocode.GEO_RE}', 1) != ''
+    and cast(regexp_extract(text, '{geocode.GEO_RE}', 1) as double) between -90 and 90
+    and cast(regexp_extract(text, '{geocode.GEO_RE}', 2) as double) between -180 and 180
+)
+select url, {gh} as gh from g
+"""
+
+
 # ===========================================================================
 # embedding similarity
 # ===========================================================================
@@ -1718,6 +1747,7 @@ def registry() -> dict[str, tuple]:
         "pages_text_invariant": (q_pages_text_invariant, _sql_text_invariant()),
         "s2_cells_pages": (q_s2_cells_pages, _sql_s2_cells()),
         "hex_cells_pages": (q_hex_cells_pages, _sql_hex_cells()),
+        "geohash_cells_pages": (q_geohash_cells_pages, _sql_geohash_cells()),
         "sim_cosine_topk": (q_sim_cosine_topk, _sql_cosine_topk()),
         "sim_lsh_topk": (q_sim_lsh_topk, _sql_lsh_topk()),
         "emb_lsh_neardup": (q_emb_lsh_neardup, _sql_lsh_neardup()),

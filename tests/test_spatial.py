@@ -160,3 +160,23 @@ def test_cell_udfs_match_numpy_kernels(spark, points):
     )
     assert (merged["s2"].to_numpy() == exp_s2).all()
     assert (merged["hex"].to_numpy() == exp_hex).all()
+
+
+def test_geohash_matches_canonical_values(spark):
+    from openstreetmapio_jl_spark.functions import cells
+
+    pts = spark.createDataFrame(
+        [(57.64911, 10.40744), (48.669, -4.329), (0.0, 0.0), (90.0, 180.0)],
+        "lat double, lon double",
+    )
+    got = [
+        r.gh
+        for r in pts.select(
+            cells.geohash_col(F.col("lat"), F.col("lon"), 7).alias("gh")
+        ).collect()
+    ]
+    # first two are the classic published geohash examples
+    assert got[0] == "u4pruyd"
+    assert got[1] == "gbsuv7z"
+    assert got[2] == "s000000"
+    assert len(got[3]) == 7  # pole/antimeridian clamps, no overflow
