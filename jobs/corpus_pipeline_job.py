@@ -1,0 +1,126 @@
+"""spark-submit entry point: end-to-end training-corpus pipeline.
+
+    spark-submit --py-files dist/openstreetmapio_jl_spark.zip \
+        jobs/corpus_pipeline_job.py \
+        --pages /data/pages.parquet --pbf /data/planet.osm.pbf \
+        --out /data/corpus_out --lineage /data/corpus_lineage \
+        --chunks 64 --min-quality 0.3
+
+The full web-corpus preparation flow, each stage the scale-shaped operator the
+library provides:
+
+1. **exact dedup** — md5 fingerprint of normalized text, keep the smallest
+   url per group (deterministic survivor; one groupBy shuffle);
+2. **quality + language gate** — JVM-side quality_score_col / token counts,
+   drop below ``--min-quality``;
+3. **geocode + spatial enrich** — regex geocode extraction, cell-keyed PIP
+   join against the once-prepared OSM polygon dimension (LEFT join: pages
+   without a geo mention or outside every polygon survive un-enriched);
+4. **partitioned write with lineage** — url-hash chunks, each written then
+   committed (write-output-then-commit), so a killed run resumes with exactly
+   the missing chunks.
+
+Imports resolve from the --py-files archive; no repo-relative imports.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--pages", required=True)
+    ap.add_argument("--pbf", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--lineage", required=True)
+    ap.add_argument("--chunks", type=int, default=64)
+    ap.add_argument("--zoom", type=int, default=13)
+    ap.add_argument("--nsalt", type=int, default=16)
+    ap.add_argument("--min-quality", type=float, default=0.3)
+    ap.add_argument("--run-id", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession, Window
+    from pyspark.sql import functions as F
+
+    from openstreetmapio_jl_spark.functions import text as textfn
+    from openstreetmapio_jl_spark.operators import geocode
+    from openstreetmapio_jl_spark.operators import spatial_join as SJ
+    from openstreetmapio_jl_spark.operators.dedup import fingerprint
+    from openstreetmapio_jl_spark.plans import lineage
+    from openstreetmapio_jl_spark.sources.pbf_source import read_pbf
+
+    spark = (
+        SparkSession.builder.appName("corpus-pipeline")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    # polygon dimension: prepared ONCE, reused by every chunk (production shape)
+    b = read_pbf(spark, args.pbf, single_pass=True)
+    rings = SJ.assemble_polygon_rings(b.ways, b.nodes)
+    polys = SJ.polygons_with_edges(rings).persist()
+    polys.count()
+    b.union.unpersist()
+
+    pages = spark.read.parquet(args.pages)
+
+    # 1. exact dedup: deterministic survivor per normalized-text fingerprint
+    w = Window.partitionBy("fp").orderBy("url")
+    deduped = (
+        pages.withColumn("fp", fingerprint(F.col("text")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    # 2. quality + language gate (all JVM-side)
+    gated = (
+        deduped.withColumn("quality", textfn.quality_score_col(F.col("text")))
+        .withColumn("n_tokens", textfn.token_count_col(F.col("text")))
+        .filter(F.col("quality") >= args.min_quality)
+    )
+
+    # 3. geocode + LEFT spatial enrich: keep every gated page; attach the
+    # containing polygon ids (array, may be empty) for geocoded ones
+    pts = geocode.extract_geocodes(gated).select("url", "lat", "lon")
+    hits = SJ.point_in_polygon_join(
+        pts, polys, zoom=args.zoom, nsalt=args.nsalt, salt_id_col="url"
+    )
+    page_polys = hits.groupBy("url").agg(
+        F.sort_array(F.collect_list("polygon_id")).alias("polygon_ids")
+    )
+    enriched = gated.join(page_polys, "url", "left").withColumn(
+        "polygon_ids",
+        F.coalesce(F.col("polygon_ids"), F.array().cast("array<bigint>")),
+    )
+
+    # 4. chunked, resumable write
+    bucket = F.pmod(F.xxhash64("url"), F.lit(args.chunks)).cast("int")
+    chunked = enriched.withColumn("bucket", bucket).persist()
+
+    def process_chunk(key: str):
+        i = int(key.split("_")[1])
+        return chunked.filter(F.col("bucket") == i).drop("bucket")
+
+    stats = lineage.run_resumable(
+        spark,
+        [f"bucket_{i}" for i in range(args.chunks)],
+        process_chunk,
+        out_dir=args.out,
+        lineage_dir=args.lineage,
+        run_id=args.run_id,
+    )
+    chunked.unpersist()
+    polys.unpersist()
+    print(json.dumps(stats))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -129,3 +129,56 @@ def test_spark_submit_decode_job(pyfiles_zip, tmp_path, osm_data):
     assert p2.returncode == 0, p2.stderr[-4000:]
     stats2 = json.loads([l for l in p2.stdout.splitlines() if l.startswith("{")][-1])
     assert stats2["processed"] == 0 and stats2["skipped"] == 3
+
+
+@pytest.mark.slow
+def test_spark_submit_corpus_pipeline(pyfiles_zip, tmp_path, osm_data):
+    """End-to-end corpus pipeline via spark-submit: dedup -> quality gate ->
+    left spatial enrich -> chunked resumable write, with output invariants."""
+    from openstreetmapio_jl_spark.fixtures import generator as G
+
+    meta, nodes, ways, rels = osm_data
+    pbf = str(tmp_path / "f.pbf")
+    G.write_fixture_pbf(pbf, meta, nodes, ways, rels, nodes_per_block=200)
+    pages = str(tmp_path / "pages.parquet")
+    pq.write_table(G.make_pages(1500), pages)
+
+    out, lin = str(tmp_path / "corpus"), str(tmp_path / "corpus_lineage")
+    cmd = [
+        _spark_submit(),
+        "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.driver.host=127.0.0.1",
+        "--py-files", pyfiles_zip,
+        os.path.join(REPO, "jobs", "corpus_pipeline_job.py"),
+        "--pages", pages, "--pbf", pbf, "--out", out, "--lineage", lin,
+        "--chunks", "3", "--min-quality", "0.2",
+    ]
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    p = subprocess.run(
+        cmd, cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=600
+    )
+    assert p.returncode == 0, p.stderr[-4000:]
+    stats = json.loads([l for l in p.stdout.splitlines() if l.startswith("{")][-1])
+    assert stats["processed"] == 3 and stats["rows"] > 0
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"select count(*) as n, count(distinct url) as u,"
+        f" sum(case when len(polygon_ids) > 0 then 1 else 0 end) as enriched,"
+        f" min(quality) as minq from read_parquet('{out}/chunk=*/*.parquet')"
+    ).fetchone()
+    n, u, enriched, minq = rows
+    assert n == u  # dedup: urls unique in the output
+    assert n <= 1500  # dedup + quality gate only ever drop rows
+    assert enriched > 0  # some pages geocode inside fixture polygons
+    assert minq >= 0.2  # the quality gate held
+
+    # resume is a no-op
+    p2 = subprocess.run(
+        cmd, cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=600
+    )
+    assert p2.returncode == 0, p2.stderr[-4000:]
+    stats2 = json.loads([l for l in p2.stdout.splitlines() if l.startswith("{")][-1])
+    assert stats2["processed"] == 0 and stats2["skipped"] == 3
