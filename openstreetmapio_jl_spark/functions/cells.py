@@ -265,9 +265,8 @@ def xyz_tile_key(lat, lon, z: int) -> np.ndarray:
     return (np.int64(z) << np.int64(58)) | (x << np.int64(29)) | y
 
 
-def xyz_tile_key_col(lat: Column, lon: Column, z: int) -> Column:
-    """Pure-Catalyst twin of :func:`xyz_tile_key` (stays in codegen; identical
-    formula is used in DuckDB oracle SQL)."""
+def _xyz_cols(lat: Column, lon: Column, z: int) -> tuple[Column, Column]:
+    """(x, y) tile index Columns at zoom z (clamped; pure Catalyst)."""
     n = float(1 << z)
     lat_c = F.greatest(
         F.least(lat, F.lit(MERCATOR_LAT_LIMIT)), F.lit(-MERCATOR_LAT_LIMIT)
@@ -284,6 +283,13 @@ def xyz_tile_key_col(lat: Column, lon: Column, z: int) -> Column:
     ).cast("long")
     x = F.greatest(F.least(x, F.lit((1 << z) - 1)), F.lit(0))
     y = F.greatest(F.least(y, F.lit((1 << z) - 1)), F.lit(0))
+    return x, y
+
+
+def xyz_tile_key_col(lat: Column, lon: Column, z: int) -> Column:
+    """Pure-Catalyst twin of :func:`xyz_tile_key` (stays in codegen; identical
+    formula is used in DuckDB oracle SQL)."""
+    x, y = _xyz_cols(lat, lon, z)
     return (F.lit(z).cast("long") * F.lit(1 << 58).cast("long")) + (
         x * F.lit(1 << 29).cast("long")
     ) + y
@@ -317,6 +323,41 @@ def quadkey(x: np.ndarray, y: np.ndarray, z: int) -> np.ndarray:
             q.append(str(digit))
         out[idx] = "".join(q)
     return out
+
+
+def quadkey_col(lat: Column, lon: Column, z: int) -> Column:
+    """Bing-style quadkey as pure Catalyst column math (no UDF): per level i
+    (MSB-first), digit = x_bit + 2·y_bit, looked up from '0123'. Quadkeys carry
+    the hierarchical prefix property (parent = prefix), which makes multi-zoom
+    rollups plain ``substring`` + groupBy. SQL twin: :func:`quadkey_sql`."""
+    x, y = _xyz_cols(lat, lon, z)
+    digits = []
+    for i in range(z, 0, -1):
+        mask = 1 << (i - 1)
+        digit = (
+            F.when(x.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(0)
+            + F.when(y.bitwiseAND(F.lit(mask)) != 0, 2).otherwise(0)
+        )
+        digits.append(F.element_at(F.array(*[F.lit(c) for c in "0123"]), digit + 1))
+    return F.concat(*digits)
+
+
+def quadkey_sql(lat_expr: str, lon_expr: str, z: int) -> str:
+    """The identical quadkey arithmetic as DuckDB SQL."""
+    n = float(1 << z)
+    lim = MERCATOR_LAT_LIMIT
+    lat_c = f"greatest(least({lat_expr}, {lim}), -{lim})"
+    x = f"least(greatest(cast(floor(({lon_expr} + 180.0) / 360.0 * {n}) as bigint), 0), {(1 << z) - 1})"
+    y = (
+        f"least(greatest(cast(floor((1.0 - ln(tan(radians({lat_c})) + 1.0/cos(radians({lat_c}))) / pi()) "
+        f"/ 2.0 * {n}) as bigint), 0), {(1 << z) - 1})"
+    )
+    parts = []
+    for i in range(z, 0, -1):
+        mask = 1 << (i - 1)
+        digit = f"(case when (({x}) & {mask}) != 0 then 1 else 0 end + case when (({y}) & {mask}) != 0 then 2 else 0 end)"
+        parts.append(f"substr('0123', {digit} + 1, 1)")
+    return " || ".join(parts)
 
 
 def tile_bounds(x: int, y: int, z: int) -> tuple[float, float, float, float]:

@@ -1374,6 +1374,37 @@ def _sql_hex_cells() -> str:
     return f"select url, hex_cell from read_parquet('{_ofx('truth/cells.parquet')}')"
 
 
+def q_quadkey_rollup(spark, sf_dir):
+    """Quadkey addressing + the hierarchical-prefix rollup: pages keyed at z11,
+    rolled up to z9 by STRING PREFIX (quadkey's defining property — parent =
+    prefix — turns multi-zoom pyramid aggregation into substring + groupBy,
+    no re-keying math). Pure Catalyst both sides."""
+    pages = _pages(spark, sf_dir)
+    pts = geocode.extract_geocodes(pages)
+    qk = cells.quadkey_col(F.col("lat"), F.col("lon"), 11)
+    return (
+        pts.select(qk.alias("qk11"))
+        .groupBy(F.substring("qk11", 1, 9).alias("qk9"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _sql_quadkey_rollup() -> str:
+    qk = cells.quadkey_sql("plat", "plon", 11)
+    return f"""
+with g as (
+  select
+    cast(regexp_extract(text, '{geocode.GEO_RE}', 1) as double) as plat,
+    cast(regexp_extract(text, '{geocode.GEO_RE}', 2) as double) as plon
+  from read_parquet('{_ofx("pages.parquet")}')
+  where regexp_extract(text, '{geocode.GEO_RE}', 1) != ''
+    and cast(regexp_extract(text, '{geocode.GEO_RE}', 1) as double) between -90 and 90
+    and cast(regexp_extract(text, '{geocode.GEO_RE}', 2) as double) between -180 and 180
+)
+select substr({qk}, 1, 9) as qk9, count(*) as n from g group by 1
+"""
+
+
 def q_geohash_cells_pages(spark, sf_dir):
     """Geohash (precision 7) assignment as PURE whole-stage-codegen column math
     — no UDF anywhere (unlike the vendored-curve S2/hex paths, geohash's
@@ -1748,6 +1779,7 @@ def registry() -> dict[str, tuple]:
         "s2_cells_pages": (q_s2_cells_pages, _sql_s2_cells()),
         "hex_cells_pages": (q_hex_cells_pages, _sql_hex_cells()),
         "geohash_cells_pages": (q_geohash_cells_pages, _sql_geohash_cells()),
+        "quadkey_rollup": (q_quadkey_rollup, _sql_quadkey_rollup()),
         "sim_cosine_topk": (q_sim_cosine_topk, _sql_cosine_topk()),
         "sim_lsh_topk": (q_sim_lsh_topk, _sql_lsh_topk()),
         "emb_lsh_neardup": (q_emb_lsh_neardup, _sql_lsh_neardup()),
