@@ -48,7 +48,7 @@ HOT_CENTER = (54.2625, 9.9840)
 EXTENT = (40.0, -5.0, 60.0, 20.0)
 
 # bump to invalidate materialized .fixtures trees when generation logic changes
-GENERATOR_VERSION = "10"
+GENERATOR_VERSION = "11"
 
 _POI_TYPES = ["restaurant", "cafe", "bar", "school", "pharmacy", "bank", "fuel"]
 _CUISINES = ["italian", "german", "indian", "thai", "greek"]
@@ -653,6 +653,7 @@ def _truth_cells(page_geo: pa.Table) -> pa.Table:
             "url": page_geo.column("url"),
             "s2_cell": pa.array(_cells.s2_cell_id(lat, lon, level=12), pa.int64()),
             "hex_cell": pa.array(_cells.hex_cell(lat, lon, res=9), pa.int64()),
+            "hex_cell_r7": pa.array(_cells.hex_cell(lat, lon, res=7), pa.int64()),
         }
     )
 

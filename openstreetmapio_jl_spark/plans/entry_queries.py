@@ -1374,6 +1374,21 @@ def _sql_hex_cells() -> str:
     return f"select url, hex_cell from read_parquet('{_ofx('truth/cells.parquet')}')"
 
 
+def q_hex_cells_pages_r7(spark, sf_dir):
+    """Hex res-7 assignment (the north_star names H3 res-7 AND res-9) — same
+    truth-table oracle pattern as the res-9 query; a coarser lattice whose cell
+    population distribution differs, so res wiring errors can't cancel out."""
+    pages = _pages(spark, sf_dir)
+    pts = geocode.extract_geocodes(pages)
+    return pts.select(
+        "url", cells.hex_cell_udf(7)(F.col("lat"), F.col("lon")).alias("hex_cell_r7")
+    )
+
+
+def _sql_hex_cells_r7() -> str:
+    return f"select url, hex_cell_r7 from read_parquet('{_ofx('truth/cells.parquet')}')"
+
+
 def q_quadkey_rollup(spark, sf_dir):
     """Quadkey addressing + the hierarchical-prefix rollup: pages keyed at z11,
     rolled up to z9 by STRING PREFIX (quadkey's defining property — parent =
@@ -1778,6 +1793,7 @@ def registry() -> dict[str, tuple]:
         "pages_text_invariant": (q_pages_text_invariant, _sql_text_invariant()),
         "s2_cells_pages": (q_s2_cells_pages, _sql_s2_cells()),
         "hex_cells_pages": (q_hex_cells_pages, _sql_hex_cells()),
+        "hex_cells_pages_r7": (q_hex_cells_pages_r7, _sql_hex_cells_r7()),
         "geohash_cells_pages": (q_geohash_cells_pages, _sql_geohash_cells()),
         "quadkey_rollup": (q_quadkey_rollup, _sql_quadkey_rollup()),
         "sim_cosine_topk": (q_sim_cosine_topk, _sql_cosine_topk()),
