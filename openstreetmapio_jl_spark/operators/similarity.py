@@ -127,6 +127,91 @@ def lsh_cosine_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def centroids(dim: int, n_lists: int, seed: int = 7) -> np.ndarray:
+    """Deterministic coarse-quantizer centroids (seeded standard normal). A
+    production build would k-means these on a sample; fixed seeded centroids
+    keep the operator fully deterministic and oracle-checkable while exercising
+    the identical plan shape (the join structure doesn't care how centroids
+    were fit)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_lists, dim))
+
+
+def _centroid_scores(vec: Column, cents: np.ndarray) -> list[Column]:
+    # score_i = dot(v, c_i) / ||c_i||: the ||v|| factor is common to every i so
+    # argmax/top-nprobe don't need it; centroid norms are plan-time literals
+    out = []
+    for c in cents:
+        cc = F.array(*[F.lit(float(x)) for x in c])
+        out.append(_dot(vec, cc) / F.lit(float(np.linalg.norm(c))))
+    return out
+
+
+def ivf_list_col(vec: Column, cents: np.ndarray) -> Column:
+    """Inverted-list assignment: argmax-cosine centroid (ties → smallest id)."""
+    scores = _centroid_scores(vec, cents)
+    best = F.greatest(*scores)
+    r = F.when(scores[0] == best, F.lit(0))
+    for i in range(1, len(scores)):
+        r = r.when(scores[i] == best, F.lit(i))
+    return r.cast("int")
+
+
+def ivf_probe_lists_col(vec: Column, cents: np.ndarray, nprobe: int) -> Column:
+    """ARRAY<INT> of the ``nprobe`` nearest centroid ids (score desc, id asc)."""
+    scores = _centroid_scores(vec, cents)
+    arr = F.array(
+        *[
+            F.struct((-s).alias("ns"), F.lit(i).alias("i"))
+            for i, s in enumerate(scores)
+        ]
+    )
+    return F.slice(F.transform(F.array_sort(arr), lambda x: x["i"]), 1, nprobe)
+
+
+def ivf_cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 8,
+    nprobe: int = 2,
+    dim: int = 64,
+    seed: int = 7,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF approximate top-k — the second scale path next to hyperplane LSH:
+    corpus vectors land in ONE inverted list (their nearest centroid); each
+    query probes its ``nprobe`` nearest lists; exact cosine re-rank within the
+    probed candidates. Candidate volume ≈ |C|·nprobe/n_lists per query (vs |C|
+    brute force); the join is a plain equi-join on the list id, so AQE/skew
+    machinery applies. A pair can meet at most once (corpus rows have one list,
+    probe lists are distinct) — no dedup needed."""
+    cents = centroids(dim, n_lists, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        ivf_list_col(F.col(vec_col), cents).alias("list"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(ivf_probe_lists_col(F.col(vec_col), cents, nprobe)).alias("list"),
+    )
+    pairs = q.join(c, "list", "inner")
+    if exclude_self:
+        pairs = pairs.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_near_duplicates(
     vectors: DataFrame,
     threshold: float = 0.95,

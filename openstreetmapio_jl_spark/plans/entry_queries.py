@@ -1477,6 +1477,61 @@ qualify rank <= 5
 """
 
 
+def q_sim_ivf_topk(spark, sf_dir):
+    """IVF ANN top-k — the second scale path next to hyperplane LSH (the brief
+    names both): corpus assigned to argmax-cosine inverted lists over 8 seeded
+    centroids, queries probe their 2 nearest lists, exact re-rank within. The
+    oracle replicates the identical list-assignment and probe arithmetic in SQL
+    (same literals, same operation order), so assignment/probe/re-rank bugs all
+    break equality."""
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    return similarity.ivf_cosine_topk(q, emb, k=5, n_lists=8, nprobe=2)
+
+
+def _sql_ivf_topk() -> str:
+    import numpy as np
+
+    cents = similarity.centroids(64, 8, seed=7)
+
+    def score(i, vec="embedding"):
+        dot = (
+            f"list_aggregate(list_transform(list_zip({vec}, {_sql_plane_list(cents[i])}),"
+            f" p -> cast(p[1] as double) * cast(p[2] as double)), 'sum')"
+        )
+        return f"({dot} / {float(np.linalg.norm(cents[i]))!r})"
+
+    scores = [score(i) for i in range(8)]
+    best = f"greatest({', '.join(scores)})"
+    assign = "case " + " ".join(
+        f"when {scores[i]} = {best} then {i}" for i in range(8)
+    ) + " end"
+    probe_rows = " union all ".join(
+        f"select vec_id, embedding, {i} as list, {scores[i]} as score from q0"
+        for i in range(8)
+    )
+    dot = (
+        "list_aggregate(list_transform(list_zip(q.embedding, c.embedding),"
+        " p -> cast(p[1] as double) * cast(p[2] as double)), 'sum')"
+    )
+    nq = "sqrt(list_aggregate(list_transform(q.embedding, x -> cast(x as double) * cast(x as double)), 'sum'))"
+    nc = "sqrt(list_aggregate(list_transform(c.embedding, x -> cast(x as double) * cast(x as double)), 'sum'))"
+    return f"""
+with c as (select vec_id, embedding, cast({assign} as int) as list from embeddings),
+q0 as (select vec_id, embedding from embeddings where vec_id < 20),
+probes as (
+  select vec_id, embedding, list from ({probe_rows})
+  qualify row_number() over (partition by vec_id order by score desc, list asc) <= 2
+)
+select q.vec_id as query_id, c.vec_id as neighbor_id,
+  round({dot} / ({nq} * {nc}), 6) as cos,
+  cast(row_number() over (partition by q.vec_id order by round({dot} / ({nq} * {nc}), 6) desc, c.vec_id asc) as int) as rank
+from probes q join c using (list)
+where q.vec_id != c.vec_id
+qualify rank <= 5
+"""
+
+
 def q_emb_lsh_neardup(spark, sf_dir):
     emb = _load(spark, sf_dir, "embeddings")
     return similarity.embedding_near_duplicates(emb, threshold=0.3, n_tables=2)
@@ -1798,6 +1853,7 @@ def registry() -> dict[str, tuple]:
         "quadkey_rollup": (q_quadkey_rollup, _sql_quadkey_rollup()),
         "sim_cosine_topk": (q_sim_cosine_topk, _sql_cosine_topk()),
         "sim_lsh_topk": (q_sim_lsh_topk, _sql_lsh_topk()),
+        "sim_ivf_topk": (q_sim_ivf_topk, _sql_ivf_topk()),
         "emb_lsh_neardup": (q_emb_lsh_neardup, _sql_lsh_neardup()),
         "doc_fingerprint": (q_doc_fingerprint, _sql_doc_fingerprint()),
         "mm_media_stats": (q_mm_media_stats, _sql_mm_stats()),

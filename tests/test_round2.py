@@ -484,3 +484,33 @@ def test_band_join_matches_bruteforce_at_boundaries(spark):
         l, r, left_ts="l_ts", right_ts="r_ts", gap_s=60
     ).count()
     assert rows == len(want)
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN
+# ---------------------------------------------------------------------------
+
+def test_ivf_pairs_unique_and_cos_exact(spark):
+    """Each (query, neighbor) pair meets at most once through the inverted
+    lists, and the re-ranked cosines equal the brute-force values."""
+    import numpy as np
+
+    from openstreetmapio_jl_spark.operators import similarity
+
+    rng = np.random.default_rng(11)
+    vecs = [(i, [float(x) for x in rng.standard_normal(8)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 6)
+    ivf = similarity.ivf_cosine_topk(
+        q, df, k=3, n_lists=4, nprobe=2, dim=8, seed=7
+    ).collect()
+    pairs = [(r.query_id, r.neighbor_id) for r in ivf]
+    assert len(pairs) == len(set(pairs))  # no duplicate meetings
+    assert {r.query_id for r in ivf} == set(range(6))
+    brute = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in similarity.cosine_topk(q, df, k=40).collect()
+    }
+    for r in ivf:
+        assert brute[(r.query_id, r.neighbor_id)] == r.cos
+        assert 1 <= r.rank <= 3
