@@ -191,6 +191,73 @@ def simhash(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", 
     return votes.select(F.col(id_col), sig.alias("simhash"))
 
 
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    bits: int = 32,
+) -> DataFrame:
+    """→ (id_a, id_b, hamming) for pairs with SimHash Hamming distance ≤
+    ``max_hamming`` (id_a < id_b).
+
+    Candidate generation by the pigeonhole banding trick: the ``bits``-bit
+    signature splits into ``max_hamming + 1`` bands — two signatures within
+    distance ``max_hamming`` MUST agree exactly on at least one band, so
+    candidates are the union of per-band equi-join buckets (never all-pairs;
+    band-key skew is the boilerplate case the generic salting helper handles).
+    Exact verify = ``bit_count(xor)`` on the full signature; a pair matching in
+    several bands is deduped by grouping before the verify."""
+    n_bands = max_hamming + 1
+    band_bits = bits // n_bands
+    sig = simhash(docs, id_col=id_col, text_col=text_col, bits=bits).select(
+        F.col(id_col).alias("id"), "simhash"
+    )
+    bands = sig.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftright(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("band_val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "simhash", "band.band_idx", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+        )
+        .agg(
+            F.first("a.simhash").alias("sig_a"),
+            F.first("b.simhash").alias("sig_b"),
+        )
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     *,

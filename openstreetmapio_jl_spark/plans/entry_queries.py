@@ -580,6 +580,35 @@ select doc_id, {sig} as simhash from votes
 """
 
 
+def q_doc_simhash_neardup(spark, sf_dir):
+    """SimHash near-duplicate PAIRS via pigeonhole banding: signatures within
+    Hamming distance 3 must share one of 4 exact 8-bit bands, so candidates are
+    per-band equi-join buckets (never all-pairs) and the exact verify is
+    bit_count(xor) on the full signature. The oracle re-derives bands and
+    verify from the same signature SQL."""
+    return dedup.simhash_neardup_pairs(_load(spark, sf_dir, "documents"))
+
+
+def _sql_simhash_neardup() -> str:
+    return f"""
+with sig as ({_sql_simhash()}),
+bands as (
+  select doc_id as id, simhash, b.band_idx,
+    (simhash >> (b.band_idx * 8)) & 255 as band_val
+  from sig, (values (0), (1), (2), (3)) b(band_idx)
+),
+cand as (
+  select a.id as id_a, b.id as id_b,
+    any_value(a.simhash) as sa, any_value(b.simhash) as sb
+  from bands a join bands b
+    on a.band_idx = b.band_idx and a.band_val = b.band_val and a.id < b.id
+  group by 1, 2
+)
+select id_a, id_b, cast(bit_count(xor(sa, sb)) as int) as hamming
+from cand where bit_count(xor(sa, sb)) <= 3
+"""
+
+
 def q_doc_token_quality(spark, sf_dir):
     d = _load(spark, sf_dir, "documents")
     return (
@@ -1821,6 +1850,7 @@ def registry() -> dict[str, tuple]:
         "doc_minhash_lsh": (q_doc_minhash_lsh, _sql_minhash_lsh()),
         "doc_ngram_jaccard": (q_doc_ngram_jaccard, SQL_DOC_JACCARD),
         "doc_simhash": (q_doc_simhash, _sql_simhash()),
+        "doc_simhash_neardup": (q_doc_simhash_neardup, _sql_simhash_neardup()),
         "doc_token_quality": (q_doc_token_quality, SQL_DOC_TOKEN_QUALITY),
         "doc_langid": (q_doc_langid, _sql_langid()),
         "osm_counts": (q_osm_counts, _sql_osm_counts()),
