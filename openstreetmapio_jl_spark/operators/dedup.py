@@ -191,6 +191,102 @@ def simhash(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", 
     return votes.select(F.col(id_col), sig.alias("simhash"))
 
 
+def jaccard_via_lsh(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """→ (id_a, id_b, jaccard): the PLANET-SCALE composition the Jaccard
+    operator's docstring prescribes — MinHash-LSH buckets generate the
+    candidate pairs (sub-quadratic; only same-band-signature docs ever pair),
+    then exact shingle-set Jaccard verifies each candidate. Versus
+    :func:`ngram_jaccard_pairs` (whose shingle equi-join IS the prefilter),
+    the candidate count here is bounded by bucket co-membership, not by
+    shared-shingle document frequency — the property that survives 100 TB.
+    Approximation is one-sided: every reported pair carries its EXACT Jaccard;
+    pairs can only be MISSED (LSH recall), never wrongly scored."""
+    nbands = num_hashes // band_size
+    d = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    # per-doc band signatures (same derivation as minhash_lsh_buckets, which
+    # returns bucket AGGREGATES — here the memberships themselves are needed)
+    sh = d.select(
+        "id",
+        F.explode(F.array_distinct(char_shingles(F.col("text"), shingle_n))).alias("s"),
+    )
+    hashed = sh.select(
+        "id",
+        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(F.md5("s"), 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+    sigs = hashed.groupBy("id").agg(
+        *[
+            F.min(
+                F.pmod(F.col("h1") + F.lit(i + 1) * F.col("h2"), F.lit(MINHASH_PRIME))
+            ).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    bands = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws(
+                                "_",
+                                *[
+                                    F.col(f"mh{b * band_size + j}").cast("string")
+                                    for j in range(band_size)
+                                ],
+                            )
+                        ).alias("band_sig"),
+                    )
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_sig")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # exact verify: shingle sets re-attached per candidate pair only
+    shs = d.select(
+        "id", F.array_distinct(char_shingles(F.col("text"), shingle_n)).alias("sh")
+    )
+    sa = shs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = shs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash_neardup_pairs(
     docs: DataFrame,
     *,

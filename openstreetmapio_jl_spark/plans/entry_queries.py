@@ -557,6 +557,52 @@ where round(common / (na.n_shingles + nb.n_shingles - common), 6) >= 0.7
 """
 
 
+def q_doc_jaccard_via_lsh(spark, sf_dir):
+    """The planet-scale dedup composition: MinHash-LSH bucket candidates →
+    exact shingle-set Jaccard verify (one-sided approximation: reported pairs
+    carry exact scores; recall is the only trade). Oracle composes the same
+    two derivations in SQL."""
+    return dedup.jaccard_via_lsh(_load(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def _sql_jaccard_via_lsh() -> str:
+    P = dedup.MINHASH_PRIME
+    mh = ",\n  ".join(f"min((h1 + {i + 1} * h2) % {P}) as mh{i}" for i in range(8))
+    bands = ", ".join(
+        f"struct_pack(band_idx := {b}, band_sig := md5(mh{2*b}::varchar || '_' || mh{2*b+1}::varchar))"
+        for b in range(4)
+    )
+    return f"""
+with sh0 as (
+  select doc_id as id, list_distinct({_sql_shingles('text')}) as sh from documents
+),
+shx as (select id, unnest(sh) as s from sh0),
+h as (
+  select id,
+    ('0x' || substr(md5(s), 1, 8))::bigint as h1,
+    ('0x' || substr(md5(s), 9, 8))::bigint as h2
+  from shx
+),
+sig as (select id, {mh} from h group by id),
+bb as (
+  select id, band.band_idx as band_idx, band.band_sig as band_sig
+  from (select id, unnest([{bands}]) as band from sig)
+),
+cand as (
+  select distinct a.id as id_a, b.id as id_b
+  from bb a join bb b
+    on a.band_idx = b.band_idx and a.band_sig = b.band_sig and a.id < b.id
+),
+j as (
+  select id_a, id_b,
+    len(list_intersect(x.sh, y.sh)) as inter, len(x.sh) as na, len(y.sh) as nb
+  from cand join sh0 x on x.id = id_a join sh0 y on y.id = id_b
+)
+select id_a, id_b, round(inter / (na + nb - inter), 6) as jaccard
+from j where round(inter / (na + nb - inter), 6) >= 0.5
+"""
+
+
 def q_doc_simhash(spark, sf_dir):
     return dedup.simhash(_load(spark, sf_dir, "documents"))
 
@@ -1849,6 +1895,7 @@ def registry() -> dict[str, tuple]:
         "doc_exact_dups": (q_doc_exact_dups, SQL_DOC_EXACT),
         "doc_minhash_lsh": (q_doc_minhash_lsh, _sql_minhash_lsh()),
         "doc_ngram_jaccard": (q_doc_ngram_jaccard, SQL_DOC_JACCARD),
+        "doc_jaccard_via_lsh": (q_doc_jaccard_via_lsh, _sql_jaccard_via_lsh()),
         "doc_simhash": (q_doc_simhash, _sql_simhash()),
         "doc_simhash_neardup": (q_doc_simhash_neardup, _sql_simhash_neardup()),
         "doc_token_quality": (q_doc_token_quality, SQL_DOC_TOKEN_QUALITY),
