@@ -180,3 +180,28 @@ def test_geohash_matches_canonical_values(spark):
     assert got[1] == "gbsuv7z"
     assert got[2] == "s000000"
     assert len(got[3]) == 7  # pole/antimeridian clamps, no overflow
+
+
+def test_quadkey_col_matches_numpy_and_prefix_property(spark):
+    import numpy as np
+
+    from openstreetmapio_jl_spark.functions import cells
+
+    rng = np.random.default_rng(3)
+    lats = np.round(rng.uniform(-80, 80, 50), 6)
+    lons = np.round(rng.uniform(-179, 179, 50), 6)
+    df = spark.createDataFrame(
+        [(float(a), float(o)) for a, o in zip(lats, lons)], "lat double, lon double"
+    )
+    got = [
+        (r.q11, r.q9)
+        for r in df.select(
+            cells.quadkey_col(F.col("lat"), F.col("lon"), 11).alias("q11"),
+            cells.quadkey_col(F.col("lat"), F.col("lon"), 9).alias("q9"),
+        ).collect()
+    ]
+    x11, y11 = cells.xyz_tile(lats, lons, 11)
+    want11 = cells.quadkey(x11, y11, 11)
+    for (q11, q9), w in zip(got, want11):
+        assert q11 == w
+        assert q9 == q11[:9]  # the hierarchical prefix property
