@@ -1813,6 +1813,110 @@ from m where code = 'vid'
 """
 
 
+_PIVOT_LANGS = ["en", "de", "fr", "es", "zh"]
+
+
+def q_doc_lang_pivot(spark, sf_dir):
+    """Pivot surface: per-source counts pivoted into one column per language
+    (Spark's ``groupBy().pivot()`` with an EXPLICIT value list — at scale the
+    list must be explicit or Spark first runs a distinct-scan over the pivot
+    column). The oracle expresses the identical shape as conditional
+    aggregation."""
+    d = _load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .pivot("lang", _PIVOT_LANGS)
+        .count()
+        .na.fill(0, _PIVOT_LANGS)
+    )
+
+
+def _sql_lang_pivot() -> str:
+    conds = ",\n  ".join(
+        f"cast(sum(case when lang = '{l}' then 1 else 0 end) as bigint) as {l}"
+        for l in _PIVOT_LANGS
+    )
+    return f"""
+select source,
+  {conds}
+from documents group by 1
+"""
+
+
+def q_doc_winnow_fps(spark, sf_dir):
+    """TRUE winnowing (Schleimer/Wilkerson/Aiken): per document, the DISTINCT
+    set of window-minimum gram hashes — window w=4 over 8-char grams of the
+    normalized text, min per window via a frame-bounded window function, then
+    per-doc distinct count + order-free checksum. Guarantees every substring
+    match of length ≥ w+7 shares a fingerprint (the local-min property), unlike
+    the single global-min digest in doc_fingerprint. Identical window-function
+    semantics exist in DuckDB, so the oracle is exact."""
+    n, w = 8, 4
+    docs = _load(spark, sf_dir, "documents")
+    txt = dedup.normalized_text(F.col("text"))
+    grams = (
+        docs.select("doc_id", txt.alias("t"))
+        # gate on the NORMALIZED length (whitespace collapse can shorten it;
+        # sequence(1, stop<=0) would count DOWN — the short-doc shingle trap)
+        .filter(F.length("t") >= n + w - 1)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("t") - (n - 1)),
+                    lambda i: F.conv(
+                        F.substring(F.md5(F.substring(F.col("t"), i, n)), 1, 8), 16, 10
+                    ).cast("long"),
+                )
+            ).alias("pos", "h"),
+        )
+    )
+    win = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    n_grams = Window.partitionBy("doc_id")
+    mins = (
+        grams.withColumn("win_min", F.min("h").over(win))
+        .withColumn("n_pos", F.count("*").over(n_grams))
+        # only FULL windows fingerprint (positions 0 .. n_pos-w)
+        .filter(F.col("pos") <= F.col("n_pos") - w)
+        .select("doc_id", "win_min")
+        .distinct()
+    )
+    return mins.groupBy("doc_id").agg(
+        F.count("*").alias("n_fps"),
+        F.sum(F.pmod(F.col("win_min"), F.lit(10**9))).alias("fp_checksum"),
+    )
+
+
+def _sql_winnow() -> str:
+    return r"""
+with d as (
+  select doc_id, t from (
+    select doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) as t
+    from documents
+  ) where length(t) >= 11
+),
+grams as (
+  select doc_id, i as pos,
+    ('0x' || substr(md5(substr(t, i, 8)), 1, 8))::bigint as h
+  from (select doc_id, t, unnest(generate_series(1, length(t) - 7)) as i from d)
+),
+wins as (
+  select doc_id, pos,
+    min(h) over (partition by doc_id order by pos rows between current row and 3 following) as win_min,
+    count(*) over (partition by doc_id) as n_pos
+  from grams
+),
+mins as (
+  select distinct doc_id, win_min from wins where pos <= n_pos - 4 + 1
+)
+select doc_id, count(*) as n_fps,
+  cast(sum(win_min % 1000000000) as bigint) as fp_checksum
+from mins group by doc_id
+"""
+
+
 def q_mm_media_stats(spark, sf_dir):
     """Multimodal plumbing differential: deterministic fake media payloads are
     synthesized per doc_id (BINARY column), pushed through the REAL Arrow-batched
@@ -1933,6 +2037,8 @@ def registry() -> dict[str, tuple]:
         "sim_ivf_topk": (q_sim_ivf_topk, _sql_ivf_topk()),
         "emb_lsh_neardup": (q_emb_lsh_neardup, _sql_lsh_neardup()),
         "doc_fingerprint": (q_doc_fingerprint, _sql_doc_fingerprint()),
+        "doc_winnow_fps": (q_doc_winnow_fps, _sql_winnow()),
+        "doc_lang_pivot": (q_doc_lang_pivot, _sql_lang_pivot()),
         "mm_media_stats": (q_mm_media_stats, _sql_mm_stats()),
         "mm_resize_stats": (q_mm_resize_stats, _sql_mm_resize()),
         "mm_frame_sample": (q_mm_frame_sample, _sql_mm_frames()),
