@@ -222,6 +222,68 @@ on n_nationkey = b.nk
 """
 
 
+def q_setop_nations_except(spark, sf_dir):
+    """Set ops (EXCEPT): nations having customers but no NEGATIVE-balance
+    suppliers — the filtered right side keeps the difference non-empty, so the
+    distinct-set subtraction is exercised on real rows (the unfiltered
+    difference is empty at every sf)."""
+    c = _load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = (
+        _load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_nationkey").alias("nk"))
+    )
+    n = _load(spark, sf_dir, "nation")
+    only_c = c.subtract(s)  # EXCEPT DISTINCT — matches SQL `except`
+    return n.join(only_c, n.n_nationkey == only_c.nk).select("n_name")
+
+
+SQL_SETOP_EXCEPT = """
+select n_name from nation
+join (
+  select c_nationkey as nk from customer
+  except
+  select s_nationkey from supplier where s_acctbal < 0
+) b
+on n_nationkey = b.nk
+"""
+
+
+def q_doc_hash_sample(spark, sf_dir):
+    """Deterministic hash sampling — the reproducible-shard primitive every
+    training pipeline needs (Bernoulli `sample()` depends on seed+partitioning;
+    an md5-keyed modulus is engine-portable and stable under repartitioning):
+    keep docs whose md5(doc_id) bucket falls in a fixed 10% band, then
+    aggregate so the oracle checks the exact membership."""
+    d = _load(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(100),
+    )
+    return (
+        d.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < 10)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum("n_chars").alias("chars_sum"),
+        )
+    )
+
+
+SQL_DOC_HASH_SAMPLE = """
+select lang, count(*) as n,
+  cast(sum(doc_id) as bigint) as id_sum,
+  cast(sum(n_chars) as bigint) as chars_sum
+from documents
+where (('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint) % 100 < 10
+group by lang
+"""
+
+
 def q_events_rollup(spark, sf_dir):
     """Multi-level aggregation: ROLLUP over (event_type, day) — per-type-per-day
     counts, per-type subtotals, and the grand total in one pass (Spark expands
@@ -1988,6 +2050,8 @@ def registry() -> dict[str, tuple]:
         "join_revenue_by_nation": (q_join_revenue_by_nation, SQL_JOIN_REVENUE),
         "window_top_orders": (q_window_top_orders, SQL_WINDOW_TOP),
         "setop_nations": (q_setop_nations, SQL_SETOP),
+        "setop_nations_except": (q_setop_nations_except, SQL_SETOP_EXCEPT),
+        "doc_hash_sample": (q_doc_hash_sample, SQL_DOC_HASH_SAMPLE),
         "events_tumbling_5min": (q_events_tumbling, SQL_EVENTS_TUMBLING),
         "events_json_extract": (q_events_json, SQL_EVENTS_JSON),
         "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
