@@ -29,7 +29,6 @@ def band_join(
     right_ts: str,
     gap_s: int,
     keys: list[str] | None = None,
-    how: str = "inner",
 ) -> DataFrame:
     """Pairs (l, r) with ``|l.<left_ts> - r.<right_ts>| <= gap_s`` (timestamps
     compared in epoch seconds), optionally also matching on equi ``keys``
@@ -37,8 +36,15 @@ def band_join(
     distribute by the key too). Left rows explode to bins {b-1, b, b+1}; right
     rows keep their single bin — a pair within the band always differs by ≤ 1
     bin and meets exactly once (at the RIGHT row's bin), so no dedup is needed.
-    ``left_ts`` / ``right_ts`` must be distinct column names (alias upstream)."""
+    ``left_ts`` / ``right_ts`` must be distinct column names (alias upstream).
+
+    INNER only, by construction: outer semantics cannot survive this rewrite —
+    an unmatched left row would surface 3× (one per exploded bin, NULL right
+    side) and the band post-filter (NULL for those rows) would then drop it
+    entirely. An outer band join needs a post-join re-aggregation per original
+    left row; until someone needs that, the parameter is not offered."""
     assert left_ts != right_ts, "alias the two timestamp columns apart"
+    how = "inner"
     keys = keys or []
     l_epoch = F.unix_timestamp(F.col(left_ts))
     r_epoch = F.unix_timestamp(F.col(right_ts))

@@ -47,17 +47,24 @@ def around_bounds(lat: float, lon: float, radius_m: float) -> str:
 
 
 def build_query(bounds: str, *, timeout: int = 25) -> str:
-    """The reference's OverpassQL template (``load_overpass.jl:82-92``)."""
+    """The reference's OverpassQL template (``load_overpass.jl:82-92``).
+
+    Whitespace mirrors the Julia triple-quoted string's runtime value: its lines
+    are tab-indented and the closing-delimiter line is space-indented, so Julia's
+    dedent (longest common whitespace prefix) removes nothing and the tabs reach
+    the server. Functional equivalence is what Overpass needs (OverpassQL ignores
+    leading whitespace); the indentation is reproduced anyway so the encoded
+    request byte-matches the reference's for the template body."""
     return (
-        f"[out:xml][timeout:{timeout}];\n"
-        "(\n"
-        f"  node({bounds});\n"
-        f"  way({bounds});\n"
-        f"  relation({bounds});\n"
-        ");\n"
-        "out body;\n"
-        ">;\n"
-        "out skel qt;\n"
+        f"\t[out:xml][timeout:{timeout}];\n"
+        "\t(\n"
+        f"\t\tnode({bounds});\n"
+        f"\t\tway({bounds});\n"
+        f"\t\trelation({bounds});\n"
+        "\t);\n"
+        "\tout body;\n"
+        "\t>;\n"
+        "\tout skel qt;\n"
     )
 
 

@@ -22,8 +22,19 @@ def test_bounds_strings():
 
 def test_build_query_template():
     q = O.build_query("54.0,9.0,55.0,10.0", timeout=15)
-    assert q.startswith("[out:xml][timeout:15];")
-    for part in ("node(54.0,9.0,55.0,10.0);", "way(", "relation(", "out body;", ">;", "out skel qt;"):
+    # tab-indented lines, matching the reference template's runtime value
+    # (Julia triple-quote dedent removes nothing: tab-indented body lines share
+    # no whitespace prefix with the space-indented closing delimiter)
+    assert q.startswith("\t[out:xml][timeout:15];\n\t(\n\t\tnode(")
+    for part in (
+        "\t\tnode(54.0,9.0,55.0,10.0);\n",
+        "\t\tway(",
+        "\t\trelation(",
+        "\t);\n",
+        "\tout body;\n",
+        "\t>;\n",
+        "\tout skel qt;\n",
+    ):
         assert part in q
 
 
@@ -46,7 +57,7 @@ def test_fetch_failover_and_parse(spark, tmp_path):
 
     bundle = O.fetch_overpass(spark, O.bbox_bounds(54.0, 9.0, 55.0, 10.0), fetcher=fetcher)
     assert len(calls) == 2  # failover happened
-    assert "data=%5Bout%3Axml%5D" in calls[0]  # url_encode applied
+    assert "data=%09%5Bout%3Axml%5D" in calls[0]  # url_encode applied (tab-led template)
     assert bundle.nodes.count() == len(nodes)
     assert bundle.ways.count() == len(ways)
     assert bundle.relations.count() == len(rels)
