@@ -191,6 +191,26 @@ def simhash(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", 
     return votes.select(F.col(id_col), sig.alias("simhash"))
 
 
+def _cap_bucket_df(memberships: DataFrame, keys: list[str], cap: int | None) -> DataFrame:
+    """Drop LSH/band buckets holding more than ``cap`` members BEFORE the
+    candidate self-join. Salting cannot fix a hot bucket — it spreads the rows
+    but the O(n²) pair count inside the bucket survives; the only scale-safe
+    move is to drop (or sub-split) degenerate buckets (near-empty texts,
+    boilerplate, zero vectors) and document the recall trade, mirroring the
+    ``max_shingle_df`` guard in :func:`ngram_jaccard_pairs`. The count is one
+    extra groupBy on the same key the self-join shuffles on, so with AQE the
+    join back adds no extra exchange of the membership side."""
+    if cap is None:
+        return memberships
+    cold = (
+        memberships.groupBy(*keys)
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= cap)
+        .select(*keys)
+    )
+    return memberships.join(cold, keys)
+
+
 def jaccard_via_lsh(
     docs: DataFrame,
     *,
@@ -200,6 +220,7 @@ def jaccard_via_lsh(
     threshold: float = 0.5,
     num_hashes: int = 8,
     band_size: int = 2,
+    max_bucket_df: int | None = None,
 ) -> DataFrame:
     """→ (id_a, id_b, jaccard): the PLANET-SCALE composition the Jaccard
     operator's docstring prescribes — MinHash-LSH buckets generate the
@@ -209,7 +230,11 @@ def jaccard_via_lsh(
     the candidate count here is bounded by bucket co-membership, not by
     shared-shingle document frequency — the property that survives 100 TB.
     Approximation is one-sided: every reported pair carries its EXACT Jaccard;
-    pairs can only be MISSED (LSH recall), never wrongly scored."""
+    pairs can only be MISSED (LSH recall), never wrongly scored.
+
+    ``max_bucket_df`` drops buckets with more than that many member docs before
+    the self-join (see :func:`_cap_bucket_df`) — one degenerate bucket of
+    boilerplate docs otherwise produces O(n²) pairs at corpus scale."""
     nbands = num_hashes // band_size
     d = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     # per-doc band signatures (same derivation as minhash_lsh_buckets, which
@@ -253,6 +278,7 @@ def jaccard_via_lsh(
             )
         ).alias("band"),
     ).select("id", "band.band_idx", "band.band_sig")
+    bands = _cap_bucket_df(bands, ["band_idx", "band_sig"], max_bucket_df)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -294,6 +320,7 @@ def simhash_neardup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     bits: int = 32,
+    max_bucket_df: int | None = None,
 ) -> DataFrame:
     """→ (id_a, id_b, hamming) for pairs with SimHash Hamming distance ≤
     ``max_hamming`` (id_a < id_b).
@@ -301,10 +328,13 @@ def simhash_neardup_pairs(
     Candidate generation by the pigeonhole banding trick: the ``bits``-bit
     signature splits into ``max_hamming + 1`` bands — two signatures within
     distance ``max_hamming`` MUST agree exactly on at least one band, so
-    candidates are the union of per-band equi-join buckets (never all-pairs;
-    band-key skew is the boilerplate case the generic salting helper handles).
+    candidates are the union of per-band equi-join buckets (never all-pairs).
     Exact verify = ``bit_count(xor)`` on the full signature; a pair matching in
-    several bands is deduped by grouping before the verify."""
+    several bands is deduped by grouping before the verify.
+
+    ``max_bucket_df`` caps band-bucket cardinality before the self-join
+    (:func:`_cap_bucket_df`) — the boilerplate-text hot bucket otherwise goes
+    quadratic, and salting can't help (it spreads rows, not the pair count)."""
     n_bands = max_hamming + 1
     band_bits = bits // n_bands
     sig = simhash(docs, id_col=id_col, text_col=text_col, bits=bits).select(
@@ -327,6 +357,7 @@ def simhash_neardup_pairs(
             )
         ).alias("band"),
     ).select("id", "simhash", "band.band_idx", "band.band_val")
+    bands = _cap_bucket_df(bands, ["band_idx", "band_val"], max_bucket_df)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -221,6 +221,7 @@ def embedding_near_duplicates(
     n_planes: int = 8,
     dim: int = 64,
     n_tables: int = 2,
+    max_bucket_df: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b, cos >= threshold) via multi-table LSH buckets
     + exact verify — the embedding analog of MinHash-LSH text dedup.
@@ -229,7 +230,14 @@ def embedding_near_duplicates(
     candidate pairs before the exact re-rank: single-table recall at 8 planes is
     ~(1-θ/π)^8 and misses moderate-similarity pairs; each extra table multiplies
     the miss probability. Candidate ids are deduped BEFORE vectors are re-attached
-    so the (heavy) embedding arrays never ride the candidate shuffle twice."""
+    so the (heavy) embedding arrays never ride the candidate shuffle twice.
+
+    ``max_bucket_df`` drops (t, bucket) groups holding more than that many
+    vectors before the self-join — one degenerate bucket (zero/near-zero
+    embeddings all hashing to the same sign pattern) otherwise goes O(n²) at
+    corpus scale; salting can't reduce the pair count, only dropping the
+    bucket can (documented recall trade, same pattern as the text-side
+    ``max_shingle_df``/``max_bucket_df`` guards in ``operators/dedup.py``)."""
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     parts = []
     for t in range(n_tables):
@@ -244,6 +252,10 @@ def embedding_near_duplicates(
     sig = parts[0]
     for p in parts[1:]:
         sig = sig.unionByName(p)
+    if max_bucket_df is not None:
+        from openstreetmapio_jl_spark.operators.dedup import _cap_bucket_df
+
+        sig = _cap_bucket_df(sig, ["t", "bucket"], max_bucket_df)
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(

@@ -553,11 +553,14 @@ def point_in_polygon_join(
 
     if nsalt > 0:
         # point side: per-row salt (id-derived, NOT coordinate-derived — see
-        # docstring); polygon side: explode the full salt range
+        # docstring); polygon side: explode the full salt range. The fallback
+        # hashes ALL point columns rather than monotonically_increasing_id:
+        # a nondeterministic salt re-drawn on task retry is a shuffle-key
+        # hazard (rows dropped/duplicated after a fetch-failure recompute).
         salt_src = (
             F.hash(F.col(salt_id_col))
             if salt_id_col is not None
-            else F.monotonically_increasing_id()
+            else F.hash(*[F.col(c) for c in points.columns])
         )
         pts = pts.withColumn("_salt", F.pmod(salt_src, F.lit(nsalt)).cast("int"))
         poly_narrow = poly_narrow.withColumn(

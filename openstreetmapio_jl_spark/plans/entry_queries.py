@@ -622,9 +622,13 @@ where round(common / (na.n_shingles + nb.n_shingles - common), 6) >= 0.7
 def q_doc_jaccard_via_lsh(spark, sf_dir):
     """The planet-scale dedup composition: MinHash-LSH bucket candidates →
     exact shingle-set Jaccard verify (one-sided approximation: reported pairs
-    carry exact scores; recall is the only trade). Oracle composes the same
-    two derivations in SQL."""
-    return dedup.jaccard_via_lsh(_load(spark, sf_dir, "documents"), threshold=0.5)
+    carry exact scores; recall is the only trade). ``max_bucket_df`` guards the
+    band self-join against a degenerate hot bucket (boilerplate text) going
+    quadratic; the oracle composes the same derivations AND the same bucket
+    cap in SQL."""
+    return dedup.jaccard_via_lsh(
+        _load(spark, sf_dir, "documents"), threshold=0.5, max_bucket_df=100
+    )
 
 
 def _sql_jaccard_via_lsh() -> str:
@@ -646,10 +650,14 @@ h as (
   from shx
 ),
 sig as (select id, {mh} from h group by id),
-bb as (
+bb0 as (
   select id, band.band_idx as band_idx, band.band_sig as band_sig
   from (select id, unnest([{bands}]) as band from sig)
 ),
+bbcold as (
+  select band_idx, band_sig from bb0 group by 1, 2 having count(*) <= 100
+),
+bb as (select bb0.* from bb0 join bbcold using (band_idx, band_sig)),
 cand as (
   select distinct a.id as id_a, b.id as id_b
   from bb a join bb b
@@ -692,19 +700,26 @@ def q_doc_simhash_neardup(spark, sf_dir):
     """SimHash near-duplicate PAIRS via pigeonhole banding: signatures within
     Hamming distance 3 must share one of 4 exact 8-bit bands, so candidates are
     per-band equi-join buckets (never all-pairs) and the exact verify is
-    bit_count(xor) on the full signature. The oracle re-derives bands and
-    verify from the same signature SQL."""
-    return dedup.simhash_neardup_pairs(_load(spark, sf_dir, "documents"))
+    bit_count(xor) on the full signature. ``max_bucket_df`` drops degenerate
+    hot band-buckets before the self-join; the oracle re-derives bands, cap,
+    and verify from the same signature SQL."""
+    return dedup.simhash_neardup_pairs(
+        _load(spark, sf_dir, "documents"), max_bucket_df=100
+    )
 
 
 def _sql_simhash_neardup() -> str:
     return f"""
 with sig as ({_sql_simhash()}),
-bands as (
+bands0 as (
   select doc_id as id, simhash, b.band_idx,
     (simhash >> (b.band_idx * 8)) & 255 as band_val
   from sig, (values (0), (1), (2), (3)) b(band_idx)
 ),
+bcold as (
+  select band_idx, band_val from bands0 group by 1, 2 having count(*) <= 100
+),
+bands as (select bands0.* from bands0 join bcold using (band_idx, band_val)),
 cand as (
   select a.id as id_a, b.id as id_b,
     any_value(a.simhash) as sa, any_value(b.simhash) as sb
@@ -1237,12 +1252,14 @@ def _sql_overpass_url() -> str:
     from openstreetmapio_jl_spark.sources import overpass_source as O
 
     nl = "chr(10)"
+    tab = "chr(9)"
     raw = (
-        f"'[out:xml][timeout:25];' || {nl} || '(' || {nl} || "
-        f"'  node(' || bounds || ');' || {nl} || "
-        f"'  way(' || bounds || ');' || {nl} || "
-        f"'  relation(' || bounds || ');' || {nl} || "
-        f"');' || {nl} || 'out body;' || {nl} || '>;' || {nl} || 'out skel qt;' || {nl}"
+        f"{tab} || '[out:xml][timeout:25];' || {nl} || {tab} || '(' || {nl} || "
+        f"{tab} || {tab} || 'node(' || bounds || ');' || {nl} || "
+        f"{tab} || {tab} || 'way(' || bounds || ');' || {nl} || "
+        f"{tab} || {tab} || 'relation(' || bounds || ');' || {nl} || "
+        f"{tab} || ');' || {nl} || {tab} || 'out body;' || {nl} || "
+        f"{tab} || '>;' || {nl} || {tab} || 'out skel qt;' || {nl}"
     )
     return f"""
 with q as (
@@ -1670,8 +1687,13 @@ qualify rank <= 5
 
 
 def q_emb_lsh_neardup(spark, sf_dir):
+    """Multi-table hyperplane-LSH near-dup pairs with a bucket-cardinality cap
+    (degenerate buckets — e.g. near-zero vectors sharing a sign pattern — are
+    dropped before the self-join; the oracle applies the same cap)."""
     emb = _load(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_duplicates(emb, threshold=0.3, n_tables=2)
+    return similarity.embedding_near_duplicates(
+        emb, threshold=0.3, n_tables=2, max_bucket_df=100
+    )
 
 
 def _sql_plane_list(p) -> str:
@@ -1702,7 +1724,9 @@ def _sql_lsh_neardup() -> str:
     nb = "sqrt(list_aggregate(list_transform(vb.v, x -> cast(x as double) * cast(x as double)), 'sum'))"
     return f"""
 with v as (select vec_id as id, embedding as v from embeddings),
-sig as ({sig_parts}),
+sig0 as ({sig_parts}),
+scold as (select t, bucket from sig0 group by 1, 2 having count(*) <= 100),
+sig as (select sig0.* from sig0 join scold using (t, bucket)),
 cand as (
   select distinct a.id as id_a, b.id as id_b
   from sig a join sig b on a.t = b.t and a.bucket = b.bucket and a.id < b.id
