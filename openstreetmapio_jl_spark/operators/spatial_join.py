@@ -494,10 +494,13 @@ def point_in_polygon_join(
     ``max_cover_side`` tiles per axis are covered at a coarser level (≤
     ``max_cover_side²`` keys each — continent-sized relation polygons stop
     exploding the cover), and each point emits one key per DISTINCT level
-    actually present on the polygon side (discovered with one tiny
-    polygon-side-only driver action; the usual case is a single level, i.e.
-    zero point-side overhead). A point still meets each polygon in exactly one
-    (level, tile) bucket, so no post-dedup is needed.
+    actually present on the polygon side. The level set stays INSIDE the plan:
+    the point side cross-joins a broadcast of ``distinct(_lvl)`` (a frame of at
+    most ``zoom+1`` rows computed from the small polygon dimension at execution
+    time), so plan construction runs zero Spark jobs — building the query never
+    re-scans the polygon side, and a cached polygon dimension makes the
+    level-discovery subjob read the cache. A point still meets each polygon in
+    exactly one (level, tile) bucket, so no post-dedup is needed.
     """
     lat = F.col(lat_col)
     lon = F.col(lon_col)
@@ -519,26 +522,22 @@ def point_in_polygon_join(
             z=zoom, max_side=max_cover_side,
         )
         with_lvl = poly_base.withColumn("_lvl", lvl)
-        levels = sorted(
-            r[0] for r in with_lvl.select("_lvl").distinct().collect()
-        )
         poly_narrow = with_lvl.withColumn("tile", F.explode(keys)).drop("_lvl")
+        # distinct levels as a lazy broadcast frame (≤ zoom+1 rows), NOT a
+        # collect during plan build: constructing the join must be action-free
+        levels_df = with_lvl.select("_lvl").distinct()
         x13 = _tile_of(lon, zoom)
         y13 = _tile_row_of(lat, zoom)
-        pts = points.withColumn(
-            "tile",
-            F.explode(
-                F.array(
-                    *[
-                        tile_key_col(
-                            _shift_right(x13, F.lit(zoom - l)),
-                            _shift_right(y13, F.lit(zoom - l)),
-                            F.lit(l),
-                        )
-                        for l in levels
-                    ]
-                )
-            ),
+        d = F.lit(zoom) - F.col("_lvl")
+        pts = (
+            points.crossJoin(F.broadcast(levels_df))
+            .withColumn(
+                "tile",
+                tile_key_col(
+                    _shift_right(x13, d), _shift_right(y13, d), F.col("_lvl")
+                ),
+            )
+            .drop("_lvl")
         )
     else:
         poly_narrow = poly_base.withColumn(

@@ -85,3 +85,73 @@ def test_bucket_cap_pair_volume_is_linear_in_cold_docs(spark):
     # cold docs share long prefixes -> some pairs; hot group contributes none,
     # so the total is bounded by cold^2 (100), nowhere near 300^2/2
     assert capped.count() <= 45
+
+
+def test_adaptive_cover_plan_build_is_action_free(spark):
+    """Building the adaptive-cover PIP plan must trigger ZERO Spark jobs —
+    level discovery happens lazily inside the plan (broadcast distinct-levels
+    frame), not via a driver-side collect at construction time."""
+    from openstreetmapio_jl_spark.operators import spatial_join as SJ
+
+    ring = [(0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (1.0, 0.0), (0.0, 0.0)]
+    rings = spark.createDataFrame(
+        [(1, {"name": "box"}, [{"lat": a, "lon": b} for a, b in ring])],
+        "id long, tags map<string,string>, ring array<struct<lat:double,lon:double>>",
+    )
+    polys = SJ.polygons_with_edges(rings)
+    pts = spark.createDataFrame(
+        [(f"u{i}", 0.5, 0.5 + i * 0.01) for i in range(10)],
+        "url string, lat double, lon double",
+    )
+    sc = spark.sparkContext
+    sc.setJobGroup("plan-build", "must stay lazy")
+    try:
+        df = SJ.point_in_polygon_join(
+            pts, polys, zoom=13, adaptive_cover=True, nsalt=4, salt_id_col="url"
+        )
+        built_jobs = list(sc.statusTracker().getJobIdsForGroup("plan-build"))
+    finally:
+        sc.setJobGroup("plan-exec", "execution may run jobs")
+    assert built_jobs == []
+    # and the plan still evaluates correctly once an action runs
+    assert df.count() == 10
+
+
+def test_adaptive_cover_matches_static_cover_results(spark):
+    """Adaptive multi-resolution cover returns the same hits as the plain
+    full-resolution cover (level mixing changes the plan, never the answer)."""
+    import random
+
+    from openstreetmapio_jl_spark.operators import spatial_join as SJ
+
+    random.seed(7)
+    boxes = []
+    for pid in range(6):
+        lat0, lon0 = random.uniform(-60, 55), random.uniform(-170, 160)
+        side = random.choice([0.01, 0.5, 8.0])  # mixes cover levels
+        ring = [
+            (lat0, lon0),
+            (lat0 + side, lon0),
+            (lat0 + side, lon0 + side),
+            (lat0, lon0 + side),
+            (lat0, lon0),
+        ]
+        boxes.append((pid, {}, [{"lat": a, "lon": b} for a, b in ring]))
+    rings = spark.createDataFrame(
+        boxes,
+        "id long, tags map<string,string>, ring array<struct<lat:double,lon:double>>",
+    )
+    polys = SJ.polygons_with_edges(rings).persist()
+    pts = spark.createDataFrame(
+        [
+            (f"p{i}", random.uniform(-65, 60), random.uniform(-175, 165))
+            for i in range(400)
+        ],
+        "url string, lat double, lon double",
+    )
+    adaptive = SJ.point_in_polygon_join(pts, polys, zoom=13, adaptive_cover=True)
+    static = SJ.point_in_polygon_join(pts, polys, zoom=13)
+    got = {(r.url, r.polygon_id) for r in adaptive.collect()}
+    want = {(r.url, r.polygon_id) for r in static.collect()}
+    assert got == want
+    polys.unpersist()
