@@ -137,8 +137,62 @@ def ring_to_edges_col(ring: Column) -> Column:
     )
 
 
+def lon_bounds_cols(lon_intervals: Column) -> tuple[Column, Column]:
+    """(min_lon, max_lon) over an ARRAY<STRUCT<mn,mx>> of per-ring lon
+    intervals, under the WRAP CONVENTION: a bbox that straddles the
+    antimeridian is stored with ``min_lon > max_lon`` (min = west bound on the
+    positive side, max = east bound on the negative side) — the single
+    convention the tile cover and the candidate lon-filter both key off, so
+    they can never disagree.
+
+    Wrap detection respects the engine's PLANAR ray-cast semantics: a single
+    ring's lon extent is always the connected interval [min, max] (its edges
+    interpolate raw lon), so one ring can never wrap — only a SET of disjoint
+    rings (a far-pair multipolygon hugging the antimeridian from both sides)
+    has a gap the complement cover may exploit. Rings whose whole interval is
+    negative are shifted +360; if the shifted union span is strictly tighter
+    than the plain union span (> 180°), the bbox is stored wrapped. A genuinely
+    wide single ring (vertices at ±100, interior crossing lon 0) keeps its
+    plain bbox — the old raw-span>180° heuristic covered its complement and
+    silently lost interior hits."""
+    mins = F.transform(lon_intervals, lambda iv: iv["mn"])
+    maxs = F.transform(lon_intervals, lambda iv: iv["mx"])
+    amin, amax = F.array_min(mins), F.array_max(maxs)
+    shift = lambda iv, f: F.when(iv["mx"] < 0, iv[f] + 360.0).otherwise(iv[f])  # noqa: E731
+    smin = F.array_min(F.transform(lon_intervals, lambda iv: shift(iv, "mn")))
+    smax = F.array_max(F.transform(lon_intervals, lambda iv: shift(iv, "mx")))
+    wrap = ((amax - amin) > F.lit(180.0)) & ((smax - smin) < (amax - amin))
+    west = F.when(smin > 180.0, smin - 360.0).otherwise(smin)
+    east = F.when(smax > 180.0, smax - 360.0).otherwise(smax)
+    return (
+        F.when(wrap, west).otherwise(amin),
+        F.when(wrap, east).otherwise(amax),
+    )
+
+
+def ring_lon_interval_col(ring: Column) -> Column:
+    """STRUCT<mn,mx> — a ring's planar lon extent (input to
+    :func:`lon_bounds_cols`)."""
+    lons = F.transform(ring, lambda p: p["lon"])
+    return F.struct(
+        F.array_min(lons).alias("mn"), F.array_max(lons).alias("mx")
+    )
+
+
+def lon_in_bbox_col(lon: Column, min_lon: Column, max_lon: Column) -> Column:
+    """Wrap-aware bbox lon test (twin of :func:`lon_bounds_cols`): plain
+    between for ``min <= max``, the two-arc OR for wrapped bboxes."""
+    return F.when(min_lon <= max_lon, lon.between(min_lon, max_lon)).otherwise(
+        (lon >= min_lon) | (lon <= max_lon)
+    )
+
+
 def bbox_cols_of_ring(ring: Column) -> list[Column]:
-    """min/max lat/lon of a ring — polygon bbox for cell-cover computation."""
+    """min/max lat/lon of a ring — polygon bbox for cell-cover computation.
+    Plain min <= max always: a SINGLE planar ring can never wrap (its edges
+    interpolate raw lon, so its extent is the connected [min, max] interval);
+    the wrapped convention only arises for multi-ring sets
+    (:func:`lon_bounds_cols`, used by multipolygon assembly)."""
     lats = F.transform(ring, lambda p: p["lat"])
     lons = F.transform(ring, lambda p: p["lon"])
     return [

@@ -298,7 +298,9 @@ def assemble_multipolygons(
             F.first("rel_tags").alias("tags"),
             F.flatten(F.collect_list("ring_edges")).alias("edges"),
             F.flatten(F.collect_list(F.transform("ring", lambda p: p["lat"]))).alias("_lats"),
-            F.flatten(F.collect_list(F.transform("ring", lambda p: p["lon"]))).alias("_lons"),
+            # PER-RING lon intervals, not flattened vertices: wrap detection
+            # (geo.lon_bounds_cols) needs the gap structure between rings
+            F.collect_list(geo.ring_lon_interval_col(F.col("ring"))).alias("_lon_ivs"),
         )
         .select(
             F.col("rel_id").alias("id"),
@@ -306,8 +308,10 @@ def assemble_multipolygons(
             "edges",
             F.array_min("_lats").alias("min_lat"),
             F.array_max("_lats").alias("max_lat"),
-            F.array_min("_lons").alias("min_lon"),
-            F.array_max("_lons").alias("max_lon"),
+            # wrap convention: far-apart rings straddling the antimeridian get
+            # min_lon > max_lon (see geo.lon_bounds_cols)
+            geo.lon_bounds_cols(F.col("_lon_ivs"))[0].alias("min_lon"),
+            geo.lon_bounds_cols(F.col("_lon_ivs"))[1].alias("max_lon"),
         )
     )
 
@@ -386,20 +390,29 @@ def tile_cover_bbox(
     """ARRAY<BIGINT> of tile keys covering a bbox — pure Catalyst
     (sequence × sequence, flattened). Polygon-side explode key.
 
-    Antimeridian: a raw lon span > 180° is interpreted as a crosser (e.g. a ring
-    spanning 179.9E..179.9W) and covered by TWO x-ranges instead of wrapping the
-    whole world — without this, one such polygon explodes into every x at the
-    zoom level (observed: 49k tiles at z13)."""
+    Antimeridian: a WRAPPED bbox is signalled by ``min_lon > max_lon`` (the
+    convention ``geo.lon_bounds_cols`` produces; min = west bound, max = east
+    bound) and covered by TWO x-ranges instead of wrapping the whole world —
+    without this, one such polygon explodes into every x at the zoom level
+    (observed: 49k tiles at z13). A genuinely wide NON-wrapping polygon
+    (plain bbox with lon span > 180°) keeps the single full x-range — the
+    old raw-span heuristic covered its complement and silently lost interior
+    hits."""
     n = 1 << z
     y0 = _tile_row_of(max_lat, z)  # north edge → smaller row
     y1 = _tile_row_of(min_lat, z)
     x_lo = _tile_of(min_lon, z)
     x_hi = _tile_of(max_lon, z)
-    crosses = (max_lon - min_lon) > F.lit(180.0)
-    xs = F.when(
-        crosses,
-        F.concat(F.sequence(x_hi, F.lit(n - 1)), F.sequence(F.lit(0), x_lo)),
-    ).otherwise(F.sequence(x_lo, x_hi))
+    crosses = min_lon > max_lon
+    xs = (
+        F.when(
+            crosses & (x_lo > x_hi),
+            F.concat(F.sequence(x_lo, F.lit(n - 1)), F.sequence(F.lit(0), x_hi)),
+        )
+        # wrapped arcs that meet inside one tile column cover the full ring
+        .when(crosses, F.sequence(F.lit(0), F.lit(n - 1)))
+        .otherwise(F.sequence(x_lo, x_hi))
+    )
     return F.flatten(
         F.transform(
             xs,
@@ -426,8 +439,10 @@ def adaptive_cover_cols(
     y1 = _tile_row_of(min_lat, z)
     x_lo = _tile_of(min_lon, z)
     x_hi = _tile_of(max_lon, z)
-    crosses = (max_lon - min_lon) > F.lit(180.0)
-    sx = F.when(crosses, F.lit(n) - x_hi + x_lo + 1).otherwise(x_hi - x_lo + 1)
+    # wrapped bbox convention (min_lon > max_lon): min = west bound (high x),
+    # max = east bound (low x) — same convention as tile_cover_bbox
+    crosses = min_lon > max_lon
+    sx = F.when(crosses, F.lit(n) - x_lo + x_hi + 1).otherwise(x_hi - x_lo + 1)
     sy = y1 - y0 + 1
     span = F.greatest(sx, sy).cast("double")
     d = (
@@ -440,10 +455,17 @@ def adaptive_cover_cols(
     nl = _shift_right(F.lit(n).cast("long"), d)  # tiles per axis at lvl
     xl_lo, xl_hi = _shift_right(x_lo, d), _shift_right(x_hi, d)
     yl0, yl1 = _shift_right(y0, d), _shift_right(y1, d)
-    xs = F.when(
-        crosses & (xl_hi > xl_lo),
-        F.concat(F.sequence(xl_hi, nl - 1), F.sequence(F.lit(0).cast("long"), xl_lo)),
-    ).otherwise(F.sequence(F.least(xl_lo, xl_hi), F.greatest(xl_lo, xl_hi)))
+    xs = (
+        F.when(
+            crosses & (xl_lo > xl_hi),
+            F.concat(
+                F.sequence(xl_lo, nl - 1), F.sequence(F.lit(0).cast("long"), xl_hi)
+            ),
+        )
+        # wrapped arcs that merge at this coarse level cover the full ring
+        .when(crosses, F.sequence(F.lit(0).cast("long"), nl - 1))
+        .otherwise(F.sequence(xl_lo, xl_hi))
+    )
     keys = F.flatten(
         F.transform(
             xs,
@@ -572,7 +594,9 @@ def point_in_polygon_join(
     poly_side = F.broadcast(poly_narrow) if broadcast else poly_narrow
     cand = pts.join(poly_side, join_keys, "inner").filter(
         lat.between(F.col("min_lat"), F.col("max_lat"))
-        & lon.between(F.col("min_lon"), F.col("max_lon"))
+        # wrap-aware: a wrapped bbox (min_lon > max_lon) accepts the two arcs
+        # beyond each bound — agrees with the cover's crosser convention
+        & geo.lon_in_bbox_col(lon, F.col("min_lon"), F.col("max_lon"))
     )
     payload = polygons.select(
         F.col("id").alias("polygon_id"),

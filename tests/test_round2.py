@@ -304,11 +304,12 @@ def test_adaptive_cover_agrees_with_static_cover_at_its_level(spark):
     static cover yields at the chosen coarse level — including the
     antimeridian-crosser branch (two x-bands, no wrap-the-world explosion)."""
     polys = spark.createDataFrame(
-        [(1, 40.0, 60.0, -5.0, 20.0), (2, -10.0, 10.0, -179.0, 179.0)],
+        [(1, 40.0, 60.0, -5.0, 20.0), (2, -10.0, 10.0, 179.0, -179.0)],
         "id long, min_lat double, max_lat double, min_lon double, max_lon double",
     )
-    # crosser convention matches tile_cover_bbox: raw span > 180 ⇒ crosser,
-    # with min_lon/max_lon being the raw min/max
+    # crosser convention matches tile_cover_bbox: a WRAPPED bbox is stored as
+    # min_lon > max_lon (min = west bound, max = east bound — the
+    # geo.lon_bounds_cols convention)
     lvl, keys = SJ.adaptive_cover_cols(
         F.col("min_lat"), F.col("max_lat"), F.col("min_lon"), F.col("max_lon"), z=13
     )

@@ -155,3 +155,102 @@ def test_adaptive_cover_matches_static_cover_results(spark):
     want = {(r.url, r.polygon_id) for r in static.collect()}
     assert got == want
     polys.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# antimeridian wrap convention (min_lon > max_lon) — cover and filter agree
+# ---------------------------------------------------------------------------
+
+def _box_ring(lat0, lat1, lon0, lon1):
+    return [
+        {"lat": lat0, "lon": lon0},
+        {"lat": lat0, "lon": lon1},
+        {"lat": lat1, "lon": lon1},
+        {"lat": lat1, "lon": lon0},
+        {"lat": lat0, "lon": lon0},
+    ]
+
+
+def test_wide_nonwrapping_polygon_keeps_interior_hits(spark):
+    """A genuinely wide polygon (lon span > 180 deg, vertices across the middle)
+    must keep its plain bbox and full cover — the old raw-span heuristic
+    treated it as an antimeridian crosser and covered only the complement,
+    silently losing interior points."""
+    from openstreetmapio_jl_spark.operators import spatial_join as SJ
+
+    rings = spark.createDataFrame(
+        [(1, {}, _box_ring(-5.0, 5.0, -100.0, 100.0))],
+        "id long, tags map<string,string>, ring array<struct<lat:double,lon:double>>",
+    )
+    polys = SJ.polygons_with_edges(rings)
+    row = polys.collect()[0]
+    assert row.min_lon == -100.0 and row.max_lon == 100.0  # plain, not wrapped
+    pts = spark.createDataFrame(
+        [("mid", 0.0, 0.0), ("east", 0.0, 99.0), ("outside", 0.0, 150.0)],
+        "url string, lat double, lon double",
+    )
+    for kw in ({}, {"adaptive_cover": True}):
+        hits = {
+            r.url
+            for r in SJ.point_in_polygon_join(pts, polys, zoom=13, **kw).collect()
+        }
+        assert hits == {"mid", "east"}, kw
+
+
+def test_wrapped_bbox_from_far_pair_rings_and_both_cover_paths(spark):
+    """Two rings hugging the antimeridian from both sides produce a WRAPPED
+    bbox (min_lon > max_lon) via geo.lon_bounds_cols, and points inside either
+    ring are found by BOTH the static and the adaptive cover; points in the
+    middle of the world are excluded by the wrap-aware lon filter."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from openstreetmapio_jl_spark.functions import geo
+    from openstreetmapio_jl_spark.operators import spatial_join as SJ
+
+    rings = spark.createDataFrame(
+        [
+            (7, {}, _box_ring(10.0, 12.0, 178.0, 179.5)),
+            (7, {}, _box_ring(10.0, 12.0, -179.5, -178.0)),
+        ],
+        "id long, tags map<string,string>, ring array<struct<lat:double,lon:double>>",
+    )
+    # merge the two rings into one polygon row (union of edges, shared bbox) —
+    # the same shape assemble_multipolygons emits for far-pair member rings
+    both = (
+        rings.withColumn("edges", geo.ring_to_edges_col(F.col("ring")))
+        .groupBy("id")
+        .agg(
+            F.first("tags").alias("tags"),
+            F.flatten(F.collect_list("edges")).alias("edges"),
+            F.flatten(
+                F.collect_list(F.transform("ring", lambda p: p["lat"]))
+            ).alias("_lats"),
+            F.collect_list(geo.ring_lon_interval_col(F.col("ring"))).alias("_ivs"),
+        )
+        .select(
+            "id",
+            "tags",
+            "edges",
+            F.array_min("_lats").alias("min_lat"),
+            F.array_max("_lats").alias("max_lat"),
+            geo.lon_bounds_cols(F.col("_ivs"))[0].alias("min_lon"),
+            geo.lon_bounds_cols(F.col("_ivs"))[1].alias("max_lon"),
+        )
+    )
+    row = both.collect()[0]
+    assert row.min_lon == 178.0 and row.max_lon == -178.0  # wrapped: min > max
+    pts = spark.createDataFrame(
+        [
+            ("east_side", 11.0, 179.0),
+            ("west_side", 11.0, -179.0),
+            ("middle", 11.0, 0.0),
+            ("gap_at_am", 11.0, 179.9),  # between the rings, still excluded
+        ],
+        "url string, lat double, lon double",
+    )
+    for kw in ({}, {"adaptive_cover": True}):
+        hits = {
+            r.url
+            for r in SJ.point_in_polygon_join(pts, both, zoom=13, **kw).collect()
+        }
+        assert hits == {"east_side", "west_side"}, kw
