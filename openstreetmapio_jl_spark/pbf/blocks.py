@@ -115,6 +115,38 @@ def scan_blob_index(path: str) -> list[BlobDescriptor]:
     return out
 
 
+def scan_first_blob(path: str) -> BlobDescriptor:
+    """Frame ONLY the OSMHeader blob (blob 0) — a few hundred bytes of reads.
+
+    The distributed index path needs per-file meta on the driver without paying
+    the full framing scan there; full framing then runs cluster-side
+    (one task per file in ``pbf_source.blob_index_df``)."""
+    import os
+
+    fsize = os.path.getsize(path)
+    with open(path, "rb") as f:
+        len_bytes = f.read(4)
+        if len(len_bytes) != 4:
+            raise ValueError(f"{path}: truncated blob length prefix at blob 0")
+        header_len = struct.unpack(">I", len_bytes)[0]
+        if header_len > MAX_HEADER_SIZE:
+            raise ValueError(
+                f"{path}: BlobHeader size {header_len} exceeds {MAX_HEADER_SIZE}"
+            )
+        header_bytes = f.read(header_len)
+        if len(header_bytes) != header_len:
+            raise ValueError(f"{path}: truncated BlobHeader at blob 0")
+        blob_type, datasize = parse_blob_header(header_bytes)
+        if blob_type != "OSMHeader":
+            raise ValueError(f"{path}: blob 0 has type {blob_type!r}, expected 'OSMHeader'")
+        if datasize < 0 or datasize > MAX_BLOB_SIZE:
+            raise ValueError(f"{path}: bad blob data size {datasize} at blob 0")
+        offset = f.tell()
+        if offset + datasize > fsize:
+            raise ValueError(f"{path}: truncated blob payload at blob 0")
+        return BlobDescriptor(path, 0, blob_type, offset, datasize)
+
+
 def read_blob_payload(path: str, offset: int, size: int) -> bytes:
     with open(path, "rb") as f:
         f.seek(offset)

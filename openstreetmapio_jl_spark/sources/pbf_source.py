@@ -57,12 +57,61 @@ class OSMBundle:
     union: DataFrame | None = None
 
 
-def blob_index_df(spark: SparkSession, paths: str | list[str]) -> tuple[DataFrame, dict]:
-    """(data-blob descriptor DataFrame, merged meta from header blobs)."""
+def blob_index_df(
+    spark: SparkSession,
+    paths: str | list[str],
+    *,
+    distribute: bool | None = None,
+) -> tuple[DataFrame, dict]:
+    """(data-blob descriptor DataFrame, merged meta from header blobs).
+
+    Single file (the common planet-extract case): framing runs on the driver —
+    ~50k metadata-only seeks, trivially cheap. Multi-file corpora DISTRIBUTE the
+    framing: one Spark task per file emits that file's descriptors
+    (``distribute`` defaults to ``len(paths) > 1``), so the index pass scales
+    with the cluster instead of serializing a 100-TB corpus's framing on the
+    driver. Per-file meta still comes from the driver, but via
+    :func:`blocks.scan_first_blob` — a few hundred bytes per file, not a full
+    framing scan."""
     if isinstance(paths, str):
         paths = [paths]
-    rows = []
+    if distribute is None:
+        distribute = len(paths) > 1
     meta: dict = {}
+    if distribute:
+        import pandas as pd
+
+        for p in paths:
+            header = blocks.scan_first_blob(p)
+            payload = blocks.decompress_blob(
+                blocks.read_blob_payload(header.path, header.data_offset, header.data_size)
+            )
+            meta.update(decode.decode_header_block(payload))
+
+        def frame_file(batches):
+            for pdf in batches:
+                for p in pdf["path"]:
+                    descs = blocks.scan_blob_index(p)[1:]  # data blobs only
+                    yield pd.DataFrame(
+                        {
+                            "path": [d.path for d in descs],
+                            "blob_seq": [d.blob_seq for d in descs],
+                            "blob_type": [d.blob_type for d in descs],
+                            "data_offset": [d.data_offset for d in descs],
+                            "data_size": [d.data_size for d in descs],
+                        }
+                    )
+
+        files = spark.createDataFrame([(p,) for p in paths], "path string")
+        df = files.repartition(len(paths), "path").mapInPandas(
+            frame_file, model.BLOB_INDEX_DDL
+        )
+        # spread blobs across decode tasks regardless of per-file blob counts
+        return (
+            df.repartition(spark.sparkContext.defaultParallelism * 2, "path", "blob_seq"),
+            meta,
+        )
+    rows = []
     for p in paths:
         descs = blocks.scan_blob_index(p)
         header = descs[0]
