@@ -14,6 +14,16 @@ The same parquet layout would be an Iceberg table on a real deployment (atomic
 append snapshots); plain parquet-append keeps the sandbox dependency-free while
 preserving the protocol (write output → THEN commit lineage).
 
+Scale shape of the log itself: commits are single-row parquet files written
+with pyarrow directly (no Spark job per chunk — a 100k-chunk run must not pay
+100k job-scheduling round-trips for bookkeeping), and the log COMPACTS itself
+every ``compact_every`` files (rewrite-all-as-one, then delete the inputs), so
+resume cost stays O(compacted files), not O(total chunks ever committed).
+Compaction's crash window (compacted file written, old files not yet deleted)
+can only DUPLICATE rows, never lose them — and every consumer
+(``completed_keys``, ``filter_pending``) reads the key set through a distinct,
+so duplicate lineage rows are semantically invisible.
+
 The reference has no persistence at all (SURVEY.md Table B: sinks none) — this
 module is the scale-grade replacement for its "rerun the whole file" model.
 """
@@ -50,35 +60,86 @@ def validate_chunk_key(key: str) -> str:
 
 
 class LineageLog:
-    """Append-only chunk-completion log backed by a parquet directory."""
+    """Append-only chunk-completion log backed by a parquet directory.
 
-    def __init__(self, spark: SparkSession, path: str):
+    ``compact_every``: when the directory holds at least this many parquet
+    files after a commit, they are rewritten as one file (0 disables)."""
+
+    def __init__(self, spark: SparkSession, path: str, *, compact_every: int = 128):
         self.spark = spark
         self.path = path
+        self.compact_every = compact_every
+
+    def _files(self) -> list[str]:
+        if not os.path.exists(self.path):
+            return []
+        return sorted(
+            os.path.join(dp, fn)
+            for dp, _dirs, fns in os.walk(self.path)
+            for fn in fns
+            if fn.endswith(".parquet")
+        )
 
     def completed_keys(self) -> set[str]:
-        if not os.path.exists(self.path):
+        """Driver-side key-set read: pyarrow column scan over the log files —
+        no Spark job for the resume decision (it runs before any cluster work)."""
+        import pyarrow.dataset as ds
+
+        files = self._files()
+        if not files:
             return set()
-        rows = (
-            self.spark.read.schema(LINEAGE_SCHEMA)
-            .parquet(self.path)
-            .select("chunk_key")
-            .distinct()
-            .collect()
-        )
-        return {r.chunk_key for r in rows}
+        table = ds.dataset(files, format="parquet").to_table(columns=["chunk_key"])
+        return set(table["chunk_key"].to_pylist())
 
     def records(self) -> DataFrame:
-        if not os.path.exists(self.path):
+        if not self._files():
             return self.spark.createDataFrame([], LINEAGE_SCHEMA)
         return self.spark.read.schema(LINEAGE_SCHEMA).parquet(self.path)
 
     def commit(self, chunk_key: str, n_rows: int, run_id: str, wall_s: float) -> None:
-        row = [(chunk_key, n_rows, run_id, float(wall_s), None)]
-        df = self.spark.createDataFrame(row, LINEAGE_SCHEMA).withColumn(
-            "completed_at", F.current_timestamp()
+        """One single-row parquet file per commit, written driver-side with
+        pyarrow (no Spark job), then opportunistic compaction."""
+        import datetime
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.path, exist_ok=True)
+        table = pa.table(
+            {
+                "chunk_key": pa.array([chunk_key], pa.string()),
+                "n_rows": pa.array([int(n_rows)], pa.int64()),
+                "run_id": pa.array([run_id], pa.string()),
+                "wall_s": pa.array([float(wall_s)], pa.float64()),
+                "completed_at": pa.array(
+                    [datetime.datetime.now(datetime.timezone.utc)],
+                    pa.timestamp("us", tz="UTC"),
+                ),
+            }
         )
-        df.coalesce(1).write.mode("append").parquet(self.path)
+        pq.write_table(
+            table, os.path.join(self.path, f"commit-{uuid.uuid4().hex}.parquet")
+        )
+        if self.compact_every and len(self._files()) >= self.compact_every:
+            self.compact()
+
+    def compact(self) -> int:
+        """Rewrite all current log files as ONE file, then delete them.
+        Write-then-delete ordering: a crash mid-compaction leaves duplicate
+        rows (harmless — consumers read distinct keys), never missing ones.
+        Returns the number of input files compacted."""
+        import pyarrow.dataset as ds
+        import pyarrow.parquet as pq
+
+        files = self._files()
+        if len(files) <= 1:
+            return 0
+        table = ds.dataset(files, format="parquet").to_table()
+        out = os.path.join(self.path, f"compact-{uuid.uuid4().hex}.parquet")
+        pq.write_table(table, out)
+        for f in files:
+            os.remove(f)
+        return len(files)
 
 
 def filter_pending(df: DataFrame, key_col: str, log: LineageLog) -> DataFrame:
@@ -96,6 +157,7 @@ def run_resumable(
     out_dir: str,
     lineage_dir: str,
     run_id: str | None = None,
+    compact_every: int = 128,
 ) -> dict:
     """Process ``chunk_keys`` resumably.
 
@@ -106,7 +168,7 @@ def run_resumable(
     run_id = run_id or uuid.uuid4().hex[:12]
     for key in chunk_keys:
         validate_chunk_key(key)
-    log = LineageLog(spark, lineage_dir)
+    log = LineageLog(spark, lineage_dir, compact_every=compact_every)
     done = log.completed_keys()
     pending = [k for k in chunk_keys if k not in done]
     stats = {"run_id": run_id, "skipped": len(done & set(chunk_keys)), "processed": 0, "rows": 0}

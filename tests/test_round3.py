@@ -310,3 +310,86 @@ def test_scan_first_blob_matches_full_scan_header(tmp_path):
 
     with _pytest.raises(ValueError):
         blocks.scan_first_blob(cut)
+
+
+# ---------------------------------------------------------------------------
+# lineage log: Spark-job-free commits + compaction at 1k-chunk scale
+# ---------------------------------------------------------------------------
+
+def test_lineage_compaction_1k_chunks_identical_pending_set(spark, tmp_path):
+    """1,000 tiny chunk commits with auto-compaction every 100 files: the key
+    set and pending-set semantics are identical to the uncompacted log, and
+    the file count stays O(compact_every), not O(chunks)."""
+    import os
+
+    from openstreetmapio_jl_spark.plans import lineage as L
+
+    lin = str(tmp_path / "lineage")
+    log = L.LineageLog(spark, lin, compact_every=100)
+    keys = [f"chunk{i:04d}" for i in range(1000)]
+    for i, k in enumerate(keys):
+        log.commit(k, i, "run1", 0.001)
+    n_files = len(log._files())
+    assert n_files <= 100  # compaction kept the log bounded
+    assert log.completed_keys() == set(keys)
+
+    # pending-set semantics through the Spark anti-join face
+    todo = spark.createDataFrame(
+        [(k,) for k in keys + ["chunk_new1", "chunk_new2"]], "chunk string"
+    )
+    pending = {r.chunk for r in L.filter_pending(todo, "chunk", log).collect()}
+    assert pending == {"chunk_new1", "chunk_new2"}
+
+    # an explicit compact() pass is a no-op for semantics
+    log.compact()
+    assert len(log._files()) == 1
+    assert log.completed_keys() == set(keys)
+
+    # crash-window duplicates (compacted file written, an input not deleted)
+    # are invisible to consumers
+    import shutil
+
+    f = log._files()[0]
+    shutil.copy(f, os.path.join(lin, "commit-duplicate.parquet"))
+    assert log.completed_keys() == set(keys)
+    assert {r.chunk for r in L.filter_pending(todo, "chunk", log).collect()} == {
+        "chunk_new1",
+        "chunk_new2",
+    }
+
+
+def test_lineage_commit_runs_no_spark_jobs(spark, tmp_path):
+    from openstreetmapio_jl_spark.plans import lineage as L
+
+    log = L.LineageLog(spark, str(tmp_path / "lin"))
+    sc = spark.sparkContext
+    sc.setJobGroup("lineage-commit", "bookkeeping must not schedule jobs")
+    try:
+        for i in range(5):
+            log.commit(f"c{i}", i, "r", 0.0)
+        assert log.completed_keys() == {f"c{i}" for i in range(5)}
+        jobs = list(sc.statusTracker().getJobIdsForGroup("lineage-commit"))
+    finally:
+        sc.setJobGroup("other", "done")
+    assert jobs == []
+
+
+def test_run_resumable_with_compaction_resumes_exactly(spark, tmp_path):
+    from openstreetmapio_jl_spark.plans import lineage as L
+
+    out, lin = str(tmp_path / "out"), str(tmp_path / "lin")
+
+    def chunk_fn(key):
+        return spark.range(3).withColumn("k", F.lit(key))
+
+    keys = [f"k{i:02d}" for i in range(12)]
+    s1 = L.run_resumable(
+        spark, keys[:7], chunk_fn, out_dir=out, lineage_dir=lin, compact_every=4
+    )
+    assert s1["processed"] == 7
+    s2 = L.run_resumable(
+        spark, keys, chunk_fn, out_dir=out, lineage_dir=lin, compact_every=4
+    )
+    assert s2["skipped"] == 7 and s2["processed"] == 5
+    total = L.read_output(spark, out).count()
+    assert total == 12 * 3
