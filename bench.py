@@ -78,11 +78,13 @@ def run_bench(sf_dir: str, master: str | None = None) -> dict:
     # host carries external load bursts lasting MINUTES (load avg > 2 with zero
     # local processes; 5-15x single-query spikes observed), so back-to-back
     # samples of one query sit inside the same burst — separating the samples
-    # by a full pass (~1 min apart) lets the min dodge it.
+    # by a full pass (~1 min apart) lets the min dodge it. THREE timed passes
+    # (round-3 protocol): two samples can both land in one multi-minute burst;
+    # three spaced ~1 min apart straddle the observed burst windows.
     for name in HEADLINE:
         _force(reg[name][0](spark, sf_dir))
     timings: dict[str, float] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in HEADLINE:
             df = reg[name][0](spark, sf_dir)
             t0 = time.perf_counter()
@@ -270,5 +272,12 @@ if __name__ == "__main__":
             sf_dir = args[0]
         result = run_bench(sf_dir)
         print(json.dumps(result))
+        if compare_to is None:  # default: newest driver-recorded round file
+            import glob
+
+            recorded = sorted(glob.glob(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json")
+            ))
+            compare_to = recorded[-1] if recorded else None
         if compare_to:
             print_compare(result, compare_to)

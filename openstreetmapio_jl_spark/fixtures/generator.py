@@ -48,7 +48,7 @@ HOT_CENTER = (54.2625, 9.9840)
 EXTENT = (40.0, -5.0, 60.0, 20.0)
 
 # bump to invalidate materialized .fixtures trees when generation logic changes
-GENERATOR_VERSION = "11"
+GENERATOR_VERSION = "12"
 
 _POI_TYPES = ["restaurant", "cafe", "bar", "school", "pharmacy", "bank", "fuel"]
 _CUISINES = ["italian", "german", "indian", "thai", "greek"]
@@ -238,6 +238,111 @@ def _add_scaled_elements(
             }
         nodes.append({"id": next_nid, "lat": lat, "lon": lon, "tags": tags, "info": rand_info(i)})
         i += 1
+
+
+# id bases for the adversarial stitcher shapes — far from every generated range
+# (scaled nodes live near 2e9, scaled ways near 5e8, loop relations near
+# KNOWN_RELATION_ID + n_relations)
+_ADV_NODE_BASE = 3_500_000_000
+_ADV_WAY_BASE = 700_000_000
+_ADV_REL_BASE = 77_000_000_000
+
+
+def _add_adversarial_relations(nodes, ways, relations, rand_info) -> None:
+    """Three deliberate stitcher stress shapes (scaled fixtures only):
+
+    1. **Antimeridian far-pair** (rel _ADV_REL_BASE): one multipolygon whose two
+       outer rings hug the antimeridian from both sides, EACH split into two
+       open member ways (so they never enter closed-way polygon queries and
+       must be chain-stitched). Bbox wraps (min_lon > max_lon) through
+       ``geo.lon_bounds_cols``; both the static ``tile_cover_bbox`` crosser arm
+       and the adaptive cover must find points inside either ring.
+    2. **Touching rings** (rel +1): two diamond rings sharing exactly ONE
+       endpoint node (degree 4 at the shared node) — accepted by the
+       even-degree rule; the old all-degree-2 rule silently dropped them.
+    3. **3-way junction** (rel +2): a valid closed outer ring plus three open
+       ways meeting at a degree-3 node — the open-way rings MUST be rejected
+       (odd degree), the closed ring kept."""
+    next_nid = [_ADV_NODE_BASE]
+
+    def add_node(lat, lon):
+        next_nid[0] += 1
+        nodes.append(
+            {"id": next_nid[0], "lat": _r7(lat), "lon": _r7(lon), "tags": None,
+             "info": rand_info(next_nid[0] % 7)}
+        )
+        return next_nid[0]
+
+    wid = [_ADV_WAY_BASE]
+
+    def add_way(refs, tags):
+        wid[0] += 1
+        ways.append({"id": wid[0], "refs": refs, "tags": tags, "info": rand_info(wid[0] % 5)})
+        return wid[0]
+
+    # --- 1. antimeridian far-pair: rectangles lat -25..25, lon 177..179.9 and
+    # -179.9..-177, each split into two open ways sharing corner endpoints
+    def split_rect(lat0, lat1, lon0, lon1, name):
+        c1 = add_node(lat0, lon0)
+        c2 = add_node(lat0, lon1)
+        c3 = add_node(lat1, lon1)
+        c4 = add_node(lat1, lon0)
+        w1 = add_way([c1, c2, c3], {"name": f"{name} east+north"})
+        w2 = add_way([c3, c4, c1], {"name": f"{name} west+south"})
+        return [w1, w2]
+
+    am_ways = split_rect(-25.0, 25.0, 177.0, 179.9, "AM east")
+    am_ways += split_rect(-25.0, 25.0, -179.9, -177.0, "AM west")
+    relations.append(
+        {
+            "id": _ADV_REL_BASE,
+            "members": [{"ref": w, "type": "way", "role": "outer"} for w in am_ways],
+            "tags": {"type": "multipolygon", "natural": "strait",
+                     "name": "Antimeridian far-pair"},
+            "info": rand_info(1),
+        }
+    )
+
+    # --- 2. touching rings: two diamonds sharing node S (endpoint degree 4)
+    s = add_node(50.0, 8.0)
+    a2, a3, a4 = add_node(50.6, 8.6), add_node(51.2, 8.0), add_node(50.6, 7.4)
+    b2, b3, b4 = add_node(49.4, 8.6), add_node(48.8, 8.0), add_node(49.4, 7.4)
+    touch_ways = [
+        add_way([s, a2, a3], {"name": "touch A1"}),
+        add_way([a3, a4, s], {"name": "touch A2"}),
+        add_way([s, b2, b3], {"name": "touch B1"}),
+        add_way([b3, b4, s], {"name": "touch B2"}),
+    ]
+    relations.append(
+        {
+            "id": _ADV_REL_BASE + 1,
+            "members": [{"ref": w, "type": "way", "role": "outer"} for w in touch_ways],
+            "tags": {"type": "multipolygon", "natural": "water",
+                     "name": "Touching diamonds"},
+            "info": rand_info(2),
+        }
+    )
+
+    # --- 3. degree-3 junction: closed outer square + a Y of three open ways
+    sq = [add_node(45.0, 12.0), add_node(45.0, 12.5), add_node(45.5, 12.5), add_node(45.5, 12.0)]
+    closed_w = add_way(sq + [sq[0]], {"landuse": "basin", "name": "Junction outer"})
+    x1, x2 = add_node(45.8, 12.0), add_node(45.9, 12.2)
+    x3, x4 = add_node(45.8, 12.4), add_node(46.0, 12.2)
+    y_ways = [
+        add_way([x1, x2], {"name": "Y leg 1"}),
+        add_way([x2, x3], {"name": "Y leg 2"}),
+        add_way([x2, x4], {"name": "Y leg 3"}),
+    ]
+    relations.append(
+        {
+            "id": _ADV_REL_BASE + 2,
+            "members": [{"ref": closed_w, "type": "way", "role": "outer"}]
+            + [{"ref": w, "type": "way", "role": "outer"} for w in y_ways],
+            "tags": {"type": "multipolygon", "landuse": "basin",
+                     "name": "Rejecting Y junction"},
+            "info": rand_info(3),
+        }
+    )
 
 
 def make_osm(seed: int = 42, n_nodes: int = 612, n_ways: int = 29, n_relations: int = 3):
@@ -475,6 +580,10 @@ def make_osm(seed: int = 42, n_nodes: int = 612, n_ways: int = 29, n_relations: 
                 "info": rand_info(i),
             }
         )
+    if n_relations > 3:  # scaled fixtures carry the adversarial stitcher shapes
+        _add_adversarial_relations(nodes, ways, relations, rand_info)
+        nodes.sort(key=lambda n: n["id"])
+        ways.sort(key=lambda w: w["id"])
     relations.sort(key=lambda r: r["id"])
 
     meta = {
@@ -488,6 +597,40 @@ def make_osm(seed: int = 42, n_nodes: int = 612, n_ways: int = 29, n_relations: 
         "osmosis_replication_base_url": "https://example.org/replication",
     }
     return meta, nodes, ways, relations
+
+
+def make_nested_relations(depth: int):
+    """Dedicated deep-nesting fixture: a relation chain ``rel_0 → rel_1 → … →
+    rel_{depth-1} → way → nodes`` (each relation's sole member is the next
+    relation; the last one references a 3-node way). ``resolve_members`` needs
+    ``depth`` frontier rounds to close rel_0's transitive closure, so any
+    ``max_depth < depth`` must truncate WITH the RuntimeWarning — the evidence
+    that the closure bound fails loudly, not silently."""
+    nodes = [
+        {"id": 10 + i, "lat": _r7(54.26 + i * 1e-4), "lon": _r7(9.98 + i * 1e-4),
+         "tags": None, "info": None}
+        for i in range(3)
+    ]
+    way = {"id": 500, "refs": [10, 11, 12], "tags": {"highway": "path"}, "info": None}
+    relations = []
+    for i in range(depth):
+        member = (
+            {"ref": 1000 + i + 1, "type": "relation", "role": ""}
+            if i < depth - 1
+            else {"ref": 500, "type": "way", "role": "outer"}
+        )
+        relations.append(
+            {"id": 1000 + i, "members": [member],
+             "tags": {"type": "site", "name": f"nest level {i}"}, "info": None}
+        )
+    meta = {
+        "bbox": dict(BBOX),
+        "required_features": ["OsmSchema-V0.6", "DenseNodes"],
+        "optional_features": [],
+        "writingprogram": "openstreetmapio_jl_spark-fixture-0.1",
+        "source": f"synthetic-nested-{depth}",
+    }
+    return meta, nodes, [way], relations
 
 
 # ---------------------------------------------------------------------------
@@ -740,8 +883,10 @@ def _truth_polygons(nodes, ways) -> pa.Table:
 def _truth_multipolygons(nodes, ways, relations) -> pa.Table:
     """type=multipolygon relations → PIP-ready polygon rows (id, edges, bbox),
     mirroring ``assemble_multipolygons`` semantics exactly — including the
-    open-member-way stitching accept rule (every endpoint node id occurring
-    exactly twice among the relation's resolvable open ways).
+    open-member-way stitching accept rule (every endpoint node id occurring an
+    EVEN number of times among the relation's resolvable open ways: degree 2 is
+    a plain chain junction, degree 4 two rings touching at a shared node; any
+    odd degree — dangling end, 3-way junction — rejects ALL open-way rings).
 
     Edges are emitted PER WAY as consecutive-point segments: the engine's
     stitched-chain representation only adds zero-length junction/wrap edges on
@@ -778,24 +923,39 @@ def _truth_multipolygons(nodes, ways, relations) -> pa.Table:
         for refs, _ in open_ways:
             deg[refs[0]] = deg.get(refs[0], 0) + 1
             deg[refs[-1]] = deg.get(refs[-1], 0) + 1
-        include_open = bool(open_ways) and all(c == 2 for c in deg.values())
+        include_open = bool(open_ways) and all(c % 2 == 0 for c in deg.values())
         rings = closed_rings + ([pts for _, pts in open_ways] if include_open else [])
         if not rings:
             continue
         edges = []
-        lats, lons = [], []
+        lats = []
+        ivs = []  # per-ring lon intervals (wrap detection needs gap structure)
         for pts in rings:
             for i in range(len(pts) - 1):
                 (y1, x1), (y2, x2) = pts[i], pts[i + 1]
                 edges.append({"y1": y1, "x1": x1, "y2": y2, "x2": x2})
             lats.extend(p[0] for p in pts)
-            lons.extend(p[1] for p in pts)
+            ivs.append((min(p[1] for p in pts), max(p[1] for p in pts)))
         ids.append(rel["id"])
         edges_col.append(edges)
         minlat.append(min(lats))
         maxlat.append(max(lats))
-        minlon.append(min(lons))
-        maxlon.append(max(lons))
+        # wrapped-bbox convention, mirroring geo.lon_bounds_cols: rings whose
+        # whole interval is negative shift +360; if the shifted union is
+        # strictly tighter than a >180-degree plain union, store min_lon >
+        # max_lon (antimeridian straddle). Granularity note: the engine
+        # computes intervals per STITCHED CHAIN while this uses per-way
+        # intervals — identical whenever each member way sits on one side of
+        # lon 0 for every >180-degree-span relation (all fixtures hold this).
+        amin, amax = min(iv[0] for iv in ivs), max(iv[1] for iv in ivs)
+        smin = min(iv[0] + 360.0 if iv[1] < 0 else iv[0] for iv in ivs)
+        smax = max(iv[1] + 360.0 if iv[1] < 0 else iv[1] for iv in ivs)
+        if (amax - amin) > 180.0 and (smax - smin) < (amax - amin):
+            minlon.append(smin - 360.0 if smin > 180.0 else smin)
+            maxlon.append(smax - 360.0 if smax > 180.0 else smax)
+        else:
+            minlon.append(amin)
+            maxlon.append(amax)
     edge_type = pa.list_(
         pa.struct(
             [

@@ -19,8 +19,30 @@ next to the node table — so every join here broadcasts or hashes cheaply.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+class CheckpointHandle:
+    """Storage handle for a ``localCheckpoint``-ed frame. ``DataFrame.unpersist``
+    routes through the cacheManager and is a silent no-op for the ``LogicalRDD``
+    plan a checkpoint leaves behind, so release goes through the checkpointed
+    RDD itself. Releasing DELETES the data (checkpoint truncated the lineage, so
+    there is nothing to recompute from) — only call after the consuming frame is
+    fully materialized."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    @property
+    def rdd_id(self) -> int:
+        return self.df._jdf.queryExecution().analyzed().rdd().id()
+
+    def unpersist(self, blocking: bool = False) -> DataFrame:
+        self.df._jdf.queryExecution().analyzed().rdd().unpersist(blocking)
+        return self.df
 
 
 def member_edges(relations: DataFrame) -> DataFrame:
@@ -47,41 +69,53 @@ def resolve_members(
     fail with no signal about the cause. Real OSM relation nesting is ≤ ~10
     levels, so the default depth is safely past fixpoint in practice.
 
-    Storage: per-round deltas persist and stay persisted until the returned
-    DataFrame is consumed — pass ``handles`` (a list) to receive the persisted
-    handles for cleanup. Unpersisting superseded rounds mid-run was measured
-    and rejected (see knn_join: Spark's CacheManager clears dependent caches on
-    ancestor unpersist — recacheByPlan — and the accumulated lineage re-runs).
-    The deltas are membership-edge-sized (tiny next to the node table), so the
+    Lineage: each round's delta is cut with an EAGER ``localCheckpoint`` —
+    round k's plan embeds round k-1's twice (frontier + the anti-join's reach),
+    so persist alone leaves a logical tree that DOUBLES per round (persist
+    caches data, not plan; analysis walks the full tree before cache
+    substitution). A depth-20 chain hung Catalyst for >15 min under the old
+    persist design (``tests/test_round3.py`` deep-nesting fixture); with
+    checkpointed deltas every round's plan is O(rounds) flat leaves. Same
+    medicine GraphFrames' Pregel applies. On a real cluster prefer a reliable
+    ``checkpoint()`` dir for multi-hour runs (localCheckpoint dies with an
+    executor); the round structure is identical.
+
+    Storage: the checkpointed deltas stay pinned until released — pass
+    ``handles`` (a list) to receive ``CheckpointHandle`` wrappers (release
+    AFTER consuming the result: checkpointed data cannot be recomputed). The
+    deltas are membership-edge-sized (tiny next to the node table), so the
     pinned bytes are bounded by the closure size itself."""
     import warnings
 
-    edges = member_edges(relations).persist()
-    reach = edges.select(F.col("src").alias("root"), "type", "ref").persist()
+    edges = member_edges(relations).localCheckpoint(eager=True)
     if handles is not None:
-        handles.extend([edges, reach])
-    frontier = reach.filter(F.col("type") == "relation")
+        handles.append(CheckpointHandle(edges))
+    # reach = union of checkpointed per-round deltas: plan is k flat leaves
+    parts = [edges.select(F.col("src").alias("root"), "type", "ref")]
+    frontier = parts[0].filter(F.col("type") == "relation")
     converged = False
     for _ in range(max_depth):
         if frontier.isEmpty():
             converged = True
             break
+        reach = reduce(DataFrame.unionByName, parts)
         nxt = (
             frontier.select(F.col("ref").alias("src"), "root")
             .join(edges, "src", "inner")
             .select("root", "type", "ref")
         )
         # anti-join vs everything reached: semi-naive delta, also the cycle guard
-        new = nxt.join(reach, ["root", "type", "ref"], "left_anti").persist()
+        new = nxt.join(reach, ["root", "type", "ref"], "left_anti").localCheckpoint(
+            eager=True
+        )
         if handles is not None:
-            handles.append(new)
+            handles.append(CheckpointHandle(new))
         if new.isEmpty():
             converged = True
             break
-        reach = reach.unionByName(new).persist()
-        if handles is not None:
-            handles.append(reach)
+        parts.append(new)
         frontier = new.filter(F.col("type") == "relation")
+    reach = reduce(DataFrame.unionByName, parts)
     if not converged and not frontier.isEmpty():
         warnings.warn(
             f"resolve_members: closure truncated at max_depth={max_depth} with a "

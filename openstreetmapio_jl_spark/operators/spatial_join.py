@@ -160,11 +160,18 @@ def _stitch_open_ways(pdf):
 
     Semantics (mirrored exactly by the DuckDB oracle's endpoint-degree test):
     the relation's open member ways are accepted iff EVERY endpoint node id
-    occurs exactly twice among their first/last refs — the necessary and
-    sufficient condition for a unique decomposition into simple closed chains
-    (each junction has one unique continuation). All-or-nothing per relation:
-    a dangling end (degree 1) or a >2-way junction drops ALL open-way rings of
-    that relation, matching the conservative unresolved-refs policy above.
+    occurs an EVEN number of times among their first/last refs — exactly when
+    the ways decompose into closed chains (Hierholzer: in an all-even-degree
+    multigraph a greedy walk can never strand away from its start, so the loop
+    below always closes every chain and consumes every way). Degree 2 is the
+    common case; degree 4 is two rings TOUCHING at a shared endpoint node —
+    valid OSM multipolygon geometry. Different even-degree decompositions
+    (two touching rings vs one figure-eight chain) produce the SAME edge
+    multiset, and even-odd ray casting depends only on the edge union, so the
+    walk's choice at a junction never changes PIP results. All-or-nothing per
+    relation: a dangling end (degree 1) or any odd-degree junction (e.g. a
+    3-way) drops ALL open-way rings of that relation, matching the
+    conservative unresolved-refs policy above.
 
     A stitched ring is the PLAIN CONCATENATION of the oriented member polylines
     (junction points duplicated). That keeps ``n_edges == sum(len(refs))`` — the
@@ -187,7 +194,7 @@ def _stitch_open_ways(pdf):
         for refs, _, _ in ways:
             deg[refs[0]] = deg.get(refs[0], 0) + 1
             deg[refs[-1]] = deg.get(refs[-1], 0) + 1
-        if any(c != 2 for c in deg.values()):
+        if any(c % 2 != 0 for c in deg.values()):
             continue
         by_endpoint: dict = {}
         for idx, (refs, _, _) in enumerate(ways):

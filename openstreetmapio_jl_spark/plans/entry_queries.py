@@ -937,7 +937,14 @@ select count(*) as n_unresolved from (
 def q_osm_member_closure(spark, sf_dir):
     """Overpass ``>;`` transitive member resolution, natively (semi-naive
     iterative closure; see operators/members.py). Output: per root relation and
-    kind, the count of distinct transitively-reachable members."""
+    kind, the count of distinct transitively-reachable members.
+
+    Bounded differential, intentionally: the engine stops at max_depth=16
+    rounds while the oracle's recursive CTE is unbounded — equal whenever
+    nesting depth ≤ 16 (fixtures: ≤ 2; real OSM: ≤ ~10). Past the bound the
+    engine raises a RuntimeWarning instead of silently diverging
+    (tests/test_round3.py::test_deep_nesting_truncation_fires_warning drives a
+    depth-20 chain through the full PBF round-trip to prove it)."""
     from openstreetmapio_jl_spark.operators import members as M
 
     b, _ = _osm(spark, sf_dir)
@@ -1001,9 +1008,10 @@ def q_osm_multipolygon_assembly(spark, sf_dir):
 def _sql_multipolygon() -> str:
     # Open-member-way inclusion mirrors the engine stitcher's accept condition
     # WITHOUT recursion: a relation's fully-resolvable open ways are included iff
-    # every endpoint node id occurs exactly twice among their first/last refs
-    # (unique decomposition into simple closed chains — exactly when stitching
-    # succeeds). The stitched-ring representation keeps junction duplicates, so
+    # every endpoint node id occurs an EVEN number of times among their
+    # first/last refs (decomposition into closed chains exists — exactly when
+    # stitching succeeds; degree 4 = touching rings, any odd degree rejects).
+    # The stitched-ring representation keeps junction duplicates, so
     # each included way contributes len(refs) edges and all its coords to the
     # bbox — the same per-way arithmetic as closed member ways, no ordering
     # needed in SQL.
@@ -1044,7 +1052,7 @@ endpoints as (
 ok_rels as (
   select rel_id from (
     select rel_id, node, count(*) as c from endpoints group by 1, 2
-  ) group by rel_id having bool_and(c = 2)
+  ) group by rel_id having bool_and(c % 2 = 0)
 ),
 included as (
   select rel_id, way_id, refs from mw where is_closed
@@ -1058,12 +1066,34 @@ pts as (
 coords as (
   select p.rel_id, p.way_id, n.lat, n.lon
   from pts p join read_parquet('{nodes}') n on p.ref = n.id
+),
+-- wrapped-bbox convention (geo.lon_bounds_cols twin): per-way lon intervals,
+-- negative-only intervals shifted +360; a >180-degree plain union that the
+-- shifted union strictly tightens is stored wrapped (min_lon > max_lon)
+way_iv as (
+  select rel_id, way_id, min(lon) as mn, max(lon) as mx from coords group by 1, 2
+),
+lonb as (
+  select rel_id,
+    case when (amax - amin) > 180.0 and (smax - smin) < (amax - amin)
+      then case when smin > 180.0 then smin - 360.0 else smin end
+      else amin end as min_lon,
+    case when (amax - amin) > 180.0 and (smax - smin) < (amax - amin)
+      then case when smax > 180.0 then smax - 360.0 else smax end
+      else amax end as max_lon
+  from (
+    select rel_id, min(mn) as amin, max(mx) as amax,
+      min(case when mx < 0 then mn + 360.0 else mn end) as smin,
+      max(case when mx < 0 then mx + 360.0 else mx end) as smax
+    from way_iv group by 1
+  )
 )
-select rel_id as id,
+select c.rel_id as id,
   cast(count(*) as int) as n_edges,
-  min(lat) as min_lat, max(lat) as max_lat,
-  min(lon) as min_lon, max(lon) as max_lon
-from coords group by 1
+  min(c.lat) as min_lat, max(c.lat) as max_lat,
+  any_value(l.min_lon) as min_lon, any_value(l.max_lon) as max_lon
+from coords c join lonb l on c.rel_id = l.rel_id
+group by c.rel_id
 """
 
 
@@ -1357,7 +1387,10 @@ cr as (
           and (g.plon < (p.e.x2 - p.e.x1) * (g.plat - p.e.y1) / (p.e.y2 - p.e.y1) + p.e.x1)
     then 1 else 0 end as c
   from g join read_parquet('{_ofx(truth_polygons)}') b
-    on g.plat between b.min_lat and b.max_lat and g.plon between b.min_lon and b.max_lon
+    on g.plat between b.min_lat and b.max_lat
+    and case when b.min_lon <= b.max_lon
+          then g.plon between b.min_lon and b.max_lon
+          else (g.plon >= b.min_lon or g.plon <= b.max_lon) end
   join p on p.id = b.id
 )
 select id as polygon_id, count(distinct url) as n_hits
@@ -1385,6 +1418,22 @@ def q_pip_hits_multipolygon(spark, sf_dir):
         pts.select("url", "lat", "lon"), mp, zoom=ZOOM, nsalt=8, salt_id_col="url",
         adaptive_cover=True,
     )
+    return hits.groupBy("polygon_id").count().withColumnRenamed("count", "n_hits")
+
+
+def q_pip_hits_multipolygon_static(spark, sf_dir):
+    """Same PIP-vs-assembled-multipolygons join through the STATIC single-level
+    cover (``tile_cover_bbox``) — oracle-level coverage for the static cover's
+    antimeridian crosser arm: the wrapped-bbox far-pair fixture relation flows
+    through BOTH this and the adaptive path (``pip_hits_multipolygon``), and
+    zoom/cover choice can only change the plan, never the hits, so both share
+    one oracle. Coarse z6 keeps continent-scale bboxes to tens of cover tiles —
+    the manual trade the adaptive cover automates at z13."""
+    _b, paths = _osm(spark, sf_dir)
+    mp = _multipolygons(spark, sf_dir).drop("tags")
+    pages = spark.read.parquet(paths["pages"])
+    pts = geocode.extract_geocodes(pages)
+    hits = SJ.point_in_polygon_join(pts.select("url", "lat", "lon"), mp, zoom=6)
     return hits.groupBy("polygon_id").count().withColumnRenamed("count", "n_hits")
 
 
@@ -2076,10 +2125,13 @@ def registry() -> dict[str, tuple]:
     near-duplicate twins whose oracle/path is already certified by an in-window
     sibling AND which hold a green CORRECTNESS_r02 row (events_stream_* share
     their batch twins' oracles verbatim; pages_stream_pip shares _sql_pip();
-    hex_cells_pages_r7 shares the hex path at another resolution;
-    setop_nations_except shares the set-op shape; sim_lsh_topk shares the
-    hyperplane-LSH bucket join with emb_lsh_neardup; quadkey_rollup shares the
-    hierarchical tile rollup with tile_pyramid_z11)."""
+    hex_cells_pages is the resolution twin of the in-window hex_cells_pages_r7
+    — same UDF path, certified r02; setop_nations_except shares the set-op
+    shape; sim_lsh_topk shares the hyperplane-LSH bucket join with
+    emb_lsh_neardup; quadkey_rollup shares the hierarchical tile rollup with
+    tile_pyramid_z11). Round-3 addition pip_hits_multipolygon_static (static
+    crosser-arm coverage for the antimeridian far-pair fixture) sits in-window;
+    hex_cells_pages rotated out to make room."""
     return {
         "agg_pricing_summary": (q_agg_pricing_summary, SQL_AGG_PRICING),
         "join_revenue_by_nation": (q_join_revenue_by_nation, SQL_JOIN_REVENUE),
@@ -2119,11 +2171,14 @@ def registry() -> dict[str, tuple]:
             q_pip_hits_multipolygon,
             _sql_pip("truth/multipolygons.parquet"),
         ),
+        "pip_hits_multipolygon_static": (
+            q_pip_hits_multipolygon_static,
+            _sql_pip("truth/multipolygons.parquet"),
+        ),
         "knn_pages_to_poi": (q_knn_pages_to_poi, _sql_knn()),
         "tile_pyramid_z11": (q_tile_pyramid, _sql_pyramid()),
         "pages_text_invariant": (q_pages_text_invariant, _sql_text_invariant()),
         "s2_cells_pages": (q_s2_cells_pages, _sql_s2_cells()),
-        "hex_cells_pages": (q_hex_cells_pages, _sql_hex_cells()),
         "geohash_cells_pages": (q_geohash_cells_pages, _sql_geohash_cells()),
         "sim_cosine_topk": (q_sim_cosine_topk, _sql_cosine_topk()),
         "sim_ivf_topk": (q_sim_ivf_topk, _sql_ivf_topk()),
@@ -2135,6 +2190,7 @@ def registry() -> dict[str, tuple]:
         "mm_resize_stats": (q_mm_resize_stats, _sql_mm_resize()),
         "mm_frame_sample": (q_mm_frame_sample, _sql_mm_frames()),
         # --- past the driver's 50-entry correctness window: r02-certified twins
+        "hex_cells_pages": (q_hex_cells_pages, _sql_hex_cells()),
         "setop_nations_except": (q_setop_nations_except, SQL_SETOP_EXCEPT),
         "events_stream_tumbling": (q_events_stream_tumbling, SQL_EVENTS_TUMBLING),
         "events_stream_sessionize": (q_events_stream_sessionize, SQL_EVENTS_SESSIONIZE),

@@ -356,7 +356,6 @@ def test_knn_join_handles_release_all_storage(spark):
 
 
 def test_resolve_members_handles_and_truncation_warning(spark):
-    base = _n_persisted(spark)
     # chain: rel 1 -> rel 2 -> rel 3 -> rel 4 -> node 99
     rels = _mk_rels(
         spark,
@@ -374,9 +373,16 @@ def test_resolve_members_handles_and_truncation_warning(spark):
         (F.col("root_id") == 1) & (F.col("member_id") == 99)
     ).count() == 1
     assert handles
+    # release storage by the specific RDD ids the handles pin (a global
+    # persisted-count equality is racy: the ContextCleaner GCs earlier tests'
+    # unreferenced checkpoints at arbitrary moments)
+    pinned = {h.rdd_id for h in handles}
+    jpersisted = spark.sparkContext._jsc.getPersistentRDDs()
+    assert pinned <= {int(k) for k in jpersisted.keySet().toArray()}
     for h in handles:
         h.unpersist(blocking=True)
-    assert _n_persisted(spark) == base
+    jpersisted = spark.sparkContext._jsc.getPersistentRDDs()
+    assert not (pinned & {int(k) for k in jpersisted.keySet().toArray()})
 
     with pytest.warns(RuntimeWarning, match="truncated at max_depth"):
         members.resolve_members(rels, ways, max_depth=1).count()
