@@ -81,8 +81,13 @@ def run_bench(sf_dir: str, master: str | None = None) -> dict:
     # by a full pass (~1 min apart) lets the min dodge it. THREE timed passes
     # (round-3 protocol): two samples can both land in one multi-minute burst;
     # three spaced ~1 min apart straddle the observed burst windows.
-    for name in HEADLINE:
-        _force(reg[name][0](spark, sf_dir))
+    # TWO warmup passes: one is not enough for the decode-heavy queries — the
+    # Python-worker pool and C2-compiled kernels reach steady state only on the
+    # ~3rd execution (osm_counts measured 10.8 / 1.5 / 1.4 / 0.9 / 0.8 s on an
+    # idle host), and a warmup-starved min reads as a phantom regression.
+    for _ in range(2):
+        for name in HEADLINE:
+            _force(reg[name][0](spark, sf_dir))
     timings: dict[str, float] = {}
     for _pass in range(3):
         for name in HEADLINE:

@@ -440,3 +440,41 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def duplicate_clusters(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    max_bucket_df: int | None = None,
+    handles: list | None = None,
+) -> DataFrame:
+    """→ (canonical_id, n_docs, max_id): one row per near-duplicate CLUSTER —
+    the survivor-selection step a corpus pipeline runs after pair generation
+    ("keep one doc per cluster, drop the rest"). Composition:
+    :func:`jaccard_via_lsh` pairs → :func:`operators.graph.connected_components`
+    → per-component aggregate. ``canonical_id`` is the minimum doc id in the
+    cluster (deterministic survivor, same convention as
+    :func:`exact_duplicates`'s keep_id); clusters are always n_docs >= 2
+    (singletons by definition never appear in the pair graph).
+
+    Transitivity is deliberate: near-duplication is NOT transitive, so a
+    cluster may span pairs whose mutual Jaccard is below threshold (A~B, B~C,
+    A≁C still clusters {A,B,C}). That is the standard corpus-dedup semantics —
+    dropping all-but-one of a chained cluster — and the reason the cluster step
+    exists instead of dropping pairwise."""
+    from openstreetmapio_jl_spark.operators.graph import connected_components
+
+    pairs = jaccard_via_lsh(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        threshold=threshold,
+        max_bucket_df=max_bucket_df,
+    )
+    comp = connected_components(pairs, src="id_a", dst="id_b", handles=handles)
+    return comp.groupBy(F.col("component").alias("canonical_id")).agg(
+        F.count("*").alias("n_docs"), F.max("id").alias("max_id")
+    )

@@ -673,6 +673,50 @@ from j where round(inter / (na + nb - inter), 6) >= 0.5
 """
 
 
+def q_doc_dup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS with a canonical survivor each — the step a
+    corpus pipeline runs after pair generation: jaccard_via_lsh pairs →
+    connected components (min-label propagation, checkpoint-per-round) →
+    per-component aggregate. Transitivity is the point: A~B, B~C clusters
+    {A,B,C} even when A≁C — the standard drop-all-but-one dedup semantics.
+    Oracle: same pair SQL + a recursive-CTE reachability closure (unbounded
+    recursion is fine in DuckDB at oracle scale; the engine side is the
+    O(diameter)-round distributed form)."""
+    return dedup.duplicate_clusters(
+        _load(spark, sf_dir, "documents"), threshold=0.5, max_bucket_df=100
+    )
+
+
+def _sql_dup_clusters() -> str:
+    return f"""
+with pairs as (
+  select id_a, id_b from ({_sql_jaccard_via_lsh()})
+),
+e as (
+  select id_a as u, id_b as v from pairs
+  union
+  select id_b as u, id_a as v from pairs
+),
+reach as (
+  select * from (
+    with recursive r(u, v) as (
+      select u, v from e
+      union
+      select r.u, e.v from r join e on r.v = e.u
+    )
+    select u, v from r
+  )
+),
+comp as (
+  select u as id, least(u, min(v)) as component from reach group by u
+)
+select component as canonical_id,
+  cast(count(*) as bigint) as n_docs,
+  max(id) as max_id
+from comp group by 1
+"""
+
+
 def q_doc_simhash(spark, sf_dir):
     return dedup.simhash(_load(spark, sf_dir, "documents"))
 
@@ -2148,6 +2192,7 @@ def registry() -> dict[str, tuple]:
         "doc_minhash_lsh": (q_doc_minhash_lsh, _sql_minhash_lsh()),
         "doc_ngram_jaccard": (q_doc_ngram_jaccard, SQL_DOC_JACCARD),
         "doc_jaccard_via_lsh": (q_doc_jaccard_via_lsh, _sql_jaccard_via_lsh()),
+        "doc_dup_clusters": (q_doc_dup_clusters, _sql_dup_clusters()),
         "doc_simhash": (q_doc_simhash, _sql_simhash()),
         "doc_simhash_neardup": (q_doc_simhash_neardup, _sql_simhash_neardup()),
         "doc_token_quality": (q_doc_token_quality, SQL_DOC_TOKEN_QUALITY),
@@ -2156,7 +2201,6 @@ def registry() -> dict[str, tuple]:
         "osm_poi_topk": (q_osm_poi_topk, _sql_osm_poi()),
         "osm_country_filter": (q_osm_country_filter, _sql_osm_country()),
         "osm_way_sizes": (q_osm_way_sizes, _sql_osm_way_sizes()),
-        "osm_bbox_count": (q_osm_bbox_count, _sql_osm_bbox()),
         "osm_member_types": (q_osm_member_types, _sql_osm_members()),
         "osm_ref_integrity": (q_osm_ref_integrity, _sql_osm_integrity()),
         "osm_member_closure": (q_osm_member_closure, _sql_member_closure()),
@@ -2190,6 +2234,9 @@ def registry() -> dict[str, tuple]:
         "mm_resize_stats": (q_mm_resize_stats, _sql_mm_resize()),
         "mm_frame_sample": (q_mm_frame_sample, _sql_mm_frames()),
         # --- past the driver's 50-entry correctness window: r02-certified twins
+        # (osm_bbox_count: simple bbox-filter count, r02-green; the filter
+        # shape stays in-window via osm_country_filter / osm_way_sizes)
+        "osm_bbox_count": (q_osm_bbox_count, _sql_osm_bbox()),
         "hex_cells_pages": (q_hex_cells_pages, _sql_hex_cells()),
         "setop_nations_except": (q_setop_nations_except, SQL_SETOP_EXCEPT),
         "events_stream_tumbling": (q_events_stream_tumbling, SQL_EVENTS_TUMBLING),

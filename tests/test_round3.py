@@ -641,3 +641,68 @@ def test_deep_nesting_completes_when_bound_raised(nested_bundle):
     assert ("way", 500) in root0
     assert {("node", i) for i in (10, 11, 12)} <= root0
     assert sum(1 for k, _ in root0 if k == "relation") == 19
+
+
+# ---------------------------------------------------------------------------
+# connected components + duplicate clusters (pairs -> clusters -> survivor)
+# ---------------------------------------------------------------------------
+
+def test_connected_components_chain_cycle_and_handles(spark):
+    from openstreetmapio_jl_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3, pair 10-11, cycle 20-21-22, dup+reversed edges
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20), (2, 1)],
+        "id_a long, id_b long",
+    )
+    handles: list = []
+    got = {
+        r.id: r.component
+        for r in connected_components(edges, handles=handles).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    pinned = {h.rdd_id for h in handles}
+    jp = spark.sparkContext._jsc.getPersistentRDDs()
+    assert pinned <= {int(k) for k in jp.keySet().toArray()}
+    for h in handles:
+        h.unpersist(blocking=True)
+    jp = spark.sparkContext._jsc.getPersistentRDDs()
+    assert not (pinned & {int(k) for k in jp.keySet().toArray()})
+
+
+def test_connected_components_max_iter_warns_incomplete(spark):
+    from openstreetmapio_jl_spark.operators.graph import connected_components
+
+    # a 12-vertex path needs ~11 label-propagation rounds to converge
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    with pytest.warns(RuntimeWarning, match="max_iter=2"):
+        out = connected_components(chain, max_iter=2).collect()
+    assert len(out) == 12  # labeled, just not at fixpoint
+
+
+def test_duplicate_clusters_chain_transitivity(spark):
+    """A~B and B~C above threshold, A~C below it: the cluster step must still
+    produce ONE cluster {A,B,C} (drop-all-but-one corpus-dedup semantics) —
+    exactly what pairwise filtering alone cannot express."""
+    import hashlib
+
+    base = "".join(
+        hashlib.md5(f"seed{i}".encode()).hexdigest()[:1] for i in range(105)
+    )
+    # one substitution changes n=5 shingles: J(A,B)=J(B,C)~0.905, J(A,C)~0.82
+    b = base[:30] + "!" + base[31:]
+    c = b[:70] + "?" + b[71:]  # from b: A-C differ at BOTH positions
+    docs = spark.createDataFrame(
+        [(1, base), (2, b), (3, c), (9, "completely unrelated text about owls")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.jaccard_via_lsh(docs, threshold=0.85).collect()
+    got_pairs = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got_pairs and (2, 3) in got_pairs
+    assert (1, 3) not in got_pairs  # below threshold: chain, not clique
+    rows = dedup.duplicate_clusters(docs, threshold=0.85).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.canonical_id, r.n_docs, r.max_id) == (1, 3, 3)
