@@ -11,6 +11,10 @@ library provides:
 
 1. **exact dedup** — md5 fingerprint of normalized text, keep the smallest
    url per group (deterministic survivor; one groupBy shuffle);
+1b. **near-dup cluster dedup** (``--near-dup-threshold`` > 0) — MinHash-LSH
+   pairs → connected components → keep only each cluster's canonical url
+   (minimum), dropping the other members; transitivity means a chained
+   cluster loses all-but-one even when its ends aren't pairwise similar;
 2. **quality + language gate** — JVM-side quality_score_col / token counts,
    drop below ``--min-quality``;
 3. **geocode + spatial enrich** — regex geocode extraction, cell-keyed PIP
@@ -39,6 +43,14 @@ def main() -> None:
     ap.add_argument("--zoom", type=int, default=13)
     ap.add_argument("--nsalt", type=int, default=16)
     ap.add_argument("--min-quality", type=float, default=0.3)
+    ap.add_argument(
+        "--near-dup-threshold", type=float, default=0.0,
+        help="exact Jaccard threshold for near-dup cluster dedup; 0 disables",
+    )
+    ap.add_argument(
+        "--near-dup-max-bucket", type=int, default=1000,
+        help="LSH bucket-cardinality cap before the candidate self-join",
+    )
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args()
 
@@ -48,7 +60,8 @@ def main() -> None:
     from openstreetmapio_jl_spark.functions import text as textfn
     from openstreetmapio_jl_spark.operators import geocode
     from openstreetmapio_jl_spark.operators import spatial_join as SJ
-    from openstreetmapio_jl_spark.operators.dedup import fingerprint
+    from openstreetmapio_jl_spark.operators.dedup import fingerprint, jaccard_via_lsh
+    from openstreetmapio_jl_spark.operators.graph import connected_components
     from openstreetmapio_jl_spark.plans import lineage
     from openstreetmapio_jl_spark.sources.pbf_source import read_pbf
 
@@ -78,6 +91,28 @@ def main() -> None:
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+    # 1b. near-dup cluster dedup: LSH pairs -> components -> drop every
+    # cluster member except the canonical (minimum) url. Anti-join keeps the
+    # pages table untouched when the corpus has no near-dups.
+    n_near_dropped = 0
+    if args.near_dup_threshold > 0:
+        pairs = jaccard_via_lsh(
+            deduped,
+            id_col="url",
+            text_col="text",
+            threshold=args.near_dup_threshold,
+            max_bucket_df=args.near_dup_max_bucket,
+        )
+        cc_handles: list = []
+        comp = connected_components(pairs, handles=cc_handles)
+        losers = (
+            comp.filter(F.col("id") != F.col("component"))
+            .select(F.col("id").alias("url"))
+            .persist()
+        )
+        n_near_dropped = losers.count()
+        deduped = deduped.join(losers, "url", "left_anti")
 
     # 2. quality + language gate (all JVM-side)
     gated = (
@@ -118,6 +153,11 @@ def main() -> None:
     )
     chunked.unpersist()
     polys.unpersist()
+    if args.near_dup_threshold > 0:
+        losers.unpersist()
+        for h in cc_handles:
+            h.unpersist()
+    stats["near_dup_dropped"] = n_near_dropped
     print(json.dumps(stats))
     spark.stop()
 

@@ -153,6 +153,7 @@ def test_spark_submit_corpus_pipeline(pyfiles_zip, tmp_path, osm_data):
         os.path.join(REPO, "jobs", "corpus_pipeline_job.py"),
         "--pages", pages, "--pbf", pbf, "--out", out, "--lineage", lin,
         "--chunks", "3", "--min-quality", "0.2",
+        "--near-dup-threshold", "0.85",  # exercises pairs -> CC -> survivor
     ]
     env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
     p = subprocess.run(
@@ -161,6 +162,7 @@ def test_spark_submit_corpus_pipeline(pyfiles_zip, tmp_path, osm_data):
     assert p.returncode == 0, p.stderr[-4000:]
     stats = json.loads([l for l in p.stdout.splitlines() if l.startswith("{")][-1])
     assert stats["processed"] == 3 and stats["rows"] > 0
+    assert stats["near_dup_dropped"] >= 0  # stage ran (drop count corpus-dependent)
 
     import duckdb
 
