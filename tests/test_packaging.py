@@ -184,3 +184,49 @@ def test_spark_submit_corpus_pipeline(pyfiles_zip, tmp_path, osm_data):
     assert p2.returncode == 0, p2.stderr[-4000:]
     stats2 = json.loads([l for l in p2.stdout.splitlines() if l.startswith("{")][-1])
     assert stats2["processed"] == 0 and stats2["skipped"] == 3
+
+
+def test_spark_submit_export_job(pyfiles_zip, tmp_path, osm_data, spark):
+    """decode → export → re-read closes the loop via spark-submit: PBF to
+    parquet tables, tables back to a sharded PBF directory, shards re-ingested
+    with the distributed multi-file reader at original counts."""
+    from openstreetmapio_jl_spark.fixtures import generator as G
+    from openstreetmapio_jl_spark.sources.pbf_source import read_pbf
+
+    meta, nodes, ways, rels = osm_data
+    pbf = str(tmp_path / "f.pbf")
+    G.write_fixture_pbf(pbf, meta, nodes, ways, rels, nodes_per_block=100)
+    tables, lin = str(tmp_path / "osm"), str(tmp_path / "osm_lineage")
+    out = str(tmp_path / "export")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    common = [
+        _spark_submit(),
+        "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.driver.host=127.0.0.1",
+        "--py-files", pyfiles_zip,
+    ]
+    p = subprocess.run(
+        common + [
+            os.path.join(REPO, "jobs", "decode_job.py"),
+            "--pbf", pbf, "--out", tables, "--lineage", lin, "--chunks", "2",
+        ],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert p.returncode == 0, p.stderr[-4000:]
+    p2 = subprocess.run(
+        common + [
+            os.path.join(REPO, "jobs", "export_job.py"),
+            "--tables", tables, "--out", out, "--format", "pbf", "--shards", "2",
+        ],
+        cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert p2.returncode == 0, p2.stderr[-4000:]
+    stats = json.loads([l for l in p2.stdout.splitlines() if l.startswith("{")][-1])
+    assert stats["rows"] == 613 + 29 + 3
+
+    shards = sorted(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".osm.pbf")
+    )
+    back = read_pbf(spark, shards)
+    assert (back.nodes.count(), back.ways.count(), back.relations.count()) == (613, 29, 3)
