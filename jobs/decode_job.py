@@ -44,6 +44,7 @@ def main() -> None:
     spark = (
         SparkSession.builder.appName("osm-decode-to-parquet")
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")  # naive-UTC timestamp contract (sinks assert it)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
     )

@@ -43,20 +43,44 @@ def main() -> None:
     spark = (
         SparkSession.builder.appName("osm-export-sharded")
         .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")  # naive-UTC timestamp contract (sinks assert it)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
 
     frames = {}
+    skipped_kinds = []
     for kind in ("nodes", "ways", "relations"):
         df = spark.read.parquet(os.path.join(args.tables, kind))
         if args.filter:
             try:
                 df = df.filter(args.filter)
-            except AnalysisException:
-                pass  # predicate references columns this kind lacks — skip
+            except AnalysisException as e:
+                # ONLY "predicate references a column this kind lacks" is a
+                # legitimate skip (e.g. a tags filter applied to a kind without
+                # a tags column). Any other analysis failure — malformed SQL
+                # (ParseException subclasses AnalysisException), a datatype
+                # mismatch — must fail LOUDLY: swallowing it would silently
+                # export the full unfiltered planet for every kind.
+                get_cond = getattr(e, "getCondition", e.getErrorClass)
+                if not (get_cond() or "").startswith("UNRESOLVED_COLUMN"):
+                    raise
+                skipped_kinds.append(kind)
         frames[kind] = df
+    if skipped_kinds:
+        if len(skipped_kinds) == 3:
+            # unresolved on EVERY kind = the column exists nowhere — that is a
+            # typo'd column name, not a kind-specific schema gap; refusing here
+            # is what keeps a misspelled extract from exporting the whole planet
+            raise SystemExit(
+                f"--filter {args.filter!r} references columns present in no "
+                "kind (nodes/ways/relations) — typo?"
+            )
+        print(
+            f"filter {args.filter!r} skipped for kinds lacking its columns: "
+            + ", ".join(skipped_kinds)
+        )
     meta = {}
     meta_path = os.path.join(args.tables, "_meta.json")
     if os.path.exists(meta_path):

@@ -165,6 +165,8 @@ def run_resumable(
     result DataFrame (distributed); it is written to ``<out_dir>/chunk=<key>``
     with overwrite (idempotent re-write of half-written chunks), then the chunk
     is committed to the lineage log. Returns run statistics."""
+    from pyspark.sql import Observation
+
     run_id = run_id or uuid.uuid4().hex[:12]
     for key in chunk_keys:
         validate_chunk_key(key)
@@ -176,8 +178,16 @@ def run_resumable(
         t0 = time.perf_counter()
         result = process_chunk(key)
         chunk_path = f"{out_dir}/chunk={key}"
-        result.write.mode("overwrite").parquet(chunk_path)
-        n = spark.read.parquet(chunk_path).count()
+        # Row count rides the write job itself via an Observation metric — the
+        # write is the chunk's ONLY Spark job. (The previous design re-read the
+        # just-written chunk with spark.read...count(): one extra job plus a
+        # full second read of all output per run — 100k chunks meant 100k
+        # bookkeeping jobs, the exact cost the single-row pyarrow commit path
+        # was built to avoid.)
+        obs = Observation(f"lineage_{key}")
+        observed = result.observe(obs, F.count(F.lit(1)).alias("n_rows"))
+        observed.write.mode("overwrite").parquet(chunk_path)
+        n = int(obs.get["n_rows"])
         log.commit(key, n, run_id, time.perf_counter() - t0)
         stats["processed"] += 1
         stats["rows"] += n

@@ -179,9 +179,22 @@ def write_pbf_sharded(
     cols = [c for c in _ENTITY_COLS[kind] if c in df.columns]
     if "id" not in cols:
         raise ValueError(f"{kind} DataFrame needs an 'id' column; has {df.columns}")
+    if "info" in cols:
+        # _epoch_seconds stamps tzinfo=UTC onto the naive datetimes Arrow hands
+        # the kernel — only correct when the session zone IS UTC (a non-UTC
+        # zone shifts exported info.timestamps falling in DST gaps); fail loud
+        # rather than export silently-shifted metadata
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+            raise ValueError(
+                f"PBF/XML export of info.timestamp requires "
+                f"spark.sql.session.timeZone=UTC (session has {tz!r})"
+            )
     plan = df.select(*cols)
-    if shards is not None:
-        plan = plan.repartitionByRange(shards, "id")
+    # ALWAYS range-partition by id (see xml_sink: overlap-free shard id-spans)
+    plan = plan.repartitionByRange(
+        shards if shards is not None else max(1, df.rdd.getNumPartitions()), "id"
+    )
     plan = plan.sortWithinPartitions("id")
     os.makedirs(out_dir, exist_ok=True)
     kernel = _shard_kernel(

@@ -16,7 +16,10 @@ Format notes (matching the engine's own XML reader and the reference's):
   READ path drops Info entirely (``src/load_xml.jl:215,230,245`` — preserved
   asymmetry), so a write→read round trip returns NULL info by design;
 - attribute escaping matches ``xml.sax.saxutils`` with quote/apostrophe
-  entities, the same table the fixture writer uses.
+  entities plus ``&#10;``/``&#9;``/``&#13;`` for literal whitespace (attribute
+  values are whitespace-normalized on re-read unless char-ref'd); remaining C0
+  control chars are stripped (unrepresentable in XML 1.0 — PBF is the lossless
+  path for those).
 """
 
 from __future__ import annotations
@@ -38,8 +41,26 @@ if TYPE_CHECKING:
     from pyspark.sql import DataFrame
 
 
+import re as _re
+
+# C0 controls other than \t\n\r are unrepresentable in XML 1.0 (even as char
+# refs) — strip them; the PBF sink is the lossless path for such payloads
+_C0_RE = _re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+
+_ESC_ENTITIES = {
+    '"': "&quot;",
+    "'": "&#39;",
+    # literal whitespace in attribute values is NORMALIZED to spaces by any
+    # conforming XML parser on re-read; character references are exempt from
+    # that normalization, so \n/\t/\r only round-trip as &#10;/&#9;/&#13;
+    "\n": "&#10;",
+    "\t": "&#9;",
+    "\r": "&#13;",
+}
+
+
 def _esc(s: str) -> str:
-    return xml_escape(s, {'"': "&quot;", "'": "&#39;"})
+    return xml_escape(_C0_RE.sub("", s), _ESC_ENTITIES)
 
 
 def _tag_lines(el: dict, indent: str) -> list[str]:
@@ -174,8 +195,13 @@ def write_xml_sharded(
     if "id" not in cols:
         raise ValueError(f"{kind} DataFrame needs an 'id' column; has {df.columns}")
     plan = df.select(*cols)
-    if shards is not None:
-        plan = plan.repartitionByRange(shards, "id")
+    # ALWAYS range-partition by id (defaulting to the incoming partition
+    # count): with the incoming hash/arbitrary partitioning, shards would be
+    # internally sorted but their id-spans could overlap, breaking the
+    # manifest's tight-span property and the id-sorted-file OSM convention
+    plan = plan.repartitionByRange(
+        shards if shards is not None else max(1, df.rdd.getNumPartitions()), "id"
+    )
     plan = plan.sortWithinPartitions("id")
     os.makedirs(out_dir, exist_ok=True)
     manifest = plan.mapInArrow(

@@ -97,6 +97,36 @@ def test_resume_after_partial_failure(spark, tmp_path):
     assert len({r.chunk_key for r in recs}) == len(recs) == 5
 
 
+def test_one_spark_job_per_chunk(spark, tmp_path):
+    """The chunk write is the chunk's ONLY Spark job: n_rows comes from an
+    Observation metric riding the write, not a re-read count() (which doubled
+    the job count and re-read all output — 100k extra jobs at log scale).
+    Exchange-free chunk queries so AQE can't split the write into stages."""
+    out, lin = str(tmp_path / "out"), str(tmp_path / "lineage")
+    keys = [str(k) for k in range(5)]
+
+    def process(key: str):
+        return spark.range(10 * int(key) + 1).select(
+            F.col("id"), F.lit(key).alias("k")
+        )
+
+    sc = spark.sparkContext
+    sc.setJobGroup("lineage-chunks", "one write job per chunk")
+    try:
+        stats = L.run_resumable(spark, keys, process, out_dir=out, lineage_dir=lin)
+        jobs = list(sc.statusTracker().getJobIdsForGroup("lineage-chunks"))
+    finally:
+        sc.setJobGroup("lineage-post", "")
+    assert stats["processed"] == 5
+    assert len(jobs) == 5  # exactly the 5 writes — zero bookkeeping jobs
+    # observed counts match the data (1, 11, 21, 31, 41 rows)
+    recs = {r.chunk_key: r.n_rows for r in L.LineageLog(spark, lin).records().collect()}
+    assert recs == {str(k): 10 * k + 1 for k in range(5)}
+    # pending-set semantics unchanged: rerun is a committed no-op
+    s2 = L.run_resumable(spark, keys, process, out_dir=out, lineage_dir=lin)
+    assert s2["processed"] == 0 and s2["skipped"] == 5
+
+
 def test_filter_pending_anti_join(spark, tmp_path):
     lin = str(tmp_path / "lineage")
     log = L.LineageLog(spark, lin)

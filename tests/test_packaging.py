@@ -230,3 +230,52 @@ def test_spark_submit_export_job(pyfiles_zip, tmp_path, osm_data, spark):
     )
     back = read_pbf(spark, shards)
     assert (back.nodes.count(), back.ways.count(), back.relations.count()) == (613, 29, 3)
+
+
+def test_export_job_filter_error_handling(tmp_path, osm_data, spark, monkeypatch, capsys):
+    """--filter skip semantics are NARROW: a predicate is skipped only for
+    kinds genuinely lacking its columns; a predicate valid for no kind (typo'd
+    column) aborts, and malformed SQL raises — neither silently exports the
+    full unfiltered dataset (the round-3 ADVICE trap)."""
+    import sys
+
+    from openstreetmapio_jl_spark.fixtures import generator as G
+    from openstreetmapio_jl_spark.sources.pbf_source import read_pbf
+    from jobs import export_job
+
+    meta, nodes, ways, rels = osm_data
+    pbf = str(tmp_path / "f.pbf")
+    G.write_fixture_pbf(pbf, meta, nodes, ways, rels, nodes_per_block=200)
+    bundle = read_pbf(spark, pbf)
+    tables = str(tmp_path / "tables")
+    for kind, df in (
+        ("nodes", bundle.nodes), ("ways", bundle.ways), ("relations", bundle.relations)
+    ):
+        df.write.parquet(os.path.join(tables, kind))
+    monkeypatch.setattr(spark, "stop", lambda: None)  # keep the shared session
+
+    def run(filt, out_name):
+        monkeypatch.setattr(sys, "argv", [
+            "export_job.py", "--tables", tables, "--out", str(tmp_path / out_name),
+            "--format", "xml", "--shards", "1", "--filter", filt,
+        ])
+        export_job.main()
+
+    # kind-specific column: applies to nodes, skipped (with a notice) for
+    # ways/relations — the one legitimate skip case
+    run("lat > 40.0", "lat_export")
+    printed = capsys.readouterr().out
+    assert "skipped for kinds lacking its columns: ways, relations" in printed
+    stats = json.loads([l for l in printed.splitlines() if l.startswith("{")][-1])
+    n_lat = bundle.nodes.filter("lat > 40.0").count()
+    assert stats["rows"] == n_lat + 29 + 3
+
+    # typo'd column name: unresolved for EVERY kind -> abort, no export
+    with pytest.raises(SystemExit, match="typo"):
+        run("tagz['amenity'] IS NOT NULL", "typo_export")
+
+    # malformed SQL: ParseException propagates instead of being swallowed
+    from pyspark.errors import ParseException
+
+    with pytest.raises(ParseException):
+        run("id IS NOTT NULL", "parse_export")

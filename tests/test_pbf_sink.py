@@ -87,3 +87,38 @@ def test_kind_validation(spark):
         write_pbf_sharded(df, "points", "/tmp/never")
     with pytest.raises(ValueError, match="'id' column"):
         write_pbf_sharded(df, "nodes", "/tmp/never")
+
+
+def test_default_shards_are_id_ranged(spark, fixture_pbf, tmp_path):
+    """shards=None must STILL range-partition by id: an incoming hash/arbitrary
+    partitioning would otherwise produce internally-sorted shards with
+    overlapping id-spans, breaking the manifest's tight-span property."""
+    src = read_pbf(spark, fixture_pbf)
+    scrambled = src.nodes.repartition(3)  # round-robin: ids interleave
+    out = str(tmp_path / "defaultshards")
+    manifest = write_pbf_sharded(scrambled, "nodes", out)
+    shards = sorted(manifest, key=lambda m: m["path"])
+    assert len(shards) >= 2
+    for prev, nxt in zip(shards, shards[1:]):
+        assert prev["max_id"] < nxt["min_id"], "default-shard spans overlap"
+
+
+def test_non_utc_session_timezone_rejected(spark, fixture_pbf, tmp_path):
+    """info.timestamp export assumes naive-UTC datetimes from Arrow; a non-UTC
+    session zone would silently shift timestamps in DST gaps — fail loud."""
+    src = read_pbf(spark, fixture_pbf)
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        with pytest.raises(ValueError, match="timeZone"):
+            write_pbf_sharded(src.nodes, "nodes", str(tmp_path / "tz"))
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # without the info column the export is timezone-independent and allowed
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        m = write_pbf_sharded(
+            src.nodes.drop("info"), "nodes", str(tmp_path / "tz_ok")
+        )
+        assert sum(x["rows"] for x in m) == src.nodes.count()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")

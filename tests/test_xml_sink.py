@@ -75,3 +75,23 @@ def test_xml_kind_validation(spark):
     df = spark.range(1).withColumnRenamed("id", "x")
     with pytest.raises(ValueError, match="kind must be one of"):
         write_xml_sharded(df, "points", "/tmp/never")
+
+
+def test_whitespace_and_control_chars_in_tag_values(spark, tmp_path):
+    """Literal \n/\t/\r in tag values round-trip via character references
+    (attribute-value normalization would fold them to spaces otherwise);
+    C0 controls outside \t\n\r are stripped (unrepresentable in XML 1.0)."""
+    val = "line1\nline2\tcol\rcr"
+    dirty = "a\x01b\x0cc"  # \x01, \x0c have no XML 1.0 representation
+    nodes = spark.createDataFrame(
+        [(1, 10.0, 20.0, {"note": val, "dirty": dirty})],
+        "id long, lat double, lon double, tags map<string,string>",
+    )
+    out = str(tmp_path / "ws")
+    write_xml_sharded(nodes, "nodes", out)
+    files = sorted(os.path.join(out, f) for f in os.listdir(out) if f.endswith(".osm"))
+    back = read_osm(spark, files).nodes.collect()
+    assert len(back) == 1
+    tags = dict(back[0].tags)
+    assert tags["note"] == val  # byte-identical, incl. \n \t \r
+    assert tags["dirty"] == "abc"  # C0 stripped, not crashed on
