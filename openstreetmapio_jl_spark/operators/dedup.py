@@ -191,24 +191,122 @@ def simhash(docs: DataFrame, *, id_col: str = "doc_id", text_col: str = "text", 
     return votes.select(F.col(id_col), sig.alias("simhash"))
 
 
-def _cap_bucket_df(memberships: DataFrame, keys: list[str], cap: int | None) -> DataFrame:
-    """Drop LSH/band buckets holding more than ``cap`` members BEFORE the
-    candidate self-join. Salting cannot fix a hot bucket — it spreads the rows
-    but the O(n²) pair count inside the bucket survives; the only scale-safe
-    move is to drop (or sub-split) degenerate buckets (near-empty texts,
-    boilerplate, zero vectors) and document the recall trade, mirroring the
-    ``max_shingle_df`` guard in :func:`ngram_jaccard_pairs`. The count is one
-    extra groupBy on the same key the self-join shuffles on, so with AQE the
-    join back adds no extra exchange of the membership side."""
+def _cap_bucket_df(
+    memberships: DataFrame,
+    keys: list[str],
+    cap: int | None,
+    sub_col: str | None = None,
+) -> DataFrame:
+    """Bound LSH/band bucket cardinality BEFORE the candidate self-join, by
+    SUB-SPLITTING hot buckets on a finer deterministic signature instead of
+    dropping them outright. Salting cannot fix a hot bucket — it spreads the
+    rows but the O(n²) pair count inside the bucket survives; bounding the
+    bucket is the only scale-safe move.
+
+    Mechanics: buckets (grouped by ``keys``) holding ≤ ``cap`` members pass
+    untouched (``_piece = ''``). Over-cap buckets split into pieces keyed by
+    ``sub_col`` — a FINER signature the caller derives from the same sketch
+    (double-width MinHash band, the neighboring SimHash band, extra
+    hyperplanes): unrelated co-bucketed members (boilerplate shell around
+    distinct content) scatter across pieces, while true near-duplicates — which
+    agree on the finer signature with high probability — stay co-located and
+    their pairs are RETAINED. Pieces still exceeding ``cap`` after the split
+    (typically byte-identical clones, which no signature can separate) are
+    dropped — the residual hard bound that keeps pair volume ≤ cap·|members|
+    (documented recall trade; such groups belong to the exact-dedup path).
+
+    Returns ``memberships`` with ``_piece`` appended — callers MUST include
+    ``_piece`` in the candidate self-join keys (constant ``''`` when ``cap`` is
+    None, so the join condition is uniform). Both groupBys key on the same
+    columns the self-join shuffles on, so AQE folds the exchanges."""
     if cap is None:
-        return memberships
+        out = memberships.withColumn("_piece", F.lit(""))
+        return out.drop(sub_col) if sub_col else out
+    dfc = memberships.groupBy(*keys).agg(F.count("*").alias("_df"))
+    m = memberships.join(dfc, keys)
+    if sub_col is None:
+        return (
+            m.filter(F.col("_df") <= cap).drop("_df").withColumn("_piece", F.lit(""))
+        )
+    m = m.withColumn(
+        "_piece",
+        F.when(F.col("_df") <= cap, F.lit("")).otherwise(F.col(sub_col).cast("string")),
+    ).drop("_df", sub_col)
     cold = (
-        memberships.groupBy(*keys)
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= cap)
-        .select(*keys)
+        m.groupBy(*keys, "_piece")
+        .agg(F.count("*").alias("_pdf"))
+        .filter(F.col("_pdf") <= cap)
+        .drop("_pdf")
     )
-    return memberships.join(cold, keys)
+    return m.join(cold, [*keys, "_piece"])
+
+
+def minhash_band_memberships(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """→ (id, band_idx, band_sig, sub_sig): one row per (doc, LSH band).
+
+    ``band_sig`` is md5 over the band's ``band_size`` consecutive minhashes —
+    the bucket key. ``sub_sig`` is md5 over the DOUBLE-width window starting at
+    the same hash (wrapping): the finer signature the hot-bucket sub-split
+    (:func:`_cap_bucket_df`) pieces over-cap buckets by — a pair with Jaccard s
+    collides on it with probability s^(2·band_size) instead of s^band_size, so
+    boilerplate-shell buckets scatter while true near-dups stay co-located.
+
+    Shared by :func:`jaccard_via_lsh` (self-join corpus dedup) and the
+    incremental path (:func:`build_dedup_index` persists exactly these rows)."""
+    nbands = num_hashes // band_size
+    d = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    sh = d.select(
+        "id",
+        F.explode(F.array_distinct(char_shingles(F.col("text"), shingle_n))).alias("s"),
+    )
+    hashed = sh.select(
+        "id",
+        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(F.md5("s"), 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+    sigs = hashed.groupBy("id").agg(
+        *[
+            F.min(
+                F.pmod(F.col("h1") + F.lit(i + 1) * F.col("h2"), F.lit(MINHASH_PRIME))
+            ).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+    def _sig(b: int, width: int) -> Column:
+        return F.md5(
+            F.concat_ws(
+                "_",
+                *[
+                    F.col(f"mh{(b * band_size + j) % num_hashes}").cast("string")
+                    for j in range(width)
+                ],
+            )
+        )
+
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        _sig(b, band_size).alias("band_sig"),
+                        _sig(b, 2 * band_size).alias("sub_sig"),
+                    )
+                    for b in range(nbands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_sig", "band.sub_sig")
 
 
 def jaccard_via_lsh(
@@ -232,59 +330,33 @@ def jaccard_via_lsh(
     Approximation is one-sided: every reported pair carries its EXACT Jaccard;
     pairs can only be MISSED (LSH recall), never wrongly scored.
 
-    ``max_bucket_df`` drops buckets with more than that many member docs before
-    the self-join (see :func:`_cap_bucket_df`) — one degenerate bucket of
-    boilerplate docs otherwise produces O(n²) pairs at corpus scale."""
-    nbands = num_hashes // band_size
+    ``max_bucket_df`` bounds bucket cardinality before the self-join: over-cap
+    buckets SUB-SPLIT on the double-width band signature (true near-dups stay
+    co-located; unrelated boilerplate-shell members scatter), with a residual
+    hard drop for pieces no signature can separate (byte-identical clones) —
+    see :func:`_cap_bucket_df`. Without the guard one degenerate bucket
+    produces O(n²) pairs at corpus scale."""
     d = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-    # per-doc band signatures (same derivation as minhash_lsh_buckets, which
+    # per-doc band memberships (same derivation as minhash_lsh_buckets, which
     # returns bucket AGGREGATES — here the memberships themselves are needed)
-    sh = d.select(
-        "id",
-        F.explode(F.array_distinct(char_shingles(F.col("text"), shingle_n))).alias("s"),
+    bands = minhash_band_memberships(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        band_size=band_size,
     )
-    hashed = sh.select(
-        "id",
-        F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring(F.md5("s"), 9, 8), 16, 10).cast("long").alias("h2"),
+    bands = _cap_bucket_df(
+        bands, ["band_idx", "band_sig"], max_bucket_df, sub_col="sub_sig"
     )
-    sigs = hashed.groupBy("id").agg(
-        *[
-            F.min(
-                F.pmod(F.col("h1") + F.lit(i + 1) * F.col("h2"), F.lit(MINHASH_PRIME))
-            ).alias(f"mh{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    bands = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        F.md5(
-                            F.concat_ws(
-                                "_",
-                                *[
-                                    F.col(f"mh{b * band_size + j}").cast("string")
-                                    for j in range(band_size)
-                                ],
-                            )
-                        ).alias("band_sig"),
-                    )
-                    for b in range(nbands)
-                ]
-            )
-        ).alias("band"),
-    ).select("id", "band.band_idx", "band.band_sig")
-    bands = _cap_bucket_df(bands, ["band_idx", "band_sig"], max_bucket_df)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a._piece") == F.col("b._piece"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -332,14 +404,24 @@ def simhash_neardup_pairs(
     Exact verify = ``bit_count(xor)`` on the full signature; a pair matching in
     several bands is deduped by grouping before the verify.
 
-    ``max_bucket_df`` caps band-bucket cardinality before the self-join
-    (:func:`_cap_bucket_df`) — the boilerplate-text hot bucket otherwise goes
-    quadratic, and salting can't help (it spreads rows, not the pair count)."""
+    ``max_bucket_df`` bounds band-bucket cardinality before the self-join —
+    the boilerplate-text hot bucket otherwise goes quadratic, and salting
+    can't help (it spreads rows, not the pair count). Over-cap buckets
+    SUB-SPLIT on the NEXT band's value (:func:`_cap_bucket_df`): a retained
+    hot-bucket pair must then agree on two adjacent bands (≥ 2·band_bits
+    matching bits) — diverse hot buckets scatter, near-identical pairs stay;
+    pieces still over cap (identical signatures) are dropped."""
     n_bands = max_hamming + 1
     band_bits = bits // n_bands
     sig = simhash(docs, id_col=id_col, text_col=text_col, bits=bits).select(
         F.col(id_col).alias("id"), "simhash"
     )
+
+    def _band_val(b: int) -> Column:
+        return F.shiftright(F.col("simhash"), (b % n_bands) * band_bits).bitwiseAND(
+            F.lit((1 << band_bits) - 1)
+        )
+
     bands = sig.select(
         "id",
         "simhash",
@@ -348,22 +430,24 @@ def simhash_neardup_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        F.shiftright(F.col("simhash"), b * band_bits)
-                        .bitwiseAND(F.lit((1 << band_bits) - 1))
-                        .alias("band_val"),
+                        _band_val(b).alias("band_val"),
+                        _band_val(b + 1).cast("string").alias("sub_val"),
                     )
                     for b in range(n_bands)
                 ]
             )
         ).alias("band"),
-    ).select("id", "simhash", "band.band_idx", "band.band_val")
-    bands = _cap_bucket_df(bands, ["band_idx", "band_val"], max_bucket_df)
+    ).select("id", "simhash", "band.band_idx", "band.band_val", "band.sub_val")
+    bands = _cap_bucket_df(
+        bands, ["band_idx", "band_val"], max_bucket_df, sub_col="sub_val"
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a._piece") == F.col("b._piece"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .groupBy(

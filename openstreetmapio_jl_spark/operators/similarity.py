@@ -232,36 +232,43 @@ def embedding_near_duplicates(
     the miss probability. Candidate ids are deduped BEFORE vectors are re-attached
     so the (heavy) embedding arrays never ride the candidate shuffle twice.
 
-    ``max_bucket_df`` drops (t, bucket) groups holding more than that many
-    vectors before the self-join — one degenerate bucket (zero/near-zero
-    embeddings all hashing to the same sign pattern) otherwise goes O(n²) at
-    corpus scale; salting can't reduce the pair count, only dropping the
-    bucket can (documented recall trade, same pattern as the text-side
-    ``max_shingle_df``/``max_bucket_df`` guards in ``operators/dedup.py``)."""
+    ``max_bucket_df`` bounds (t, bucket) group cardinality before the
+    self-join — one degenerate bucket (zero/near-zero embeddings all hashing
+    to the same sign pattern) otherwise goes O(n²) at corpus scale; salting
+    can't reduce the pair count, only bounding the bucket can. Over-cap
+    buckets SUB-SPLIT on ``n_sub_planes`` EXTRA hyperplanes (seeded apart from
+    the bucket planes, ``operators/dedup.py:_cap_bucket_df``): a retained
+    hot-bucket pair must agree on n_planes + n_sub_planes sign bits, so
+    genuinely-parallel near-dup vectors stay co-located while a diverse hot
+    bucket scatters; pieces still over cap (identical sign patterns the extra
+    planes can't separate either) are dropped — the residual hard bound."""
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    n_sub_planes = 4
     parts = []
     for t in range(n_tables):
         planes = hyperplanes(dim, n_planes, seed=42 + t)
+        sub_planes = hyperplanes(dim, n_sub_planes, seed=4242 + t)
         parts.append(
             v.select(
                 "id",
                 F.lit(t).alias("t"),
                 lsh_signature_col(F.col("v"), planes).alias("bucket"),
+                lsh_signature_col(F.col("v"), sub_planes).alias("sub_bucket"),
             )
         )
     sig = parts[0]
     for p in parts[1:]:
         sig = sig.unionByName(p)
-    if max_bucket_df is not None:
-        from openstreetmapio_jl_spark.operators.dedup import _cap_bucket_df
+    from openstreetmapio_jl_spark.operators.dedup import _cap_bucket_df
 
-        sig = _cap_bucket_df(sig, ["t", "bucket"], max_bucket_df)
+    sig = _cap_bucket_df(sig, ["t", "bucket"], max_bucket_df, sub_col="sub_bucket")
     a, b = sig.alias("a"), sig.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.t") == F.col("b.t"))
             & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a._piece") == F.col("b._piece"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))

@@ -34,6 +34,8 @@ ORACLE_SF_NAME = "sf0.01"  # the driver's correctness scale
 ZOOM = 13
 
 _PLANE_TABLES = [similarity.hyperplanes(64, 8, seed=42 + t) for t in range(2)]
+# extra hot-bucket sub-split planes (embedding_near_duplicates: seed 4242+t)
+_SUB_PLANE_TABLES = [similarity.hyperplanes(64, 4, seed=4242 + t) for t in range(2)]
 
 
 def _sf_name(sf_dir: str) -> str:
@@ -624,23 +626,36 @@ def q_doc_jaccard_via_lsh(spark, sf_dir):
     exact shingle-set Jaccard verify (one-sided approximation: reported pairs
     carry exact scores; recall is the only trade). ``max_bucket_df`` guards the
     band self-join against a degenerate hot bucket (boilerplate text) going
-    quadratic; the oracle composes the same derivations AND the same bucket
-    cap in SQL."""
+    quadratic — over-cap buckets sub-split on the double-width band signature
+    (retaining true dups) with a residual drop; the oracle composes the same
+    derivations AND the same sub-split in SQL."""
     return dedup.jaccard_via_lsh(
         _load(spark, sf_dir, "documents"), threshold=0.5, max_bucket_df=100
     )
 
 
-def _sql_jaccard_via_lsh() -> str:
+def _sql_membership_ctes(source_table: str = "documents") -> str:
+    """Shared CTE chain deriving per-doc LSH band memberships with the hot-
+    bucket SUB-SPLIT (double-width band sub_sig, residual drop) — the exact
+    SQL twin of ``dedup.minhash_band_memberships`` + ``_cap_bucket_df(cap=100,
+    sub_col='sub_sig')``. Ends with ``bb(id, band_idx, band_sig, piece)`` and
+    ``sh0(id, sh)`` available for the exact-Jaccard verify."""
     P = dedup.MINHASH_PRIME
     mh = ",\n  ".join(f"min((h1 + {i + 1} * h2) % {P}) as mh{i}" for i in range(8))
+
+    def sig(b: int, width: int) -> str:
+        cols = " || '_' || ".join(
+            f"mh{(2 * b + j) % 8}::varchar" for j in range(width)
+        )
+        return f"md5({cols})"
+
     bands = ", ".join(
-        f"struct_pack(band_idx := {b}, band_sig := md5(mh{2*b}::varchar || '_' || mh{2*b+1}::varchar))"
+        f"struct_pack(band_idx := {b}, band_sig := {sig(b, 2)}, sub_sig := {sig(b, 4)})"
         for b in range(4)
     )
     return f"""
-with sh0 as (
-  select doc_id as id, list_distinct({_sql_shingles('text')}) as sh from documents
+sh0 as (
+  select doc_id as id, list_distinct({_sql_shingles('text')}) as sh from {source_table}
 ),
 shx as (select id, unnest(sh) as s from sh0),
 h as (
@@ -651,17 +666,30 @@ h as (
 ),
 sig as (select id, {mh} from h group by id),
 bb0 as (
-  select id, band.band_idx as band_idx, band.band_sig as band_sig
+  select id, band.band_idx as band_idx, band.band_sig as band_sig,
+    band.sub_sig as sub_sig
   from (select id, unnest([{bands}]) as band from sig)
 ),
-bbcold as (
-  select band_idx, band_sig from bb0 group by 1, 2 having count(*) <= 100
+bdf as (select band_idx, band_sig, count(*) as df from bb0 group by 1, 2),
+bb1 as (
+  select bb0.id, bb0.band_idx, bb0.band_sig,
+    case when bdf.df <= 100 then '' else bb0.sub_sig end as piece
+  from bb0 join bdf using (band_idx, band_sig)
 ),
-bb as (select bb0.* from bb0 join bbcold using (band_idx, band_sig)),
+pcold as (
+  select band_idx, band_sig, piece from bb1 group by 1, 2, 3 having count(*) <= 100
+),
+bb as (select bb1.* from bb1 join pcold using (band_idx, band_sig, piece))"""
+
+
+def _sql_jaccard_via_lsh() -> str:
+    return f"""
+with {_sql_membership_ctes()},
 cand as (
   select distinct a.id as id_a, b.id as id_b
   from bb a join bb b
-    on a.band_idx = b.band_idx and a.band_sig = b.band_sig and a.id < b.id
+    on a.band_idx = b.band_idx and a.band_sig = b.band_sig
+      and a.piece = b.piece and a.id < b.id
 ),
 j as (
   select id_a, id_b,
@@ -744,9 +772,10 @@ def q_doc_simhash_neardup(spark, sf_dir):
     """SimHash near-duplicate PAIRS via pigeonhole banding: signatures within
     Hamming distance 3 must share one of 4 exact 8-bit bands, so candidates are
     per-band equi-join buckets (never all-pairs) and the exact verify is
-    bit_count(xor) on the full signature. ``max_bucket_df`` drops degenerate
-    hot band-buckets before the self-join; the oracle re-derives bands, cap,
-    and verify from the same signature SQL."""
+    bit_count(xor) on the full signature. ``max_bucket_df`` sub-splits
+    degenerate hot band-buckets on the adjacent band's value before the
+    self-join (residual over-cap pieces drop); the oracle re-derives bands,
+    sub-split, and verify from the same signature SQL."""
     return dedup.simhash_neardup_pairs(
         _load(spark, sf_dir, "documents"), max_bucket_df=100
     )
@@ -757,18 +786,26 @@ def _sql_simhash_neardup() -> str:
 with sig as ({_sql_simhash()}),
 bands0 as (
   select doc_id as id, simhash, b.band_idx,
-    (simhash >> (b.band_idx * 8)) & 255 as band_val
+    (simhash >> (b.band_idx * 8)) & 255 as band_val,
+    ((simhash >> (((b.band_idx + 1) % 4) * 8)) & 255)::varchar as sub_val
   from sig, (values (0), (1), (2), (3)) b(band_idx)
 ),
-bcold as (
-  select band_idx, band_val from bands0 group by 1, 2 having count(*) <= 100
+bdf as (select band_idx, band_val, count(*) as df from bands0 group by 1, 2),
+bands1 as (
+  select bands0.id, bands0.simhash, bands0.band_idx, bands0.band_val,
+    case when bdf.df <= 100 then '' else bands0.sub_val end as piece
+  from bands0 join bdf using (band_idx, band_val)
 ),
-bands as (select bands0.* from bands0 join bcold using (band_idx, band_val)),
+pcold as (
+  select band_idx, band_val, piece from bands1 group by 1, 2, 3 having count(*) <= 100
+),
+bands as (select bands1.* from bands1 join pcold using (band_idx, band_val, piece)),
 cand as (
   select a.id as id_a, b.id as id_b,
     any_value(a.simhash) as sa, any_value(b.simhash) as sb
   from bands a join bands b
-    on a.band_idx = b.band_idx and a.band_val = b.band_val and a.id < b.id
+    on a.band_idx = b.band_idx and a.band_val = b.band_val
+      and a.piece = b.piece and a.id < b.id
   group by 1, 2
 )
 select id_a, id_b, cast(bit_count(xor(sa, sb)) as int) as hamming
@@ -1782,7 +1819,8 @@ qualify rank <= 5
 def q_emb_lsh_neardup(spark, sf_dir):
     """Multi-table hyperplane-LSH near-dup pairs with a bucket-cardinality cap
     (degenerate buckets — e.g. near-zero vectors sharing a sign pattern — are
-    dropped before the self-join; the oracle applies the same cap)."""
+    sub-split on 4 extra hyperplanes before the self-join, residual over-cap
+    pieces dropped; the oracle applies the same sub-split)."""
     emb = _load(spark, sf_dir, "embeddings")
     return similarity.embedding_near_duplicates(
         emb, threshold=0.3, n_tables=2, max_bucket_df=100
@@ -1806,8 +1844,9 @@ def _sql_bucket(planes, vec: str = "embedding") -> str:
 
 def _sql_lsh_neardup() -> str:
     sig_parts = " union all ".join(
-        f"select id, {t} as t, {_sql_bucket(planes, 'v')} as bucket from v"
-        for t, planes in enumerate(_PLANE_TABLES)
+        f"select id, {t} as t, {_sql_bucket(planes, 'v')} as bucket,"
+        f" ({_sql_bucket(sub, 'v')})::varchar as sub_bucket from v"
+        for t, (planes, sub) in enumerate(zip(_PLANE_TABLES, _SUB_PLANE_TABLES))
     )
     dot_ab = (
         "list_aggregate(list_transform(list_zip(va.v, vb.v),"
@@ -1818,11 +1857,18 @@ def _sql_lsh_neardup() -> str:
     return f"""
 with v as (select vec_id as id, embedding as v from embeddings),
 sig0 as ({sig_parts}),
-scold as (select t, bucket from sig0 group by 1, 2 having count(*) <= 100),
-sig as (select sig0.* from sig0 join scold using (t, bucket)),
+sdf as (select t, bucket, count(*) as df from sig0 group by 1, 2),
+sig1 as (
+  select sig0.id, sig0.t, sig0.bucket,
+    case when sdf.df <= 100 then '' else sig0.sub_bucket end as piece
+  from sig0 join sdf using (t, bucket)
+),
+pcold as (select t, bucket, piece from sig1 group by 1, 2, 3 having count(*) <= 100),
+sig as (select sig1.* from sig1 join pcold using (t, bucket, piece)),
 cand as (
   select distinct a.id as id_a, b.id as id_b
-  from sig a join sig b on a.t = b.t and a.bucket = b.bucket and a.id < b.id
+  from sig a join sig b
+    on a.t = b.t and a.bucket = b.bucket and a.piece = b.piece and a.id < b.id
 )
 select id_a, id_b, round({dot_ab} / ({na} * {nb}), 6) as cos
 from cand join v va on va.id = id_a join v vb on vb.id = id_b

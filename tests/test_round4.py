@@ -1,0 +1,166 @@
+"""Round-4 additions: hot-bucket SUB-SPLIT (capped LSH buckets retain true
+duplicates instead of being dropped wholesale), incremental dedup against a
+persisted signature index, and large-star/small-star connected components.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from openstreetmapio_jl_spark.operators import dedup, similarity
+
+
+# ---------------------------------------------------------------------------
+# hot-bucket sub-split
+# ---------------------------------------------------------------------------
+
+def test_cap_bucket_df_subsplit_mechanics(spark):
+    """Unit contract of _cap_bucket_df with a sub-split column: cold buckets
+    pass whole (piece ''), hot buckets split by sub_col keeping pieces <= cap,
+    residual over-cap pieces drop."""
+    rows = []
+    # cold bucket: 3 members, sub keys irrelevant
+    rows += [(f"c{i}", "cold", f"s{i}") for i in range(3)]
+    # hot bucket: 120 members; twins t0/t1 share sub key "X", 118 others have
+    # unique sub keys; plus one over-cap piece: 60 clones sharing sub key "Y"
+    rows += [("t0", "hot", "X"), ("t1", "hot", "X")]
+    rows += [(f"d{i}", "hot", f"u{i}") for i in range(58)]
+    rows += [(f"y{i}", "hot", "Y") for i in range(60)]
+    m = spark.createDataFrame(rows, "id string, bkt string, sub string")
+    out = dedup._cap_bucket_df(m, ["bkt"], 50, sub_col="sub").collect()
+    by_id = {r.id: r._piece for r in out}
+    # cold bucket intact, constant piece
+    assert all(by_id[f"c{i}"] == "" for i in range(3))
+    # twins retained, co-located in the same piece
+    assert by_id.get("t0") == "X" and by_id.get("t1") == "X"
+    # unique-sub members retained in singleton pieces
+    assert all(by_id[f"d{i}"] == f"u{i}" for i in range(58))
+    # the 60-clone piece exceeds the cap even after the split -> dropped
+    assert not any(i.startswith("y") for i in by_id)
+    # every surviving (bkt, piece) group is within the cap
+    sizes = {}
+    for r in out:
+        sizes[(r.bkt, r._piece)] = sizes.get((r.bkt, r._piece), 0) + 1
+    assert max(sizes.values()) <= 50
+
+
+@pytest.fixture(scope="module")
+def diverse_hot_docs(spark):
+    """400 docs sharing a boilerplate shell with diverse random tails (their
+    modal band buckets exceed the cap) + planted near-identical twins whose
+    band-2 bucket IS one of the hot buckets."""
+    import random
+
+    random.seed(11)
+    BOILER = (
+        "breaking news subscribe to our newsletter all rights reserved "
+        "cookie policy terms of service contact us about advertising "
+    )
+    words = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+        "lima mike november oscar papa quebec romeo sierra tango uniform "
+        "victor whiskey xray yankee zulu"
+    ).split()
+    rows = []
+    for i in range(400):
+        tail = " ".join(
+            random.choice(words) + str(random.randint(0, 999)) for _ in range(12)
+        )
+        rows.append((i, BOILER + tail))
+    rows.append((1000, BOILER + "unique payload alpha zebra quartz"))
+    rows.append((1001, BOILER + "unique payload alpha zebra quartzx"))
+    return spark.createDataFrame(rows, "doc_id long, text string").persist()
+
+
+def test_subsplit_retains_planted_pair_inside_hot_bucket(diverse_hot_docs):
+    """The round-3 recall hole, closed: a true near-dup pair living inside an
+    over-cap bucket survives the cap because the double-width band signature
+    sub-splits the bucket instead of dropping it."""
+    m = dedup.minhash_band_memberships(diverse_hot_docs)
+    sizes = m.groupBy("band_idx", "band_sig").count()
+    planted_buckets = (
+        m.filter(F.col("id").isin(1000, 1001))
+        .join(sizes, ["band_idx", "band_sig"])
+        .collect()
+    )
+    # precondition: the twins DO sit in at least one over-cap bucket, so the
+    # hot path (not the cold path) is what must retain them
+    assert any(r["count"] > 50 for r in planted_buckets), planted_buckets
+
+    pairs = dedup.jaccard_via_lsh(diverse_hot_docs, threshold=0.5, max_bucket_df=50)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1000, 1001) in found
+    # ...while pair volume stays bounded: the 400 diverse boilerplate docs are
+    # below-threshold and must not explode into a quasi-quadratic pair set
+    assert len(found) <= 10
+
+
+def test_subsplit_residual_cap_still_bounds_identical_clones(spark):
+    """Byte-identical clones share EVERY finer signature — no sub-split can
+    separate them, so the residual hard cap drops the piece (they belong to
+    exact dedup). Pair volume stays linear; the cold pair is untouched."""
+    BOILER = (
+        "breaking news subscribe to our newsletter all rights reserved "
+        "cookie policy terms of service contact us about advertising "
+    )
+    rows = [(i, BOILER) for i in range(200)]
+    rows += [(1000, "an entirely unique survey of alpine butterflies in spring")]
+    rows += [(1001, "an entirely unique survey of alpine butterflies in summer")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.jaccard_via_lsh(docs, threshold=0.5, max_bucket_df=50)
+    assert {(r.id_a, r.id_b) for r in pairs.collect()} == {(1000, 1001)}
+
+
+def test_simhash_subsplit_residual_cap_and_twins(spark):
+    """SimHash hot buckets sub-split on the NEXT band's value: hamming-0/1
+    twins (agreeing on every band) survive; 200 identical clones — identical
+    on the sub band too — still drop via the residual cap."""
+    BOILER = "all rights reserved cookie policy terms of service " * 3
+    rows = [(i, BOILER) for i in range(200)]
+    # long shared text + one changed word => small hamming distance (short
+    # texts give every token a big vote share and scatter the signature)
+    rows += [
+        (1000, "an entirely unique survey of alpine butterfly migration routes in spring"),
+        (1001, "an entirely unique survey of alpine butterfly migration routes in summer"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.simhash_neardup_pairs(docs, max_bucket_df=50)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1000, 1001) in found
+    assert all(a >= 1000 for a, _ in found)
+
+
+def test_embedding_subsplit_retains_parallel_pair_in_hot_bucket(spark):
+    """Embedding hot buckets sub-split on 4 extra hyperplanes: a genuinely
+    near-parallel pair inside an over-cap sign-pattern bucket survives; the
+    bucket's diverse members scatter across sub-pieces. Construction: 80
+    vectors = base + noise confined to the orthogonal complement of BOTH
+    tables' bucket planes — bucket signatures equal base's EXACTLY (so the
+    bucket is provably hot in every table) while the generic sub planes see
+    the noise and scatter the members."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(64)
+    bucket_planes = np.vstack(
+        [similarity.hyperplanes(64, 8, seed=42 + t) for t in range(2)]
+    )  # 16 x 64
+    # orthonormal basis of the 48-dim complement of the bucket-plane span
+    _, _, vt = np.linalg.svd(bucket_planes)
+    comp = vt[16:]  # rows orthogonal to every bucket plane
+    rows = []
+    for i in range(80):
+        w = comp.T @ rng.standard_normal(48)
+        rows.append((i, (base + 5.0 * w).tolist()))
+    t = base / np.linalg.norm(base)
+    rows.append((1000, t.tolist()))
+    rows.append((1001, (t * 1.001).tolist()))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    capped = similarity.embedding_near_duplicates(
+        vecs, threshold=0.99, max_bucket_df=50
+    )
+    found = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (1000, 1001) in found
+    # cone members have mutual cos ~ |base|^2 / |v|^2 << 0.99; volume bounded
+    assert len(found) <= 5
