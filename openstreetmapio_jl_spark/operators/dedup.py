@@ -526,6 +526,278 @@ def ngram_jaccard_pairs(
     )
 
 
+def build_dedup_index(
+    spark,
+    corpus_docs: DataFrame,
+    *,
+    table_prefix: str = "dedup_idx",
+    n_buckets: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> None:
+    """Persist a corpus's MinHash signature INDEX as bucketed tables so that
+    incoming batches dedup against it WITHOUT rescanning the corpus
+    (:func:`incremental_dedup_pairs`). A 100-TB training pipeline ingests
+    batches continuously; recomputing signatures over the full corpus per
+    batch (what :func:`jaccard_via_lsh` does) would re-read 100 TB every
+    time — the index is written once, extended per batch, and is
+    signatures-sized (a few hundred bytes/doc), not corpus-sized.
+
+    Tables (same ``saveAsTable``-bucketing pattern as
+    ``sources/pbf_source.py:pbf_to_bucketed_tables``):
+
+    - ``<prefix>_memberships`` (id, band_idx, band_sig, sub_sig) — bucketed +
+      sorted by ``band_sig``, the candidate-join key, so the join needs no
+      shuffle of the index side;
+    - ``<prefix>_bucket_stats`` (band_idx, band_sig, sub_sig, cnt) — per-
+      sub-bucket membership counts, letting a batch compute UNION bucket
+      cardinality (for the hot-bucket cap/sub-split) from aggregates instead
+      of re-counting index memberships;
+    - ``<prefix>_docs`` (id, text) — bucketed by ``id`` for the exact-Jaccard
+      verify, which fetches ONLY candidate ids' texts.
+
+    Idempotent (drop + rewrite). Doc ids in later batches must be disjoint
+    from indexed ids (standard: key by content hash or URL upstream)."""
+    import os
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    warehouse = warehouse.removeprefix("file:")
+    for suffix in ("memberships", "bucket_stats", "docs"):
+        name = f"{table_prefix}_{suffix}"
+        spark.sql(f"drop table if exists {name}")
+        loc = os.path.join(warehouse, name)
+        if os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
+    m = minhash_band_memberships(
+        corpus_docs,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        band_size=band_size,
+    )
+    (
+        m.write.mode("overwrite")
+        .bucketBy(n_buckets, "band_sig")
+        .sortBy("band_sig")
+        .format("parquet")
+        .saveAsTable(f"{table_prefix}_memberships")
+    )
+    stats = (
+        spark.table(f"{table_prefix}_memberships")
+        .groupBy("band_idx", "band_sig", "sub_sig")
+        .agg(F.count("*").alias("cnt"))
+    )
+    stats.write.mode("overwrite").format("parquet").saveAsTable(
+        f"{table_prefix}_bucket_stats"
+    )
+    (
+        corpus_docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "id")
+        .sortBy("id")
+        .format("parquet")
+        .saveAsTable(f"{table_prefix}_docs")
+    )
+
+
+def incremental_candidate_pairs(
+    spark,
+    new_docs: DataFrame,
+    *,
+    table_prefix: str = "dedup_idx",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket_df: int | None = None,
+) -> DataFrame:
+    """→ (id_a, id_b): LSH candidate pairs of an incoming batch vs the
+    persisted signature index (+ batch-internal pairs), BEFORE the exact
+    verify — the signature-only stage of :func:`incremental_dedup_pairs`,
+    split out so its plan shape is testable: the index memberships scan must
+    reach its first join with zero Exchange (all batch-derived frames
+    broadcast onto it). Cap semantics (hot-bucket sub-split over UNION
+    cardinality) match :func:`jaccard_via_lsh` on corpus ∪ batch exactly."""
+    cap = max_bucket_df
+    idx_m = spark.table(f"{table_prefix}_memberships")
+    stats = spark.table(f"{table_prefix}_bucket_stats")
+    new_m = minhash_band_memberships(
+        new_docs,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        band_size=band_size,
+    ).localCheckpoint(eager=False)
+
+    bkeys = ["band_idx", "band_sig"]
+    skeys = [*bkeys, "sub_sig"]
+    if cap is not None:
+        # union cardinality per bucket = index aggregate + batch count;
+        # index stats are filtered by a broadcast semi-join on batch buckets
+        new_bkt = new_m.groupBy(*bkeys).agg(F.count("*").alias("new_df"))
+        idx_bkt = (
+            stats.join(F.broadcast(new_bkt.select(*bkeys)), bkeys, "left_semi")
+            .groupBy(*bkeys)
+            .agg(F.sum("cnt").alias("idx_df"))
+        )
+        bucket_union = new_bkt.join(idx_bkt, bkeys, "left").select(
+            *bkeys,
+            (F.col("new_df") + F.coalesce(F.col("idx_df"), F.lit(0))).alias("df"),
+        )
+        # sub-piece union cardinality, for the residual per-piece bound
+        new_sub = new_m.groupBy(*skeys).agg(F.count("*").alias("new_cnt"))
+        idx_sub = stats.join(F.broadcast(new_bkt.select(*bkeys)), bkeys, "left_semi")
+        sub_union = (
+            new_sub.join(idx_sub, skeys, "full")
+            .select(
+                *skeys,
+                (
+                    F.coalesce(F.col("new_cnt"), F.lit(0))
+                    + F.coalesce(F.col("cnt"), F.lit(0))
+                ).alias("pdf"),
+            )
+        )
+
+        def with_piece(m: DataFrame) -> DataFrame:
+            m = m.join(F.broadcast(bucket_union), bkeys)
+            m = m.withColumn(
+                "_piece",
+                F.when(F.col("df") <= cap, F.lit("")).otherwise(F.col("sub_sig")),
+            ).drop("df")
+            # residual bound: hot pieces above cap drop (same as _cap_bucket_df);
+            # cold buckets ('' piece) already have df <= cap by construction
+            hot_drop = sub_union.filter(F.col("pdf") > cap).select(*skeys)
+            return m.join(F.broadcast(hot_drop), skeys, "left_anti").drop("sub_sig")
+
+        new_mp = with_piece(new_m)
+        idx_mp = with_piece(idx_m)
+    else:
+        new_mp = new_m.withColumn("_piece", F.lit("")).drop("sub_sig")
+        idx_mp = idx_m.withColumn("_piece", F.lit("")).drop("sub_sig")
+        # restrict the index side to buckets the batch touches (semantically a
+        # no-op — non-batch buckets can't produce batch pairs — but it keeps
+        # the candidate join build side batch-bounded)
+        idx_mp = idx_mp.join(
+            F.broadcast(new_mp.select(*bkeys).distinct()), bkeys, "left_semi"
+        )
+
+    all_m = idx_mp.unionByName(new_mp)
+    return (
+        all_m.join(
+            F.broadcast(new_mp.withColumnRenamed("id", "nid")),
+            [*bkeys, "_piece"],
+        )
+        .filter(F.col("id") != F.col("nid"))
+        .select(
+            F.least("id", "nid").alias("id_a"),
+            F.greatest("id", "nid").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def incremental_dedup_pairs(
+    spark,
+    new_docs: DataFrame,
+    *,
+    table_prefix: str = "dedup_idx",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket_df: int | None = None,
+) -> DataFrame:
+    """→ (id_a, id_b, jaccard): near-dup pairs of an INCOMING batch against a
+    corpus indexed by :func:`build_dedup_index` — new-vs-index plus
+    new-vs-new, NEVER old-vs-old — with output exactly equal to full-recompute
+    :func:`jaccard_via_lsh` over (corpus ∪ batch) restricted to pairs touching
+    the batch (the oracle-checked contract, ``doc_incremental_dedup``).
+
+    Scale shape — the corpus is touched only where the batch lands:
+
+    - batch memberships/band-counts are batch-sized; every frame derived from
+      them joins onto index tables via ``broadcast()``, so the index
+      memberships scan carries ZERO Exchange (plan-shape-pinned in
+      ``tests/test_round4.py``) and, bucketed by ``band_sig``, never shuffles;
+    - UNION bucket cardinality (cap semantics identical to full recompute,
+      including the hot-bucket sub-split) comes from ``<prefix>_bucket_stats``
+      aggregates + batch counts — no index membership re-count;
+    - the exact verify re-attaches text for CANDIDATE ids only, from the
+      id-bucketed ``<prefix>_docs`` snapshot — candidate-volume reads, not a
+      corpus rescan.
+
+    Batch-derived broadcast frames are bounded by (batch bands × their
+    buckets); for multi-TB batches raise the batch chunking upstream rather
+    than the broadcast threshold."""
+    idx_docs = spark.table(f"{table_prefix}_docs")
+    cand = incremental_candidate_pairs(
+        spark,
+        new_docs,
+        table_prefix=table_prefix,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        band_size=band_size,
+        max_bucket_df=max_bucket_df,
+    ).localCheckpoint(eager=True)  # reused for the id fetch + verify join
+    # exact verify over CANDIDATE texts only. Candidate ids are collected and
+    # pushed down as a literal IN filter: the docs snapshot is id-sorted per
+    # bucket, so parquet row-group min/max stats prune the scan to the touched
+    # row groups — candidate-bounded IO, not a corpus text rescan. Above the
+    # pushdown limit (degenerate batch), fall back to a broadcast semi-join
+    # (correct, but scans the snapshot's text column once — chunk the batch
+    # upstream instead of raising the limit).
+    cand_ids = [
+        r.cid
+        for r in cand.select(
+            F.explode(F.array("id_a", "id_b")).alias("cid")
+        ).distinct().collect()
+    ]
+    if not cand_ids:
+        return spark.createDataFrame(
+            [], f"id_a {dict(new_docs.dtypes)[id_col]}, id_b {dict(new_docs.dtypes)[id_col]}, jaccard double"
+        )
+    if len(cand_ids) <= 100_000:
+        old_texts = idx_docs.filter(F.col("id").isin(cand_ids))
+    else:
+        old_texts = idx_docs.join(
+            F.broadcast(cand.select(F.col("id_a").alias("id")).union(
+                cand.select(F.col("id_b").alias("id"))
+            ).distinct()),
+            "id",
+            "left_semi",
+        )
+    texts = old_texts.unionByName(
+        new_docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    ).select("id", F.array_distinct(char_shingles(F.col("text"), shingle_n)).alias("sh"))
+    sa = texts.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = texts.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.size("sh_a") + F.size("sh_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def duplicate_clusters(
     docs: DataFrame,
     *,

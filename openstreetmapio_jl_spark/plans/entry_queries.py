@@ -745,6 +745,36 @@ from comp group by 1
 """
 
 
+def q_doc_incremental_dedup(spark, sf_dir):
+    """Incremental corpus dedup: documents split deterministically into an
+    indexed corpus (doc_id % 7 != 0) and an incoming batch (doc_id % 7 == 0);
+    the corpus's MinHash band memberships + bucket stats + docs snapshot are
+    persisted as bucketed tables (build_dedup_index), then the batch dedups
+    against the INDEX — new-vs-index broadcast equi-join + new-vs-new — with
+    zero Exchange above the index scan and candidate-bounded text fetch for
+    the exact verify. Oracle: full-recompute jaccard_via_lsh over the whole
+    table, restricted to pairs touching the batch — certifying that the
+    incremental path (including UNION-cardinality hot-bucket sub-split
+    semantics) reproduces full recompute exactly."""
+    import hashlib
+
+    docs = _load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    batch = docs.filter(F.col("doc_id") % 7 == 0)
+    prefix = "incdedup_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    dedup.build_dedup_index(spark, corpus, table_prefix=prefix, n_buckets=8)
+    return dedup.incremental_dedup_pairs(
+        spark, batch, table_prefix=prefix, threshold=0.5, max_bucket_df=100
+    )
+
+
+def _sql_incremental_dedup() -> str:
+    return f"""
+select id_a, id_b, jaccard from ({_sql_jaccard_via_lsh()})
+where id_a % 7 = 0 or id_b % 7 = 0
+"""
+
+
 def q_doc_simhash(spark, sf_dir):
     return dedup.simhash(_load(spark, sf_dir, "documents"))
 
@@ -2238,6 +2268,7 @@ def registry() -> dict[str, tuple]:
         "doc_minhash_lsh": (q_doc_minhash_lsh, _sql_minhash_lsh()),
         "doc_ngram_jaccard": (q_doc_ngram_jaccard, SQL_DOC_JACCARD),
         "doc_jaccard_via_lsh": (q_doc_jaccard_via_lsh, _sql_jaccard_via_lsh()),
+        "doc_incremental_dedup": (q_doc_incremental_dedup, _sql_incremental_dedup()),
         "doc_dup_clusters": (q_doc_dup_clusters, _sql_dup_clusters()),
         "doc_simhash": (q_doc_simhash, _sql_simhash()),
         "doc_simhash_neardup": (q_doc_simhash_neardup, _sql_simhash_neardup()),
@@ -2261,10 +2292,6 @@ def registry() -> dict[str, tuple]:
             q_pip_hits_multipolygon,
             _sql_pip("truth/multipolygons.parquet"),
         ),
-        "pip_hits_multipolygon_static": (
-            q_pip_hits_multipolygon_static,
-            _sql_pip("truth/multipolygons.parquet"),
-        ),
         "knn_pages_to_poi": (q_knn_pages_to_poi, _sql_knn()),
         "tile_pyramid_z11": (q_tile_pyramid, _sql_pyramid()),
         "pages_text_invariant": (q_pages_text_invariant, _sql_text_invariant()),
@@ -2279,9 +2306,16 @@ def registry() -> dict[str, tuple]:
         "mm_media_stats": (q_mm_media_stats, _sql_mm_stats()),
         "mm_resize_stats": (q_mm_resize_stats, _sql_mm_resize()),
         "mm_frame_sample": (q_mm_frame_sample, _sql_mm_frames()),
-        # --- past the driver's 50-entry correctness window: r02-certified twins
+        # --- past the driver's 50-entry correctness window: certified twins
         # (osm_bbox_count: simple bbox-filter count, r02-green; the filter
-        # shape stays in-window via osm_country_filter / osm_way_sizes)
+        # shape stays in-window via osm_country_filter / osm_way_sizes;
+        # pip_hits_multipolygon_static: r03-green static-cover twin of the
+        # in-window adaptive pip_hits_multipolygon, rotated out for
+        # doc_incremental_dedup)
+        "pip_hits_multipolygon_static": (
+            q_pip_hits_multipolygon_static,
+            _sql_pip("truth/multipolygons.parquet"),
+        ),
         "osm_bbox_count": (q_osm_bbox_count, _sql_osm_bbox()),
         "hex_cells_pages": (q_hex_cells_pages, _sql_hex_cells()),
         "setop_nations_except": (q_setop_nations_except, SQL_SETOP_EXCEPT),

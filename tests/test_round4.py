@@ -164,3 +164,119 @@ def test_embedding_subsplit_retains_parallel_pair_in_hot_bucket(spark):
     assert (1000, 1001) in found
     # cone members have mutual cos ~ |base|^2 / |v|^2 << 0.99; volume bounded
     assert len(found) <= 5
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup against a persisted signature index
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def split_corpus(spark):
+    """Synthetic corpus/batch split with duplicate structure spanning the
+    split: near-dup groups (some corpus-only, some cross-split), a clone
+    group whose UNION size exceeds the bucket cap only when corpus+batch are
+    counted together (30 + 30 vs cap 50), and unique filler."""
+    import random
+
+    random.seed(23)
+    words = (
+        "meridian harbor lantern velvet orchard thistle quarry ember sable "
+        "juniper gossamer raven tundra mosaic zephyr cobalt prairie saffron"
+    ).split()
+
+    def sentence(n=14):
+        return " ".join(random.choice(words) + str(random.randint(0, 99)) for _ in range(n))
+
+    corpus_rows, batch_rows = [], []
+    nid = iter(range(100_000))
+    # 12 near-dup groups of 4 (two members in corpus, two in batch)
+    for g in range(12):
+        base = sentence()
+        for k in range(4):
+            doc = (next(nid), base + f" tail{k}")
+            (corpus_rows if k < 2 else batch_rows).append(doc)
+    # clone group split 30/30 — union (60) exceeds cap 50, each side alone doesn't
+    clone = "all rights reserved cookie policy subscribe newsletter " * 3
+    for k in range(60):
+        (corpus_rows if k < 30 else batch_rows).append((next(nid), clone))
+    # unique filler on both sides
+    for k in range(150):
+        corpus_rows.append((next(nid), sentence()))
+    for k in range(40):
+        batch_rows.append((next(nid), sentence()))
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string").persist()
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string").persist()
+    dedup.build_dedup_index(spark, corpus, table_prefix="t4_idx", n_buckets=4)
+    return corpus, batch
+
+
+@pytest.mark.parametrize("cap", [None, 50])
+def test_incremental_equals_full_recompute_restricted(spark, split_corpus, cap):
+    """incremental_dedup_pairs == jaccard_via_lsh(corpus ∪ batch) restricted
+    to pairs touching the batch — including hot-bucket cap semantics computed
+    over the UNION (the 30/30 clone group must drop at cap 50 even though
+    neither side alone exceeds it)."""
+    corpus, batch = split_corpus
+    inc = dedup.incremental_dedup_pairs(
+        spark, batch, table_prefix="t4_idx", threshold=0.5, max_bucket_df=cap
+    )
+    got = {(r.id_a, r.id_b): r.jaccard for r in inc.collect()}
+
+    full = dedup.jaccard_via_lsh(
+        corpus.unionByName(batch), threshold=0.5, max_bucket_df=cap
+    )
+    batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    want = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in full.collect()
+        if r.id_a in batch_ids or r.id_b in batch_ids
+    }
+    assert got == want
+    assert len(got) > 0  # the cross-split near-dup groups must surface
+    if cap == 50:
+        # union-cap semantics: no clone-group pairs (ids 48..107 are clones)
+        clone_ids = set(range(48, 108))
+        assert not any(a in clone_ids or b in clone_ids for a, b in got)
+    else:
+        clone_ids = set(range(48, 108))
+        assert any(a in clone_ids for a, b in got)  # uncapped: clones pair up
+
+
+def test_incremental_index_side_has_no_exchange(spark, split_corpus):
+    """Scale guard: the persisted memberships table must reach its first join
+    without ANY Exchange above its scan — every batch-derived frame joins onto
+    it via broadcast, so the index (corpus-sized at 100 TB) never shuffles."""
+    import re
+
+    _, batch = split_corpus
+    df = dedup.incremental_candidate_pairs(
+        spark, batch, table_prefix="t4_idx", max_bucket_df=50
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+    lines = plan.splitlines()
+
+    def depth(line: str) -> int:
+        m = re.search(r"[+:]- ", line)
+        return m.start() if m else -1
+
+    scan_lines = [
+        i for i, l in enumerate(lines)
+        if "t4_idx_memberships" in l and ("Scan" in l or "FileScan" in l)
+    ]
+    assert scan_lines, "memberships scan missing from plan:\n" + plan
+    for idx in scan_lines:
+        d = depth(lines[idx])
+        ancestors = []
+        for j in range(idx - 1, -1, -1):
+            dj = depth(lines[j])
+            if dj < d:
+                ancestors.append(lines[j])
+                d = dj
+                if "Join" in lines[j]:
+                    break
+        chain = "\n".join(reversed(ancestors))
+        assert any("Join" in a for a in ancestors), chain
+        assert not any("Exchange" in a for a in ancestors), (
+            "index memberships shuffled before first join:\n" + chain
+        )
+        assert "BroadcastHashJoin" in ancestors[-1] or "BroadcastNestedLoopJoin" in ancestors[-1], chain
