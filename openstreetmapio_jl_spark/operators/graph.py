@@ -11,9 +11,10 @@ label among itself and its neighbors; fixpoint in O(graph diameter) rounds.
 Near-dup components are quasi-cliques (band co-membership generates most pairs
 within a bucket), so their diameter is tiny (~2-4) and label propagation beats
 the fancier alternatives on constant factors; for adversarial long-chain graphs
-the large-star/small-star algorithm (Kiveris et al., "Connected Components in
-MapReduce and Beyond", SoCC'14) gives O(log²n) rounds with the same
-join-aggregate round shape — swap the round body if that input ever appears.
+``algorithm="two-phase"`` selects the large-star/small-star algorithm (Kiveris
+et al., "Connected Components in MapReduce and Beyond", SoCC'14) — O(log²n)
+rounds independent of diameter, same join-aggregate round shape, identical
+labels (test-pinned on a 1,000-vertex chain: 16 rounds vs propagation's 999).
 
 Every round is cut with an eager ``localCheckpoint``, same as
 ``members.resolve_members``: each round's plan embeds the previous round's
@@ -43,6 +44,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 30,
     handles: list | None = None,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """→ (id, component): one row per vertex appearing in ``edges``, labeled
     with the minimum vertex id reachable from it (the component's canonical
@@ -62,9 +64,22 @@ def connected_components(
 
     Storage: per-round label tables stay pinned until released; pass
     ``handles`` for ``CheckpointHandle`` wrappers (release only after the
-    result is consumed — checkpointed data cannot be recomputed)."""
+    result is consumed — checkpointed data cannot be recomputed).
+
+    ``algorithm``: ``"propagation"`` (default — min-label propagation,
+    O(diameter) rounds, best constants on the quasi-clique components near-dup
+    graphs produce) or ``"two-phase"`` (alternating large-star/small-star,
+    Kiveris et al., SoCC'14 — O(log²n) rounds regardless of diameter; pick it
+    for adversarial long-chain graphs where propagation's round count equals
+    the chain length). Both return identical labels."""
     import warnings
 
+    if algorithm == "two-phase":
+        return _two_phase_cc(
+            edges, src=src, dst=dst, max_iter=max_iter, handles=handles
+        )
+    if algorithm != "propagation":
+        raise ValueError(f"algorithm must be 'propagation' or 'two-phase', got {algorithm!r}")
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -119,3 +134,114 @@ def connected_components(
             stacklevel=2,
         )
     return labels
+
+
+def _two_phase_cc(
+    edges: DataFrame,
+    *,
+    src: str,
+    dst: str,
+    max_iter: int,
+    handles: list | None,
+) -> DataFrame:
+    """Alternating large-star / small-star rounds (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) over a plain edge list:
+
+    - LARGE-STAR: for every vertex u, each strictly-larger neighbor v is
+      re-pointed at m = min(Γ(u) ∪ {u}) — emit edge (v, m);
+    - SMALL-STAR: edges directed larger→smaller; for every u, its smaller
+      neighbors (and u itself) re-point at the minimum neighbor.
+
+    Each operation halves star heights multiplicatively, so the edge set
+    converges to per-component stars rooted at the component MINIMUM in
+    O(log²n) rounds independent of graph diameter — the regime where
+    propagation (O(diameter)) degenerates. Round shape is the same
+    join+groupBy-on-vertex-id as propagation, so the shuffle story at scale is
+    identical; per-round ``localCheckpoint`` cuts lineage exactly as there.
+
+    Convergence detection: the canonical directed edge set's (count,
+    xxhash64-sum) signature is compared across rounds — two scalar aggregates,
+    no edge-set EXCEPT join."""
+    import warnings
+
+    from openstreetmapio_jl_spark.operators.members import CheckpointHandle
+
+    def pin(df: DataFrame) -> DataFrame:
+        out = df.localCheckpoint(eager=True)
+        if handles is not None:
+            handles.append(CheckpointHandle(out))
+        return out
+
+    e = pin(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    def signature(df: DataFrame) -> tuple:
+        d = df.select(
+            F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")
+        ).distinct()
+        row = d.agg(
+            F.count("*").alias("n"),
+            # decimal accumulator: a long sum of xxhash64 values overflows
+            # under ANSI mode on graphs of any real size
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return (row.n, row.h)
+
+    sig = signature(e)
+    converged = False
+    for _ in range(max_iter):
+        # large-star: bidirectional neighborhoods, larger neighbors re-point
+        bidir = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            bidir.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m"))
+        )
+        e = pin(
+            bidir.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: direct larger→smaller, smaller neighborhood re-points
+        directed = (
+            e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+        joined = directed.join(mins, "u")
+        e = pin(
+            joined.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        new_sig = signature(e)
+        if new_sig == sig:
+            converged = True
+            break
+        sig = new_sig
+    if not converged:
+        warnings.warn(
+            f"connected_components(two-phase): edge set still changing after "
+            f"max_iter={max_iter} rounds — labeling is INCOMPLETE (raise max_iter)",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    # converged edge set = stars (child > root); labels = child rows + roots
+    stars = e.select(
+        F.greatest("u", "v").alias("id"), F.least("u", "v").alias("component")
+    ).distinct()
+    roots = (
+        stars.select(F.col("component").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+    )
+    return stars.unionByName(roots)

@@ -280,3 +280,86 @@ def test_incremental_index_side_has_no_exchange(spark, split_corpus):
             "index memberships shuffled before first join:\n" + chain
         )
         assert "BroadcastHashJoin" in ancestors[-1] or "BroadcastNestedLoopJoin" in ancestors[-1], chain
+
+
+# ---------------------------------------------------------------------------
+# large-star/small-star connected components
+# ---------------------------------------------------------------------------
+
+def test_two_phase_cc_converges_on_long_chain_in_log_rounds(spark):
+    """The adversarial input for min-label propagation (O(diameter) rounds): a
+    1,000-vertex path. The two-phase large-star/small-star variant must
+    converge within ~log2(n)+detection rounds (16 >> log2(1000)=10, while
+    propagation would need 999) with every vertex labeled by the minimum."""
+    import warnings
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "id_a long, id_b long"
+    )
+    from openstreetmapio_jl_spark.operators.graph import connected_components
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        labels = connected_components(edges, max_iter=16, algorithm="two-phase")
+        rows = labels.collect()
+    assert not [x for x in w if x.category is RuntimeWarning], [
+        str(x.message) for x in w
+    ]
+    assert len(rows) == 1000
+    assert all(r.component == 0 for r in rows)
+
+
+def test_two_phase_cc_matches_propagation_labels(spark):
+    """Same labels as the propagation path on a mixed graph (two cliques, a
+    bridge, a cycle, a chain) — the algorithms are interchangeable."""
+    import random
+
+    from openstreetmapio_jl_spark.operators.graph import connected_components
+
+    random.seed(9)
+    e = []
+    # clique 0-4 and clique 10-14, bridged
+    for a in range(5):
+        for b in range(a + 1, 5):
+            e.append((a, b))
+            e.append((10 + a, 10 + b))
+    e.append((4, 10))
+    # cycle 20..27
+    e += [(20 + i, 20 + (i + 1) % 8) for i in range(8)]
+    # chain 40..60
+    e += [(i, i + 1) for i in range(40, 60)]
+    # random extra edges inside 100..140
+    e += [
+        (random.randint(100, 140), random.randint(100, 140)) for _ in range(60)
+    ]
+    edges = spark.createDataFrame(e, "id_a long, id_b long")
+    prop = {
+        (r.id, r.component)
+        for r in connected_components(edges, max_iter=40).collect()
+    }
+    two = {
+        (r.id, r.component)
+        for r in connected_components(
+            edges, max_iter=20, algorithm="two-phase"
+        ).collect()
+    }
+    assert prop == two
+
+
+def test_two_phase_cc_through_duplicate_clusters(spark):
+    """duplicate_clusters with the two-phase CC wired through `handles` storage
+    management still yields the chain-transitive clusters."""
+    from openstreetmapio_jl_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (9, 7)], "id_a long, id_b long"
+    )
+    handles = []
+    labels = connected_components(
+        edges, max_iter=10, handles=handles, algorithm="two-phase"
+    )
+    got = {(r.id, r.component) for r in labels.collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)}
+    assert handles  # checkpoint storage was tracked for release
+    for h in handles:
+        h.unpersist()
