@@ -29,6 +29,8 @@ def band_join(
     right_ts: str,
     gap_s: int,
     keys: list[str] | None = None,
+    how: str = "inner",
+    left_id: str | None = None,
 ) -> DataFrame:
     """Pairs (l, r) with ``|l.<left_ts> - r.<right_ts>| <= gap_s`` (timestamps
     compared in epoch seconds), optionally also matching on equi ``keys``
@@ -38,13 +40,34 @@ def band_join(
     bin and meets exactly once (at the RIGHT row's bin), so no dedup is needed.
     ``left_ts`` / ``right_ts`` must be distinct column names (alias upstream).
 
-    INNER only, by construction: outer semantics cannot survive this rewrite —
-    an unmatched left row would surface 3× (one per exploded bin, NULL right
-    side) and the band post-filter (NULL for those rows) would then drop it
-    entirely. An outer band join needs a post-join re-aggregation per original
-    left row; until someone needs that, the parameter is not offered."""
+    ``how="left"`` adds unmatched left rows with NULL right columns. Outer
+    semantics cannot ride the binned join directly — an unmatched left row
+    would surface 3× (one per exploded bin) and the band post-filter would
+    then drop all three — so the left-outer form is the documented
+    re-aggregation: the inner result plus a ``left_anti`` of the original left
+    frame against the matched ``left_id`` set (a per-original-left-row
+    re-aggregation, costing one extra scan of the left side). ``left_id`` must
+    name a unique key of ``left`` (an event id, a URL) — uniqueness is the
+    caller's contract, exactly as for any keyed outer join."""
     assert left_ts != right_ts, "alias the two timestamp columns apart"
-    how = "inner"
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how == "left":
+        if left_id is None:
+            raise ValueError("how='left' requires left_id (a unique key of left)")
+        inner = band_join(
+            left,
+            right,
+            left_ts=left_ts,
+            right_ts=right_ts,
+            gap_s=gap_s,
+            keys=keys,
+            how="inner",
+        )
+        unmatched = left.join(
+            inner.select(left_id).distinct(), left_id, "left_anti"
+        )
+        return inner.unionByName(unmatched, allowMissingColumns=True)
     keys = keys or []
     l_epoch = F.unix_timestamp(F.col(left_ts))
     r_epoch = F.unix_timestamp(F.col(right_ts))

@@ -516,6 +516,44 @@ group by p_id
 """
 
 
+def q_events_band_join_outer(spark, sf_dir):
+    """LEFT-OUTER band join via the re-aggregation design: the binned inner
+    result plus an anti-join of the original left frame on the matched-id set
+    (unmatched purchases keep NULL right columns). Every purchase appears —
+    the ones with zero in-band clicks report n_clicks = 0 — so the oracle's
+    plain non-equi LEFT JOIN catches both dropped unmatched rows and the 3×
+    exploded-bin duplication the naive outer rewrite would produce."""
+    from openstreetmapio_jl_spark.operators import temporal
+
+    e = _load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    pairs = temporal.band_join(
+        p, c, left_ts="p_ts", right_ts="c_ts", gap_s=600, keys=["user_id"],
+        how="left", left_id="p_id",
+    )
+    return pairs.groupBy("p_id").agg(F.count("c_ts").alias("n_clicks"))
+
+
+SQL_EVENTS_BAND_OUTER = """
+with p as (
+  select event_id as p_id, user_id, cast(floor(epoch(ts)) as bigint) as p_ts
+  from events where event_type = 'purchase'
+),
+c as (
+  select user_id, cast(floor(epoch(ts)) as bigint) as c_ts
+  from events where event_type = 'click'
+)
+select p_id, count(c_ts) as n_clicks
+from p left join c on p.user_id = c.user_id and abs(p_ts - c_ts) <= 600
+group by p_id
+"""
+
+
 def q_pages_stream_pip(spark, sf_dir):
     """STREAM-STATIC flagship: the web-pages feed as a file-source stream,
     geocoded and PIP-joined (cell equi-join + exact ray cast) against the
@@ -2262,6 +2300,7 @@ def registry() -> dict[str, tuple]:
         "events_json_extract": (q_events_json, SQL_EVENTS_JSON),
         "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
         "events_band_join": (q_events_band_join, SQL_EVENTS_BAND),
+        "events_band_join_outer": (q_events_band_join_outer, SQL_EVENTS_BAND_OUTER),
         "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
         "doc_len_quantiles": (q_doc_len_quantiles, SQL_DOC_QUANTILES),
         "doc_exact_dups": (q_doc_exact_dups, SQL_DOC_EXACT),
@@ -2296,7 +2335,6 @@ def registry() -> dict[str, tuple]:
         "tile_pyramid_z11": (q_tile_pyramid, _sql_pyramid()),
         "pages_text_invariant": (q_pages_text_invariant, _sql_text_invariant()),
         "s2_cells_pages": (q_s2_cells_pages, _sql_s2_cells()),
-        "geohash_cells_pages": (q_geohash_cells_pages, _sql_geohash_cells()),
         "sim_cosine_topk": (q_sim_cosine_topk, _sql_cosine_topk()),
         "sim_ivf_topk": (q_sim_ivf_topk, _sql_ivf_topk()),
         "emb_lsh_neardup": (q_emb_lsh_neardup, _sql_lsh_neardup()),
@@ -2311,7 +2349,10 @@ def registry() -> dict[str, tuple]:
         # shape stays in-window via osm_country_filter / osm_way_sizes;
         # pip_hits_multipolygon_static: r03-green static-cover twin of the
         # in-window adaptive pip_hits_multipolygon, rotated out for
-        # doc_incremental_dedup)
+        # doc_incremental_dedup; geohash_cells_pages: r03-green twin of the
+        # in-window s2_cells_pages batched-cell-UDF path, rotated out for
+        # events_band_join_outer)
+        "geohash_cells_pages": (q_geohash_cells_pages, _sql_geohash_cells()),
         "pip_hits_multipolygon_static": (
             q_pip_hits_multipolygon_static,
             _sql_pip("truth/multipolygons.parquet"),

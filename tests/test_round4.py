@@ -363,3 +363,54 @@ def test_two_phase_cc_through_duplicate_clusters(spark):
     assert handles  # checkpoint storage was tracked for release
     for h in handles:
         h.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# left-outer band join
+# ---------------------------------------------------------------------------
+
+def test_band_join_left_outer_semantics(spark):
+    """how='left': matched pairs identical to inner; unmatched left rows
+    surface exactly ONCE with NULL right columns (not 3x via the exploded
+    bins, not dropped by the band post-filter)."""
+    from openstreetmapio_jl_spark.operators import temporal
+
+    left = spark.createDataFrame(
+        [
+            ("a", "u1", "2024-01-01 10:00:00"),
+            ("b", "u1", "2024-01-01 12:00:00"),  # no click within 600 s
+            ("c", "u2", "2024-01-01 10:00:30"),
+            ("d", "u3", "2024-01-01 10:00:00"),  # user with no clicks at all
+        ],
+        "lid string, user_id string, p_ts string",
+    ).withColumn("p_ts", F.to_timestamp("p_ts"))
+    right = spark.createDataFrame(
+        [
+            ("u1", "2024-01-01 10:05:00"),
+            ("u1", "2024-01-01 09:55:00"),
+            ("u2", "2024-01-01 10:10:00"),
+            ("u2", "2024-01-01 11:00:00"),
+        ],
+        "user_id string, c_ts string",
+    ).withColumn("c_ts", F.to_timestamp("c_ts"))
+
+    out = temporal.band_join(
+        left, right, left_ts="p_ts", right_ts="c_ts", gap_s=600,
+        keys=["user_id"], how="left", left_id="lid",
+    ).collect()
+    by_lid: dict = {}
+    for r in out:
+        by_lid.setdefault(r.lid, []).append(r.c_ts)
+    assert len(by_lid["a"]) == 2 and all(v is not None for v in by_lid["a"])
+    assert by_lid["b"] == [None]  # unmatched: exactly once, NULL right side
+    assert len(by_lid["c"]) == 1 and by_lid["c"][0] is not None
+    assert by_lid["d"] == [None]
+
+    with pytest.raises(ValueError, match="left_id"):
+        temporal.band_join(
+            left, right, left_ts="p_ts", right_ts="c_ts", gap_s=600, how="left"
+        )
+    with pytest.raises(ValueError, match="how"):
+        temporal.band_join(
+            left, right, left_ts="p_ts", right_ts="c_ts", gap_s=600, how="full"
+        )
