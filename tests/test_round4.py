@@ -414,3 +414,85 @@ def test_band_join_left_outer_semantics(spark):
         temporal.band_join(
             left, right, left_ts="p_ts", right_ts="c_ts", gap_s=600, how="full"
         )
+
+
+# ---------------------------------------------------------------------------
+# lz4/zstd codec seams (pbf/blocks.py:decompress_blob import-gated arms)
+# ---------------------------------------------------------------------------
+
+def _has_lz4() -> bool:
+    try:
+        import lz4.frame  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _has_zstd() -> bool:
+    try:
+        import zstandard  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _blob_with_arm(field_no: int, payload: bytes, raw_size: int) -> bytes:
+    from openstreetmapio_jl_spark.pbf import blocks, proto
+
+    return proto.field_varint(blocks._F_RAW_SIZE, raw_size) + proto.field_bytes(
+        field_no, payload
+    )
+
+
+def test_lz4_zstd_arms_error_cleanly_without_wheels():
+    """Always-run: an lz4/zstd-compressed blob in a sandbox without the wheel
+    must raise a NAMED ValueError (the reference ships CodecLz4/CodecZstd as
+    hard deps — Project.toml — so a zstd planet file decodes there; here the
+    semantics are implemented and only the wheel is absent). Skipped-green if
+    the wheels ARE present (the round-trip tests below take over)."""
+    from openstreetmapio_jl_spark.pbf import blocks
+
+    if not _has_lz4():
+        with pytest.raises(ValueError, match="lz4.*unavailable"):
+            blocks.decompress_blob(_blob_with_arm(blocks._F_LZ4, b"xx", 2))
+    if not _has_zstd():
+        with pytest.raises(ValueError, match="zstd.*unavailable"):
+            blocks.decompress_blob(_blob_with_arm(blocks._F_ZSTD, b"xx", 2))
+
+
+@pytest.mark.skipif(
+    not _has_lz4(),
+    reason="lz4 wheel not installed in this sandbox: the _F_LZ4 arm of "
+    "pbf/blocks.py:decompress_blob is the integration seam left unexercised — "
+    "install `lz4` and this test round-trips a frame-compressed payload "
+    "through the exact decode dispatch the reference's CodecLz4 path covers",
+)
+def test_lz4_blob_roundtrip():
+    import lz4.frame
+
+    from openstreetmapio_jl_spark.pbf import blocks
+
+    payload = b"osm block payload " * 100
+    blob = _blob_with_arm(blocks._F_LZ4, lz4.frame.compress(payload), len(payload))
+    assert blocks.decompress_blob(blob) == payload
+
+
+@pytest.mark.skipif(
+    not _has_zstd(),
+    reason="zstandard wheel not installed in this sandbox: the _F_ZSTD arm of "
+    "pbf/blocks.py:decompress_blob is the integration seam left unexercised — "
+    "install `zstandard` and this test round-trips a compressed payload "
+    "through the exact decode dispatch the reference's CodecZstd path covers",
+)
+def test_zstd_blob_roundtrip():
+    import zstandard
+
+    from openstreetmapio_jl_spark.pbf import blocks
+
+    payload = b"osm block payload " * 100
+    blob = _blob_with_arm(
+        blocks._F_ZSTD, zstandard.ZstdCompressor().compress(payload), len(payload)
+    )
+    assert blocks.decompress_blob(blob) == payload
