@@ -89,12 +89,14 @@ def run_bench(sf_dir: str, master: str | None = None) -> dict:
         for name in HEADLINE:
             _force(reg[name][0](spark, sf_dir))
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _pass in range(3):
         for name in HEADLINE:
             df = reg[name][0](spark, sf_dir)
             t0 = time.perf_counter()
             _force(df)
             sec = time.perf_counter() - t0
+            samples[name].append(round(sec, 3))
             timings[name] = round(min(timings.get(name, sec), sec), 3)
 
     total = round(sum(timings.values()), 3)
@@ -104,6 +106,10 @@ def run_bench(sf_dir: str, master: str | None = None) -> dict:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # raw per-pass wall times (pass order preserved): lets a reader
+        # separate host-load bursts (one inflated sample, stable min) from a
+        # real regression (all samples shifted) without re-running
+        "samples": samples,
         "sf": sf,
         "pages_per_sec": round(n_pages / flagship_sec, 1) if flagship_sec else None,
         "flagship": FLAGSHIP,

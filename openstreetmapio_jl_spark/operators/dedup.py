@@ -605,6 +605,68 @@ def build_dedup_index(
     )
 
 
+def extend_dedup_index(
+    spark,
+    docs: DataFrame,
+    *,
+    table_prefix: str = "dedup_idx",
+    n_buckets: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> None:
+    """Append a processed batch to an existing signature index — the
+    continuous-ingest loop: ``incremental_dedup_pairs(batch)`` → keep
+    survivors → ``extend_dedup_index(survivors)`` → next batch dedups against
+    corpus ∪ batch. Appends batch memberships and texts to the bucketed tables
+    (``n_buckets``/keys must match :func:`build_dedup_index`'s — Spark
+    validates the bucket spec on append) and rebuilds the stats aggregate from
+    the memberships table — a signatures-only scan, never the corpus text.
+    After extension, :func:`incremental_dedup_pairs` against the index equals
+    full recompute over everything indexed so far (test-pinned across two
+    batches)."""
+    m = minhash_band_memberships(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        band_size=band_size,
+    )
+    (
+        m.write.mode("append")
+        .bucketBy(n_buckets, "band_sig")
+        .sortBy("band_sig")
+        .format("parquet")
+        .saveAsTable(f"{table_prefix}_memberships")
+    )
+    (
+        docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        .write.mode("append")
+        .bucketBy(n_buckets, "id")
+        .sortBy("id")
+        .format("parquet")
+        .saveAsTable(f"{table_prefix}_docs")
+    )
+    stats = (
+        spark.table(f"{table_prefix}_memberships")
+        .groupBy("band_idx", "band_sig", "sub_sig")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # stage to a temp view-free frame first: overwriting a table that the
+    # plan reads is rejected, so materialize driver-free via a staging table
+    stats.write.mode("overwrite").format("parquet").saveAsTable(
+        f"{table_prefix}_bucket_stats_staging"
+    )
+    spark.sql(f"drop table if exists {table_prefix}_bucket_stats")
+    spark.sql(
+        f"alter table {table_prefix}_bucket_stats_staging "
+        f"rename to {table_prefix}_bucket_stats"
+    )
+
+
 def incremental_candidate_pairs(
     spark,
     new_docs: DataFrame,

@@ -496,3 +496,35 @@ def test_zstd_blob_roundtrip():
         blocks._F_ZSTD, zstandard.ZstdCompressor().compress(payload), len(payload)
     )
     assert blocks.decompress_blob(blob) == payload
+
+
+def test_extend_dedup_index_two_batch_ingest_loop(spark, split_corpus):
+    """The continuous-ingest loop: dedup batch1 vs index, EXTEND the index
+    with batch1, then batch2's incremental pairs equal full recompute over
+    corpus ∪ batch1 ∪ batch2 restricted to batch2-touching pairs."""
+    corpus, batch = split_corpus
+    # fresh index (the module fixture's t4_idx is shared; use a private prefix)
+    dedup.build_dedup_index(spark, corpus, table_prefix="t4_ext", n_buckets=4)
+    dedup.extend_dedup_index(spark, batch, table_prefix="t4_ext", n_buckets=4)
+    # batch2: near-dups of both corpus docs and batch-1 docs + fresh filler
+    b1 = {r.doc_id: r.text for r in batch.limit(3).collect()}
+    c1 = {r.doc_id: r.text for r in corpus.limit(2).collect()}
+    rows = [(200_000 + i, t + " drift") for i, t in enumerate(b1.values())]
+    rows += [(210_000 + i, t + " drift") for i, t in enumerate(c1.values())]
+    rows += [(220_000 + i, f"completely fresh doc number {i} with words") for i in range(5)]
+    batch2 = spark.createDataFrame(rows, "doc_id long, text string")
+
+    inc = dedup.incremental_dedup_pairs(
+        spark, batch2, table_prefix="t4_ext", threshold=0.5, max_bucket_df=50
+    )
+    got = {(r.id_a, r.id_b): r.jaccard for r in inc.collect()}
+
+    everything = corpus.unionByName(batch).unionByName(batch2)
+    full = dedup.jaccard_via_lsh(everything, threshold=0.5, max_bucket_df=50)
+    b2_ids = {r.doc_id for r in batch2.select("doc_id").collect()}
+    want = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in full.collect()
+        if r.id_a in b2_ids or r.id_b in b2_ids
+    }
+    assert got == want and len(got) > 0
