@@ -22,7 +22,13 @@ library provides:
    without a geo mention or outside every polygon survive un-enriched);
 4. **partitioned write with lineage** — url-hash chunks, each written then
    committed (write-output-then-commit), so a killed run resumes with exactly
-   the missing chunks.
+   the missing chunks;
+5. **signature-index maintenance** (``--dedup-index PREFIX``) — the run's
+   survivors build (first run) or extend (later runs) a persisted bucketed
+   MinHash index; with an existing index, stage 1b switches to INCREMENTAL
+   near-dup dedup (batch-vs-index + batch-internal, zero corpus rescan), so
+   successive invocations form the continuous-ingest loop of a production
+   training pipeline.
 
 Imports resolve from the --py-files archive; no repo-relative imports.
 """
@@ -51,6 +57,15 @@ def main() -> None:
         "--near-dup-max-bucket", type=int, default=1000,
         help="LSH bucket-cardinality cap before the candidate self-join",
     )
+    ap.add_argument(
+        "--dedup-index", default=None, metavar="PREFIX",
+        help="table prefix of a persisted MinHash signature index: when the "
+        "index exists, near-dup dedup runs INCREMENTALLY against it (batch-vs-"
+        "index + batch-internal, no corpus rescan) and the surviving pages "
+        "extend the index afterwards; when absent, it is built from this "
+        "run's survivors — successive invocations form a continuous-ingest "
+        "loop",
+    )
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args()
 
@@ -65,13 +80,19 @@ def main() -> None:
     from openstreetmapio_jl_spark.plans import lineage
     from openstreetmapio_jl_spark.sources.pbf_source import read_pbf
 
-    spark = (
+    builder = (
         SparkSession.builder.appName("corpus-pipeline")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .getOrCreate()
     )
+    if args.dedup_index:
+        # the signature index must outlive this invocation: the default
+        # in-memory catalog forgets saveAsTable metadata (incl. the bucket
+        # spec) at session stop, so index mode needs the persistent metastore
+        # (Derby in cwd here; a shared metastore service on a real cluster)
+        builder = builder.enableHiveSupport()
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     # polygon dimension: prepared ONCE, reused by every chunk (production shape)
@@ -94,23 +115,82 @@ def main() -> None:
 
     # 1b. near-dup cluster dedup: LSH pairs -> components -> drop every
     # cluster member except the canonical (minimum) url. Anti-join keeps the
-    # pages table untouched when the corpus has no near-dups.
+    # pages table untouched when the corpus has no near-dups. With
+    # --dedup-index and an EXISTING index, pairs come from the incremental
+    # path instead (batch-vs-index + batch-internal — the corpus text is
+    # never rescanned): a batch page near-dupping an INDEXED page always
+    # drops (the indexed survivor already lives in the corpus); batch-internal
+    # pairs cluster with the same CC + min-url survivor rule as full mode.
     n_near_dropped = 0
+    have_index = bool(args.dedup_index) and spark.catalog.tableExists(
+        f"{args.dedup_index}_memberships"
+    )
     if args.near_dup_threshold > 0:
-        pairs = jaccard_via_lsh(
-            deduped,
-            id_col="url",
-            text_col="text",
-            threshold=args.near_dup_threshold,
-            max_bucket_df=args.near_dup_max_bucket,
-        )
         cc_handles: list = []
-        comp = connected_components(pairs, handles=cc_handles)
-        losers = (
-            comp.filter(F.col("id") != F.col("component"))
-            .select(F.col("id").alias("url"))
-            .persist()
-        )
+        if have_index:
+            from openstreetmapio_jl_spark.operators.dedup import (
+                incremental_dedup_pairs,
+            )
+
+            pairs = incremental_dedup_pairs(
+                spark,
+                deduped,
+                table_prefix=args.dedup_index,
+                id_col="url",
+                text_col="text",
+                threshold=args.near_dup_threshold,
+                max_bucket_df=args.near_dup_max_bucket,
+            )
+            batch_urls = deduped.select(F.col("url").alias("u")).distinct()
+            flagged = (
+                pairs.join(
+                    batch_urls.withColumnRenamed("u", "id_a").withColumn(
+                        "a_new", F.lit(True)
+                    ),
+                    "id_a",
+                    "left",
+                )
+                .join(
+                    batch_urls.withColumnRenamed("u", "id_b").withColumn(
+                        "b_new", F.lit(True)
+                    ),
+                    "id_b",
+                    "left",
+                )
+                .persist()
+            )
+            # vs-index pairs: the batch side loses unconditionally
+            vs_index = flagged.filter(
+                F.col("a_new").isNull() | F.col("b_new").isNull()
+            ).select(
+                F.when(F.col("a_new").isNotNull(), F.col("id_a"))
+                .otherwise(F.col("id_b"))
+                .alias("url")
+            )
+            # batch-internal pairs: cluster, keep the canonical minimum
+            new_new = flagged.filter(
+                F.col("a_new").isNotNull() & F.col("b_new").isNotNull()
+            )
+            comp = connected_components(new_new, handles=cc_handles)
+            in_batch_losers = comp.filter(F.col("id") != F.col("component")).select(
+                F.col("id").alias("url")
+            )
+            losers = vs_index.unionByName(in_batch_losers).distinct().persist()
+            flagged.unpersist()
+        else:
+            pairs = jaccard_via_lsh(
+                deduped,
+                id_col="url",
+                text_col="text",
+                threshold=args.near_dup_threshold,
+                max_bucket_df=args.near_dup_max_bucket,
+            )
+            comp = connected_components(pairs, handles=cc_handles)
+            losers = (
+                comp.filter(F.col("id") != F.col("component"))
+                .select(F.col("id").alias("url"))
+                .persist()
+            )
         n_near_dropped = losers.count()
         deduped = deduped.join(losers, "url", "left_anti")
 
@@ -151,6 +231,38 @@ def main() -> None:
         lineage_dir=args.lineage,
         run_id=args.run_id,
     )
+    # 5. index maintenance: the written survivors become (or extend) the
+    # persisted signature index, so the NEXT invocation dedups incrementally
+    # against everything ingested so far (write output first, then extend —
+    # a crash between the two re-extends idempotently only after the rerun's
+    # lineage no-op, never losing corpus rows)
+    if args.dedup_index:
+        from openstreetmapio_jl_spark.operators.dedup import (
+            build_dedup_index,
+            extend_dedup_index,
+        )
+
+        survivors = chunked.drop("bucket").select("url", "text")
+        if have_index:
+            # only this run's NEW survivors extend the index; resumed reruns
+            # re-read output, so anti-join against already-indexed urls keeps
+            # the extension idempotent
+            indexed = spark.table(f"{args.dedup_index}_docs").select(
+                F.col("id").alias("url")
+            )
+            fresh = survivors.join(indexed, "url", "left_anti")
+            extend_dedup_index(
+                spark, fresh, table_prefix=args.dedup_index,
+                id_col="url", text_col="text",
+            )
+        else:
+            build_dedup_index(
+                spark, survivors, table_prefix=args.dedup_index,
+                id_col="url", text_col="text",
+            )
+        stats["dedup_index"] = args.dedup_index
+        stats["index_mode"] = "extended" if have_index else "built"
+
     chunked.unpersist()
     polys.unpersist()
     if args.near_dup_threshold > 0:

@@ -13,6 +13,7 @@ import os
 import subprocess
 import sys
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -279,3 +280,110 @@ def test_export_job_filter_error_handling(tmp_path, osm_data, spark, monkeypatch
 
     with pytest.raises(ParseException):
         run("id IS NOTT NULL", "parse_export")
+
+
+@pytest.mark.slow
+def test_spark_submit_incremental_corpus_ingest_loop(pyfiles_zip, tmp_path, osm_data):
+    """The continuous-ingest loop across real spark-submit invocations:
+    run 1 builds the signature index from its survivors; run 2 dedups its
+    batch INCREMENTALLY against that index (batch pages duplicating indexed
+    corpus pages drop; batch-internal near-dups keep the canonical url) and
+    extends the index; run 3 (identical re-invocation) is a lineage no-op
+    with an idempotent (empty) index extension."""
+    import duckdb
+
+    from openstreetmapio_jl_spark.fixtures import generator as G
+
+    meta, nodes, ways, rels = osm_data
+    pbf = str(tmp_path / "f.pbf")
+    G.write_fixture_pbf(pbf, meta, nodes, ways, rels, nodes_per_block=200)
+    pages1 = str(tmp_path / "pages1.parquet")
+    pq.write_table(G.make_pages(600), pages1)
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+
+    def run(pages, out, lin):
+        cmd = [
+            _spark_submit(),
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.driver.host=127.0.0.1",
+            "--py-files", pyfiles_zip,
+            os.path.join(REPO, "jobs", "corpus_pipeline_job.py"),
+            "--pages", pages, "--pbf", pbf, "--out", out, "--lineage", lin,
+            "--chunks", "2", "--min-quality", "0.0",
+            "--near-dup-threshold", "0.5",
+            "--dedup-index", "ingest_idx",
+        ]
+        p = subprocess.run(
+            cmd, cwd=str(tmp_path), env=env, capture_output=True, text=True,
+            timeout=600,
+        )
+        assert p.returncode == 0, p.stderr[-4000:]
+        return json.loads([l for l in p.stdout.splitlines() if l.startswith("{")][-1])
+
+    out1, lin1 = str(tmp_path / "c1"), str(tmp_path / "l1")
+    s1 = run(pages1, out1, lin1)
+    assert s1["index_mode"] == "built" and s1["rows"] > 0
+
+    # batch 2: 3 pages duplicating indexed corpus texts (new urls), one
+    # batch-internal near-dup pair, 3 genuinely fresh pages
+    corpus_rows = duckdb.sql(
+        f"select url, text from read_parquet('{out1}/chunk=*/*.parquet')"
+        f" order by url limit 3"
+    ).fetchall()
+    assert len(corpus_rows) == 3
+    import datetime
+
+    ts = datetime.datetime(2024, 5, 1)
+    base = (
+        "meridian harbor lantern velvet orchard thistle quarry ember sable "
+        "juniper gossamer raven tundra mosaic zephyr cobalt prairie saffron "
+        "citadel murmur paragon quill raster sonnet tempest umber vertex wisp"
+    )
+    rows2 = []
+    for i, (_u, text) in enumerate(corpus_rows):
+        rows2.append((f"https://z-dup-corpus-{i}", ts, b"", text, "en"))
+    rows2.append(("https://z-pair-a", ts, b"", base, "en"))
+    rows2.append(("https://z-pair-b", ts, b"", base + " trailing note", "en"))
+    for i in range(3):
+        rows2.append(
+            (f"https://z-fresh-{i}", ts, b"",
+             f"entirely fresh document number {i} " + " ".join(
+                 f"w{i}{j}token" for j in range(25)
+             ),
+             "en")
+        )
+    pages2 = str(tmp_path / "pages2.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "url": [r[0] for r in rows2],
+                "warc_ts": pa.array([r[1] for r in rows2], pa.timestamp("us")),
+                "html": [r[2] for r in rows2],
+                "text": [r[3] for r in rows2],
+                "lang": [r[4] for r in rows2],
+            }
+        ),
+        pages2,
+    )
+
+    out2, lin2 = str(tmp_path / "c2"), str(tmp_path / "l2")
+    s2 = run(pages2, out2, lin2)
+    assert s2["index_mode"] == "extended"
+    # 3 corpus dups + the pair's non-canonical member
+    assert s2["near_dup_dropped"] == 4
+    urls2 = {
+        r[0]
+        for r in duckdb.sql(
+            f"select url from read_parquet('{out2}/chunk=*/*.parquet')"
+        ).fetchall()
+    }
+    assert urls2 == {
+        "https://z-pair-a",
+        "https://z-fresh-0", "https://z-fresh-1", "https://z-fresh-2",
+    }
+
+    # identical re-invocation: lineage no-op, idempotent (empty) extension
+    s3 = run(pages2, out2, lin2)
+    assert s3["processed"] == 0 and s3["skipped"] == 2
+    assert s3["index_mode"] == "extended"
