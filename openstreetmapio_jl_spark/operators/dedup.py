@@ -526,6 +526,55 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_band_sig_cols(
+    text: Column,
+    *,
+    shingle_n: int = 5,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> list[Column]:
+    """Per-ROW band signatures — the same md5/Kirsch-Mitzenmacher minhash math
+    as :func:`minhash_band_memberships`, computed entirely with higher-order
+    functions (``transform``/``zip_with``/``array_min``) instead of
+    explode+groupBy. Returns ``nbands`` Columns (band 0..n-1); each is NULL
+    for texts shorter than the shingle width (such docs have no memberships in
+    the batch derivation either).
+
+    The groupBy form is preferred for batch (map-side combine keeps the
+    shuffle at H longs/doc); this form exists because it is AGGREGATION-FREE —
+    legal inside Structured Streaming plans where a stream-side groupBy would
+    be a stateful operator (``streaming/pipelines.py:novel_pages_stream``).
+    Equality with the batch derivation is test-pinned."""
+    nbands = num_hashes // band_size
+    sh = F.array_distinct(char_shingles(text, shingle_n))
+    h1 = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    )
+    h2 = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long")
+    )
+    mh = [
+        F.array_min(
+            F.zip_with(
+                h1,
+                h2,
+                lambda a, b: F.pmod(a + F.lit(i + 1) * b, F.lit(MINHASH_PRIME)),
+            )
+        )
+        for i in range(num_hashes)
+    ]
+    out = []
+    for b in range(nbands):
+        sig = F.md5(
+            F.concat_ws(
+                "_",
+                *[mh[b * band_size + j].cast("string") for j in range(band_size)],
+            )
+        )
+        out.append(F.when(F.size(sh) >= 1, sig))
+    return out
+
+
 def build_dedup_index(
     spark,
     corpus_docs: DataFrame,

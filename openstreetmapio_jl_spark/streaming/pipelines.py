@@ -151,6 +151,61 @@ def pip_enrich_stream(
     return SJ.point_in_polygon_join(pts, polygons, zoom=zoom)
 
 
+def novel_pages_stream(
+    pages: DataFrame,
+    index_memberships: DataFrame,
+    *,
+    text_col: str = "text",
+    shingle_n: int = 5,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """STREAM-STATIC incremental-dedup PREFILTER: keep only pages whose MinHash
+    band signatures collide with NO bucket of the persisted signature index
+    (``operators/dedup.py:build_dedup_index``'s ``<prefix>_memberships``
+    table) — the streaming face of the continuous-ingest loop: the firehose is
+    thinned against the corpus-so-far before anything heavier runs.
+
+    Streaming-legal construction: signatures come from the aggregation-free
+    per-row form (``minhash_band_sig_cols`` — a stream-side groupBy would be a
+    stateful aggregation, and aggregation→join is not allowed in append mode),
+    and membership is probed with one stream-static LEFT OUTER join per band
+    (stateless in Structured Streaming; static side broadcast by size), keeping
+    a page iff every probe misses. Pages shorter than the shingle width carry
+    NULL signatures, never match, and pass through — identical to the batch
+    semantics where such docs have no memberships.
+
+    Signature-level ONLY (the LSH candidate rule: shares ≥1 band bucket ⇒
+    presumed duplicate): it is the RECALL-side prefilter; the survivors flow to
+    the batch compactor whose :func:`incremental_dedup_pairs` does the exact
+    verify and index extension. Within-stream duplicates are by design left to
+    that compactor too (detecting them needs stream-stream state)."""
+    nbands = num_hashes // band_size
+    from openstreetmapio_jl_spark.operators.dedup import minhash_band_sig_cols
+
+    sigs = minhash_band_sig_cols(
+        F.col(text_col),
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        band_size=band_size,
+    )
+    out = pages
+    keep = F.lit(True)
+    for b in range(nbands):
+        out = out.withColumn(f"_sig{b}", sigs[b])
+        idx_b = (
+            index_memberships.filter(F.col("band_idx") == b)
+            .select(F.col("band_sig").alias(f"_idx_sig{b}"))
+            .distinct()
+        )
+        out = out.join(
+            idx_b, out[f"_sig{b}"] == idx_b[f"_idx_sig{b}"], "left_outer"
+        )
+        keep = keep & F.col(f"_idx_sig{b}").isNull()
+    drop_cols = [c for b in range(nbands) for c in (f"_sig{b}", f"_idx_sig{b}")]
+    return out.filter(keep).drop(*drop_cols)
+
+
 def run_available_now(
     result: DataFrame,
     *,

@@ -528,3 +528,74 @@ def test_extend_dedup_index_two_batch_ingest_loop(spark, split_corpus):
         if r.id_a in b2_ids or r.id_b in b2_ids
     }
     assert got == want and len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# streaming incremental-dedup prefilter
+# ---------------------------------------------------------------------------
+
+def test_perrow_band_sigs_equal_batch_memberships(spark, split_corpus):
+    """minhash_band_sig_cols (aggregation-free, streaming-legal) must produce
+    EXACTLY the band signatures of the batch explode+groupBy derivation."""
+    corpus, _ = split_corpus
+    per_row = corpus.select(
+        F.col("doc_id").alias("id"),
+        *[
+            s.alias(f"sig{b}")
+            for b, s in enumerate(dedup.minhash_band_sig_cols(F.col("text")))
+        ],
+    )
+    got = set()
+    for r in per_row.collect():
+        for b in range(4):
+            v = r[f"sig{b}"]
+            if v is not None:
+                got.add((r.id, b, v))
+    want = {
+        (r.id, r.band_idx, r.band_sig)
+        for r in dedup.minhash_band_memberships(corpus).collect()
+    }
+    assert got == want
+
+
+def test_novel_pages_stream_prefilter(spark, split_corpus, tmp_path):
+    """Stream-static prefilter: a streaming page feed drops exactly the pages
+    whose band signatures collide with the persisted index (the LSH candidate
+    rule), in a real Structured Streaming availableNow run."""
+    from openstreetmapio_jl_spark.streaming import pipelines as SP
+
+    corpus, batch = split_corpus  # t4_idx index built by the fixture
+    import datetime
+
+    ts = datetime.datetime(2024, 5, 1)
+    rows = [
+        (f"u{r.doc_id}", ts, b"", r.text, "en") for r in batch.collect()
+    ]
+    feed_dir = str(tmp_path / "feed")
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).coalesce(1).write.parquet(feed_dir)
+
+    idx_m = spark.table("t4_idx_memberships")
+    stream = SP.read_pages_stream(spark, feed_dir)
+    novel = SP.novel_pages_stream(stream, idx_m)
+    SP.run_available_now(
+        novel,
+        query_name="novel_pages_t4",
+        output_mode="append",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got = {r.url for r in spark.table("novel_pages_t4").collect()}
+
+    # expected: batch docs sharing NO band bucket with the index (batch twin)
+    new_m = dedup.minhash_band_memberships(batch)
+    colliding = {
+        r.id
+        for r in new_m.join(
+            idx_m, ["band_idx", "band_sig"], "left_semi"
+        ).select("id").distinct().collect()
+    }
+    all_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    want = {f"u{i}" for i in all_ids - colliding}
+    assert got == want
+    assert 0 < len(got) < len(all_ids)  # both kept and dropped pages exist
