@@ -11,7 +11,19 @@ Operators:
 - MinHash + LSH banding (shingle → H minhashes → B bands → bucket join),
 - SimHash (32-bit, md5-prefix token hashes, per-bit majority vote),
 - n-gram Jaccard similarity (shingle-join candidate pairs, exact Jaccard),
-- embedding-cosine near-duplicates (see operators/similarity.py).
+- embedding-cosine near-duplicates (see operators/similarity.py),
+- pairs → clusters → survivor selection (duplicate_clusters, via
+  operators/graph.py connected components),
+- INCREMENTAL dedup of incoming batches against a persisted bucketed
+  signature index (build_dedup_index / incremental_dedup_pairs /
+  extend_dedup_index — the continuous-ingest loop), with an
+  aggregation-free per-row signature form (minhash_band_sig_cols) for the
+  Structured-Streaming prefilter.
+
+Hot buckets (boilerplate text, degenerate signatures) are SUB-SPLIT on a
+finer signature before any candidate self-join (_cap_bucket_df): true
+near-dups stay co-located, unrelated members scatter, and pieces no signature
+can separate (byte-identical clones) drop under the residual hard cap.
 """
 
 from __future__ import annotations
