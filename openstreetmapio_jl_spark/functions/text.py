@@ -204,3 +204,53 @@ def fingerprint_col(col: Column) -> Column:
     """
     normalized = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
     return F.md5(F.encode(normalized, "UTF-8"))
+
+
+def word_repetition_signals(
+    docs, *, id_col: str = "doc_id", text_col: str = "text"
+):
+    """→ (id, n_words, dup_word_frac, top_bigram, top_bigram_frac): the
+    Gopher-style repetition quality signals a training-data pipeline filters
+    on (Rae et al. 2021 §A1.1 "repetition removal" — fraction of duplicate
+    units and fraction covered by the modal n-gram; word-level here, the
+    fixture corpus being single-line):
+
+    - ``dup_word_frac`` = 1 − |distinct words| / |words| — boilerplate and
+      keyword-stuffed docs score high;
+    - ``top_bigram_frac`` = occurrences of the most frequent word bigram over
+      bigram slots (|words| − 1), ties broken lexicographically (determinism
+      across engines — the oracle mirrors the same ordering).
+
+    Shape at scale: one explode + two window/groupBy passes keyed by doc id —
+    everything co-partitions on the same key, AQE folds the exchanges; all
+    JVM-side (split/explode/lead/row_number), no Python."""
+    from pyspark.sql import Window
+
+    w = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    )
+    per_doc = Window.partitionBy("id").orderBy("pos")
+    bg = w.withColumn("nxt", F.lead("w").over(per_doc)).filter(
+        F.col("nxt").isNotNull()
+    ).select("id", F.concat_ws(" ", "w", "nxt").alias("bg"))
+    bc = bg.groupBy("id", "bg").agg(F.count("*").alias("c"))
+    top_w = Window.partitionBy("id").orderBy(F.desc("c"), F.asc("bg"))
+    top = (
+        bc.withColumn("rn", F.row_number().over(top_w))
+        .filter(F.col("rn") == 1)
+        .select("id", F.col("bg").alias("top_bigram"), "c")
+    )
+    ww = w.groupBy("id").agg(
+        F.count("*").alias("n_words"),
+        F.countDistinct("w").alias("n_distinct"),
+    )
+    return ww.join(top, "id").select(
+        F.col("id").alias(id_col),
+        "n_words",
+        F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_words"), 6).alias(
+            "dup_word_frac"
+        ),
+        "top_bigram",
+        F.round(F.col("c") / (F.col("n_words") - 1), 6).alias("top_bigram_frac"),
+    )

@@ -881,6 +881,46 @@ from cand where bit_count(xor(sa, sb)) <= 3
 """
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals per document (duplicate-word
+    fraction, modal-bigram coverage — the filters training pipelines drop
+    boilerplate/keyword-stuffed docs with). Deterministic modal bigram via
+    (count desc, bigram asc) tie-break, mirrored in the oracle's window."""
+    return textfn.word_repetition_signals(_load(spark, sf_dir, "documents"))
+
+
+SQL_DOC_REPETITION = """
+with w as (
+  select doc_id, w, pos from (
+    select doc_id,
+      unnest(string_split(text, ' ')) as w,
+      generate_subscripts(string_split(text, ' '), 1) as pos
+    from documents
+  )
+),
+b as (
+  select doc_id, w || ' ' || lead(w) over (partition by doc_id order by pos) as bg
+  from w
+),
+bc as (select doc_id, bg, count(*) as c from b where bg is not null group by 1, 2),
+top as (
+  select doc_id, bg, c,
+    row_number() over (partition by doc_id order by c desc, bg asc) as rn
+  from bc
+),
+ww as (
+  select doc_id, count(*) as n_words, count(distinct w) as n_distinct
+  from w group by doc_id
+)
+select ww.doc_id,
+  n_words,
+  round(1 - n_distinct / cast(n_words as double), 6) as dup_word_frac,
+  top.bg as top_bigram,
+  round(c / cast(n_words - 1 as double), 6) as top_bigram_frac
+from ww join top on top.doc_id = ww.doc_id and top.rn = 1
+"""
+
+
 def q_doc_token_quality(spark, sf_dir):
     d = _load(spark, sf_dir, "documents")
     return (
@@ -2311,6 +2351,7 @@ def registry() -> dict[str, tuple]:
         "doc_dup_clusters": (q_doc_dup_clusters, _sql_dup_clusters()),
         "doc_simhash": (q_doc_simhash, _sql_simhash()),
         "doc_simhash_neardup": (q_doc_simhash_neardup, _sql_simhash_neardup()),
+        "doc_repetition_signals": (q_doc_repetition, SQL_DOC_REPETITION),
         "doc_token_quality": (q_doc_token_quality, SQL_DOC_TOKEN_QUALITY),
         "doc_langid": (q_doc_langid, _sql_langid()),
         "osm_counts": (q_osm_counts, _sql_osm_counts()),
@@ -2342,7 +2383,6 @@ def registry() -> dict[str, tuple]:
         "doc_winnow_fps": (q_doc_winnow_fps, _sql_winnow()),
         "doc_lang_pivot": (q_doc_lang_pivot, _sql_lang_pivot()),
         "mm_media_stats": (q_mm_media_stats, _sql_mm_stats()),
-        "mm_resize_stats": (q_mm_resize_stats, _sql_mm_resize()),
         "mm_frame_sample": (q_mm_frame_sample, _sql_mm_frames()),
         # --- past the driver's 50-entry correctness window: certified twins
         # (osm_bbox_count: simple bbox-filter count, r02-green; the filter
@@ -2351,7 +2391,10 @@ def registry() -> dict[str, tuple]:
         # in-window adaptive pip_hits_multipolygon, rotated out for
         # doc_incremental_dedup; geohash_cells_pages: r03-green twin of the
         # in-window s2_cells_pages batched-cell-UDF path, rotated out for
-        # events_band_join_outer)
+        # events_band_join_outer; mm_resize_stats: r03-green twin of the
+        # in-window mm_media_stats/mm_frame_sample Arrow-batched multimodal
+        # path, rotated out for doc_repetition_signals)
+        "mm_resize_stats": (q_mm_resize_stats, _sql_mm_resize()),
         "geohash_cells_pages": (q_geohash_cells_pages, _sql_geohash_cells()),
         "pip_hits_multipolygon_static": (
             q_pip_hits_multipolygon_static,
