@@ -2321,15 +2321,20 @@ def registry() -> dict[str, tuple]:
     in dict order, so the first 50 are every query shape that still needs (or
     newly needs) official certification; the tail past position 50 holds only
     near-duplicate twins whose oracle/path is already certified by an in-window
-    sibling AND which hold a green CORRECTNESS_r02 row (events_stream_* share
-    their batch twins' oracles verbatim; pages_stream_pip shares _sql_pip();
-    hex_cells_pages is the resolution twin of the in-window hex_cells_pages_r7
-    — same UDF path, certified r02; setop_nations_except shares the set-op
-    shape; sim_lsh_topk shares the hyperplane-LSH bucket join with
+    sibling AND which hold a green CORRECTNESS row from the round they were
+    last in-window (events_stream_* share their batch twins' oracles verbatim;
+    pages_stream_pip shares _sql_pip(); hex_cells_pages is the resolution twin
+    of the in-window hex_cells_pages_r7; setop_nations_except shares the
+    set-op shape; sim_lsh_topk shares the hyperplane-LSH bucket join with
     emb_lsh_neardup; quadkey_rollup shares the hierarchical tile rollup with
-    tile_pyramid_z11). Round-3 addition pip_hits_multipolygon_static (static
-    crosser-arm coverage for the antimeridian far-pair fixture) sits in-window;
-    hex_cells_pages rotated out to make room."""
+    tile_pyramid_z11). Round-4 in-window additions: doc_incremental_dedup,
+    events_band_join_outer, doc_repetition_signals; rotated to the tail to
+    make room (each r03-green with an in-window path sibling):
+    pip_hits_multipolygon_static (adaptive twin pip_hits_multipolygon stays),
+    geohash_cells_pages (batched-cell-UDF sibling s2_cells_pages stays),
+    mm_resize_stats (multimodal siblings mm_media_stats/mm_frame_sample stay).
+    Pre-submit routine: `python tools/check_oracle.py` runs ALL entries
+    including the tail, so past-window twins cannot silently regress."""
     return {
         "agg_pricing_summary": (q_agg_pricing_summary, SQL_AGG_PRICING),
         "join_revenue_by_nation": (q_join_revenue_by_nation, SQL_JOIN_REVENUE),

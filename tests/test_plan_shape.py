@@ -35,6 +35,9 @@ HEADLINE_BATCH = [
     "join_revenue_by_nation",
     "doc_minhash_lsh",
     "doc_simhash",
+    "doc_jaccard_via_lsh",       # round-4 sub-split piece mechanics
+    "doc_repetition_signals",    # round-4 repetition quality signals
+    "events_band_join_outer",    # round-4 left-outer band join
     "sim_cosine_topk",
     "pages_tile_counts",
     "pip_hits_per_polygon",
