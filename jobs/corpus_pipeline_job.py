@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 
 
 def main() -> None:
@@ -66,8 +67,22 @@ def main() -> None:
         "run's survivors — successive invocations form a continuous-ingest "
         "loop",
     )
+    ap.add_argument(
+        "--batch-id", default=None,
+        help="identifier scoping this batch's lineage chunk keys and index "
+        "extension (default: md5 of the --pages path). Without per-batch "
+        "scoping, a second batch pointed at the same --out/--lineage would "
+        "collide with the first batch's chunk keys: the lineage log would "
+        "skip every chunk (writing nothing) while the index extension still "
+        "ran — silently losing the batch from the corpus",
+    )
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args()
+    import hashlib
+
+    batch_id = args.batch_id or hashlib.md5(
+        os.path.abspath(args.pages).encode()
+    ).hexdigest()[:10]
 
     from pyspark.sql import SparkSession, Window
     from pyspark.sql import functions as F
@@ -141,42 +156,20 @@ def main() -> None:
                 threshold=args.near_dup_threshold,
                 max_bucket_df=args.near_dup_max_bucket,
             )
-            batch_urls = deduped.select(F.col("url").alias("u")).distinct()
-            flagged = (
-                pairs.join(
-                    batch_urls.withColumnRenamed("u", "id_a").withColumn(
-                        "a_new", F.lit(True)
-                    ),
-                    "id_a",
-                    "left",
-                )
-                .join(
-                    batch_urls.withColumnRenamed("u", "id_b").withColumn(
-                        "b_new", F.lit(True)
-                    ),
-                    "id_b",
-                    "left",
-                )
-                .persist()
+            # Survivor rule "first-indexed wins, with transitivity across the
+            # index boundary" (operators/dedup.py:incremental_cluster_losers):
+            # a component containing ANY indexed page already has its survivor
+            # in the corpus — every batch member of it drops, including pages
+            # chained to the index only through other batch pages — while
+            # pure-batch components keep their canonical minimum.
+            from openstreetmapio_jl_spark.operators.dedup import (
+                incremental_cluster_losers,
             )
-            # vs-index pairs: the batch side loses unconditionally
-            vs_index = flagged.filter(
-                F.col("a_new").isNull() | F.col("b_new").isNull()
-            ).select(
-                F.when(F.col("a_new").isNotNull(), F.col("id_a"))
-                .otherwise(F.col("id_b"))
-                .alias("url")
-            )
-            # batch-internal pairs: cluster, keep the canonical minimum
-            new_new = flagged.filter(
-                F.col("a_new").isNotNull() & F.col("b_new").isNotNull()
-            )
-            comp = connected_components(new_new, handles=cc_handles)
-            in_batch_losers = comp.filter(F.col("id") != F.col("component")).select(
-                F.col("id").alias("url")
-            )
-            losers = vs_index.unionByName(in_batch_losers).distinct().persist()
-            flagged.unpersist()
+
+            batch_urls = deduped.select(F.col("url").alias("id")).distinct()
+            losers = incremental_cluster_losers(
+                pairs, batch_urls, id_col="url", handles=cc_handles
+            ).persist()
         else:
             pairs = jaccard_via_lsh(
                 deduped,
@@ -219,18 +212,23 @@ def main() -> None:
     bucket = F.pmod(F.xxhash64("url"), F.lit(args.chunks)).cast("int")
     chunked = enriched.withColumn("bucket", bucket).persist()
 
+    # chunk keys are BATCH-scoped: reusing --out/--lineage across batches is
+    # the advertised ingest loop, and unscoped bucket_i keys would make the
+    # second batch's chunks look already-committed (skipping every write while
+    # stage 5 still extended the index — the batch silently lost)
     def process_chunk(key: str):
-        i = int(key.split("_")[1])
+        i = int(key.split("_")[-1])
         return chunked.filter(F.col("bucket") == i).drop("bucket")
 
     stats = lineage.run_resumable(
         spark,
-        [f"bucket_{i}" for i in range(args.chunks)],
+        [f"b{batch_id}_bucket_{i}" for i in range(args.chunks)],
         process_chunk,
         out_dir=args.out,
         lineage_dir=args.lineage,
         run_id=args.run_id,
     )
+    stats["batch_id"] = batch_id
     # 5. index maintenance: the written survivors become (or extend) the
     # persisted signature index, so the NEXT invocation dedups incrementally
     # against everything ingested so far (write output first, then extend —
@@ -244,24 +242,27 @@ def main() -> None:
 
         survivors = chunked.drop("bucket").select("url", "text")
         if have_index:
-            # only this run's NEW survivors extend the index; resumed reruns
-            # re-read output, so anti-join against already-indexed urls keeps
-            # the extension idempotent
+            # batch_key makes the extension EXACTLY-ONCE across reruns (the
+            # marker commits only after all three tables are written; a crash
+            # mid-extension reruns the whole extension, whose duplicates the
+            # index consumers tolerate by construction); the url anti-join
+            # additionally guards overlapping batch contents
             indexed = spark.table(f"{args.dedup_index}_docs").select(
                 F.col("id").alias("url")
             )
             fresh = survivors.join(indexed, "url", "left_anti")
-            extend_dedup_index(
+            mode = extend_dedup_index(
                 spark, fresh, table_prefix=args.dedup_index,
-                id_col="url", text_col="text",
+                id_col="url", text_col="text", batch_key=batch_id,
             )
         else:
             build_dedup_index(
                 spark, survivors, table_prefix=args.dedup_index,
                 id_col="url", text_col="text",
             )
+            mode = "built"
         stats["dedup_index"] = args.dedup_index
-        stats["index_mode"] = "extended" if have_index else "built"
+        stats["index_mode"] = mode
 
     chunked.unpersist()
     polys.unpersist()

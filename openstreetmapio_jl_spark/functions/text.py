@@ -221,6 +221,11 @@ def word_repetition_signals(
       bigram slots (|words| − 1), ties broken lexicographically (determinism
       across engines — the oracle mirrors the same ordering).
 
+    One row per input document, always: docs with fewer than two words have no
+    bigrams, so ``top_bigram``/``top_bigram_frac`` are NULL for them (left
+    join), never silently dropped — a quality gate that inner-joined these
+    signals would otherwise delete single-word docs from the corpus.
+
     Shape at scale: one explode + two window/groupBy passes keyed by doc id —
     everything co-partitions on the same key, AQE folds the exchanges; all
     JVM-side (split/explode/lead/row_number), no Python."""
@@ -245,7 +250,7 @@ def word_repetition_signals(
         F.count("*").alias("n_words"),
         F.countDistinct("w").alias("n_distinct"),
     )
-    return ww.join(top, "id").select(
+    return ww.join(top, "id", "left").select(
         F.col("id").alias(id_col),
         "n_words",
         F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_words"), 6).alias(

@@ -627,7 +627,7 @@ def build_dedup_index(
 
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     warehouse = warehouse.removeprefix("file:")
-    for suffix in ("memberships", "bucket_stats", "docs"):
+    for suffix in ("memberships", "bucket_stats", "docs", "batches"):
         name = f"{table_prefix}_{suffix}"
         spark.sql(f"drop table if exists {name}")
         loc = os.path.join(warehouse, name)
@@ -664,6 +664,10 @@ def build_dedup_index(
         .format("parquet")
         .saveAsTable(f"{table_prefix}_docs")
     )
+    # extension exactly-once markers (see extend_dedup_index's batch_key)
+    spark.createDataFrame([], "batch_key string").write.mode(
+        "overwrite"
+    ).format("parquet").saveAsTable(f"{table_prefix}_batches")
 
 
 def extend_dedup_index(
@@ -677,7 +681,8 @@ def extend_dedup_index(
     shingle_n: int = 5,
     num_hashes: int = 8,
     band_size: int = 2,
-) -> None:
+    batch_key: str | None = None,
+) -> str:
     """Append a processed batch to an existing signature index — the
     continuous-ingest loop: ``incremental_dedup_pairs(batch)`` → keep
     survivors → ``extend_dedup_index(survivors)`` → next batch dedups against
@@ -687,7 +692,26 @@ def extend_dedup_index(
     the memberships table — a signatures-only scan, never the corpus text.
     After extension, :func:`incremental_dedup_pairs` against the index equals
     full recompute over everything indexed so far (test-pinned across two
-    batches)."""
+    batches).
+
+    CRASH SAFETY: pass ``batch_key`` (a stable batch identifier) to make the
+    extension exactly-once — if the key is already in ``<prefix>_batches`` the
+    call is a no-op (returns ``"skipped"``); otherwise the three tables are
+    written and the marker commits LAST. A crash mid-extension therefore
+    reruns the whole extension; the duplicate membership/doc rows a partial
+    first attempt left behind are harmless by construction: stats counts
+    DISTINCT membership rows, candidate pairs pass through ``.distinct()``,
+    and the verify-side text fetch deduplicates on id
+    (``incremental_dedup_pairs``). Returns ``"extended"`` or ``"skipped"``."""
+    if batch_key is not None:
+        done = (
+            spark.table(f"{table_prefix}_batches")
+            .filter(F.col("batch_key") == batch_key)
+            .limit(1)
+            .count()
+        )
+        if done:
+            return "skipped"
     m = minhash_band_memberships(
         docs,
         id_col=id_col,
@@ -711,8 +735,13 @@ def extend_dedup_index(
         .format("parquet")
         .saveAsTable(f"{table_prefix}_docs")
     )
+    # DISTINCT before counting: a crash-rerun extension may have appended a
+    # batch's membership rows twice; clean rows are unique per (id, band_idx),
+    # so the distinct collapses exactly the crash duplicates and the rebuilt
+    # stats stay equal to a single-append history
     stats = (
         spark.table(f"{table_prefix}_memberships")
+        .distinct()
         .groupBy("band_idx", "band_sig", "sub_sig")
         .agg(F.count("*").alias("cnt"))
     )
@@ -726,6 +755,11 @@ def extend_dedup_index(
         f"alter table {table_prefix}_bucket_stats_staging "
         f"rename to {table_prefix}_bucket_stats"
     )
+    if batch_key is not None:
+        spark.createDataFrame([(batch_key,)], "batch_key string").write.mode(
+            "append"
+        ).format("parquet").saveAsTable(f"{table_prefix}_batches")
+    return "extended"
 
 
 def incremental_candidate_pairs(
@@ -900,6 +934,9 @@ def incremental_dedup_pairs(
             "id",
             "left_semi",
         )
+    # a crash-rerun index extension can leave duplicate doc rows; dedupe the
+    # (candidate-bounded) fetch so the verify join emits one row per pair
+    old_texts = old_texts.dropDuplicates(["id"])
     texts = old_texts.unionByName(
         new_docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     ).select("id", F.array_distinct(char_shingles(F.col("text"), shingle_n)).alias("sh"))
@@ -918,6 +955,52 @@ def incremental_dedup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def incremental_cluster_losers(
+    pairs: DataFrame,
+    batch_ids: DataFrame,
+    *,
+    id_col: str = "url",
+    handles: list | None = None,
+) -> DataFrame:
+    """→ single-column (``id_col``) frame of BATCH members to drop, given the
+    batch-touching near-dup ``pairs`` (id_a, id_b — from
+    :func:`incremental_dedup_pairs`, so every pair has ≥ 1 batch endpoint) and
+    the batch's id set (one column named ``id``).
+
+    Survivor rule — "first-indexed wins, with transitivity across the index
+    boundary": connected components run over ALL pairs (indexed ids as
+    vertices too); a component containing ANY indexed id already has its
+    survivor in the corpus, so every batch member of it drops; pure-batch
+    components keep their canonical minimum. Clustering only the
+    batch-internal pairs would violate the chain rule the batch-mode
+    :func:`duplicate_clusters` enforces: batch page B chained to indexed X
+    only through batch page A (B~A, A~X, B≁X) must drop even though B never
+    pairs with the index directly."""
+    from openstreetmapio_jl_spark.operators.graph import connected_components
+
+    comp = connected_components(pairs, src="id_a", dst="id_b", handles=handles)
+    labeled = comp.join(
+        batch_ids.select(F.col("id")).withColumn("_batch", F.lit(True)),
+        "id",
+        "left",
+    )
+    poisoned = (
+        labeled.filter(F.col("_batch").isNull())
+        .select("component")
+        .distinct()
+        .withColumn("_poisoned", F.lit(True))
+    )
+    return (
+        labeled.filter(F.col("_batch").isNotNull())
+        .join(poisoned, "component", "left")
+        .filter(
+            F.col("_poisoned").isNotNull() | (F.col("id") != F.col("component"))
+        )
+        .select(F.col("id").alias(id_col))
+        .distinct()
     )
 
 

@@ -917,7 +917,7 @@ select ww.doc_id,
   round(1 - n_distinct / cast(n_words as double), 6) as dup_word_frac,
   top.bg as top_bigram,
   round(c / cast(n_words - 1 as double), 6) as top_bigram_frac
-from ww join top on top.doc_id = ww.doc_id and top.rn = 1
+from ww left join top on top.doc_id = ww.doc_id and top.rn = 1
 """
 
 

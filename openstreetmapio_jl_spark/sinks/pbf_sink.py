@@ -191,9 +191,15 @@ def write_pbf_sharded(
                 f"spark.sql.session.timeZone=UTC (session has {tz!r})"
             )
     plan = df.select(*cols)
-    # ALWAYS range-partition by id (see xml_sink: overlap-free shard id-spans)
+    # ALWAYS range-partition by id (see xml_sink: overlap-free shard id-spans).
+    # Default comes from defaultParallelism, NOT df.rdd.getNumPartitions():
+    # touching .rdd under AQE materializes the upstream query stages just to
+    # read a partition count, executing the input pipeline twice.
     plan = plan.repartitionByRange(
-        shards if shards is not None else max(1, df.rdd.getNumPartitions()), "id"
+        shards
+        if shards is not None
+        else max(1, df.sparkSession.sparkContext.defaultParallelism),
+        "id",
     )
     plan = plan.sortWithinPartitions("id")
     os.makedirs(out_dir, exist_ok=True)

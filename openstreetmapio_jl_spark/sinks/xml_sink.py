@@ -195,12 +195,16 @@ def write_xml_sharded(
     if "id" not in cols:
         raise ValueError(f"{kind} DataFrame needs an 'id' column; has {df.columns}")
     plan = df.select(*cols)
-    # ALWAYS range-partition by id (defaulting to the incoming partition
-    # count): with the incoming hash/arbitrary partitioning, shards would be
-    # internally sorted but their id-spans could overlap, breaking the
-    # manifest's tight-span property and the id-sorted-file OSM convention
+    # ALWAYS range-partition by id: with the incoming hash/arbitrary
+    # partitioning, shards would be internally sorted but their id-spans could
+    # overlap, breaking the manifest's tight-span property and the
+    # id-sorted-file OSM convention. Default from defaultParallelism, not
+    # df.rdd (which materializes AQE stages just to read a partition count).
     plan = plan.repartitionByRange(
-        shards if shards is not None else max(1, df.rdd.getNumPartitions()), "id"
+        shards
+        if shards is not None
+        else max(1, df.sparkSession.sparkContext.defaultParallelism),
+        "id",
     )
     plan = plan.sortWithinPartitions("id")
     os.makedirs(out_dir, exist_ok=True)

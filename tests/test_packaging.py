@@ -284,12 +284,14 @@ def test_export_job_filter_error_handling(tmp_path, osm_data, spark, monkeypatch
 
 @pytest.mark.slow
 def test_spark_submit_incremental_corpus_ingest_loop(pyfiles_zip, tmp_path, osm_data):
-    """The continuous-ingest loop across real spark-submit invocations:
+    """The continuous-ingest loop across real spark-submit invocations
+    sharing ONE --out/--lineage (the advertised accumulation shape — chunk
+    keys are batch-scoped, so batch 2 cannot collide with batch 1's lineage):
     run 1 builds the signature index from its survivors; run 2 dedups its
     batch INCREMENTALLY against that index (batch pages duplicating indexed
     corpus pages drop; batch-internal near-dups keep the canonical url) and
-    extends the index; run 3 (identical re-invocation) is a lineage no-op
-    with an idempotent (empty) index extension."""
+    extends the index; run 3 (identical re-invocation) is a lineage no-op and
+    the batch-marker makes the index extension a certified skip."""
     import duckdb
 
     from openstreetmapio_jl_spark.fixtures import generator as G
@@ -301,7 +303,9 @@ def test_spark_submit_incremental_corpus_ingest_loop(pyfiles_zip, tmp_path, osm_
     pq.write_table(G.make_pages(600), pages1)
     env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
 
-    def run(pages, out, lin):
+    out, lin = str(tmp_path / "corpus"), str(tmp_path / "lin")
+
+    def run(pages):
         cmd = [
             _spark_submit(),
             "--master", "local[4]",
@@ -321,14 +325,14 @@ def test_spark_submit_incremental_corpus_ingest_loop(pyfiles_zip, tmp_path, osm_
         assert p.returncode == 0, p.stderr[-4000:]
         return json.loads([l for l in p.stdout.splitlines() if l.startswith("{")][-1])
 
-    out1, lin1 = str(tmp_path / "c1"), str(tmp_path / "l1")
-    s1 = run(pages1, out1, lin1)
+    s1 = run(pages1)
     assert s1["index_mode"] == "built" and s1["rows"] > 0
+    n_batch1 = s1["rows"]
 
     # batch 2: 3 pages duplicating indexed corpus texts (new urls), one
     # batch-internal near-dup pair, 3 genuinely fresh pages
     corpus_rows = duckdb.sql(
-        f"select url, text from read_parquet('{out1}/chunk=*/*.parquet')"
+        f"select url, text from read_parquet('{out}/chunk=*/*.parquet')"
         f" order by url limit 3"
     ).fetchall()
     assert len(corpus_rows) == 3
@@ -367,23 +371,30 @@ def test_spark_submit_incremental_corpus_ingest_loop(pyfiles_zip, tmp_path, osm_
         pages2,
     )
 
-    out2, lin2 = str(tmp_path / "c2"), str(tmp_path / "l2")
-    s2 = run(pages2, out2, lin2)
+    s2 = run(pages2)
     assert s2["index_mode"] == "extended"
     # 3 corpus dups + the pair's non-canonical member
     assert s2["near_dup_dropped"] == 4
+    # batch-scoped chunk keys: batch 2 wrote its own chunks into the SHARED
+    # out dir (batch 1's untouched), so the corpus accumulated
+    assert s2["processed"] == 2 and s2["skipped"] == 0
     urls2 = {
         r[0]
         for r in duckdb.sql(
-            f"select url from read_parquet('{out2}/chunk=*/*.parquet')"
+            f"select url from read_parquet('{out}/chunk=b{s2['batch_id']}_*/*.parquet')"
         ).fetchall()
     }
     assert urls2 == {
         "https://z-pair-a",
         "https://z-fresh-0", "https://z-fresh-1", "https://z-fresh-2",
     }
+    total = duckdb.sql(
+        f"select count(*) from read_parquet('{out}/chunk=*/*.parquet')"
+    ).fetchone()[0]
+    assert total == n_batch1 + 4  # accumulation: batch 1 + batch 2 survivors
 
-    # identical re-invocation: lineage no-op, idempotent (empty) extension
-    s3 = run(pages2, out2, lin2)
+    # identical re-invocation: lineage no-op; batch marker certifies the
+    # index extension as a skip (exactly-once)
+    s3 = run(pages2)
     assert s3["processed"] == 0 and s3["skipped"] == 2
-    assert s3["index_mode"] == "extended"
+    assert s3["index_mode"] == "skipped"

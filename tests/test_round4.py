@@ -599,3 +599,103 @@ def test_novel_pages_stream_prefilter(spark, split_corpus, tmp_path):
     want = {f"u{i}" for i in all_ids - colliding}
     assert got == want
     assert 0 < len(got) < len(all_ids)  # both kept and dropped pages exist
+
+
+def test_incremental_cluster_losers_transitivity_across_index(spark):
+    """Survivor rule of the ingest loop: a batch page chained to an indexed
+    page only THROUGH another batch page drops too (B~A, A~X indexed, B≁X),
+    pure-batch clusters keep their canonical minimum, and pages pairing the
+    index directly always lose."""
+    # batch = {A, B, C, D, E}; index = {X, Y}
+    pairs = spark.createDataFrame(
+        [
+            ("A", "B"),   # batch-batch
+            ("A", "X"),   # A also matches indexed X  -> component {A,B,X}
+            ("C", "D"),   # pure-batch cluster        -> component {C,D}
+            ("E", "Y"),   # direct vs-index pair      -> component {E,Y}
+        ],
+        "id_a string, id_b string",
+    )
+    batch = spark.createDataFrame([("A",), ("B",), ("C",), ("D",), ("E",)], "id string")
+    losers = {
+        r.url
+        for r in dedup.incremental_cluster_losers(pairs, batch).collect()
+    }
+    # A and B BOTH drop (X's component is already represented in the corpus);
+    # C survives as {C,D}'s minimum; E drops against Y
+    assert losers == {"A", "B", "D", "E"}
+
+
+def test_extend_dedup_index_batch_marker_exactly_once(spark, split_corpus):
+    """batch_key makes extension exactly-once: the second call with the same
+    key is a certified skip and the index tables are unchanged."""
+    corpus, batch = split_corpus
+    dedup.build_dedup_index(spark, corpus, table_prefix="t4_once", n_buckets=4)
+    m0 = spark.table("t4_once_memberships").count()
+    assert dedup.extend_dedup_index(
+        spark, batch, table_prefix="t4_once", n_buckets=4, batch_key="batch-1"
+    ) == "extended"
+    m1 = spark.table("t4_once_memberships").count()
+    assert m1 > m0
+    assert dedup.extend_dedup_index(
+        spark, batch, table_prefix="t4_once", n_buckets=4, batch_key="batch-1"
+    ) == "skipped"
+    assert spark.table("t4_once_memberships").count() == m1
+    assert spark.table("t4_once_batches").count() == 1
+
+
+def test_incremental_dedup_tolerates_crash_duplicate_index_rows(spark, split_corpus):
+    """A crash mid-extension can leave a batch's membership/doc rows appended
+    twice; stats (distinct), candidates (.distinct) and the verify text fetch
+    (dropDuplicates) must make that invisible — pairs identical to the clean
+    index."""
+    corpus, batch = split_corpus
+    dedup.build_dedup_index(spark, corpus, table_prefix="t4_dup", n_buckets=4)
+    clean = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.incremental_dedup_pairs(
+            spark, batch, table_prefix="t4_dup", threshold=0.5, max_bucket_df=50
+        ).collect()
+    }
+    # simulate the crash artifact: corpus memberships+docs appended AGAIN
+    m = dedup.minhash_band_memberships(corpus)
+    (
+        m.write.mode("append").bucketBy(4, "band_sig").sortBy("band_sig")
+        .format("parquet").saveAsTable("t4_dup_memberships")
+    )
+    (
+        corpus.select(F.col("doc_id").alias("id"), F.col("text"))
+        .write.mode("append").bucketBy(4, "id").sortBy("id")
+        .format("parquet").saveAsTable("t4_dup_docs")
+    )
+    # rerun extension-style stats rebuild (distinct) as extend_dedup_index does
+    stats = (
+        spark.table("t4_dup_memberships").distinct()
+        .groupBy("band_idx", "band_sig", "sub_sig")
+        .agg(F.count("*").alias("cnt"))
+    )
+    stats.write.mode("overwrite").format("parquet").saveAsTable("t4_dup_bucket_stats_s")
+    spark.sql("drop table if exists t4_dup_bucket_stats")
+    spark.sql("alter table t4_dup_bucket_stats_s rename to t4_dup_bucket_stats")
+    dup = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.incremental_dedup_pairs(
+            spark, batch, table_prefix="t4_dup", threshold=0.5, max_bucket_df=50
+        ).collect()
+    }
+    assert dup == clean
+
+
+def test_word_repetition_signals_keeps_subbigram_docs(spark):
+    """Contract: one row per input doc — single-word docs carry NULL bigram
+    fields instead of vanishing through an inner join."""
+    from openstreetmapio_jl_spark.functions import text as textfn
+
+    docs = spark.createDataFrame(
+        [(1, "hello"), (2, "a a a")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in textfn.word_repetition_signals(docs).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].n_words == 1 and rows[1].top_bigram is None
+    assert rows[1].top_bigram_frac is None
+    assert rows[2].top_bigram == "a a" and abs(rows[2].top_bigram_frac - 1.0) < 1e-9
