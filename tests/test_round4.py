@@ -699,3 +699,15 @@ def test_word_repetition_signals_keeps_subbigram_docs(spark):
     assert rows[1].n_words == 1 and rows[1].top_bigram is None
     assert rows[1].top_bigram_frac is None
     assert rows[2].top_bigram == "a a" and abs(rows[2].top_bigram_frac - 1.0) < 1e-9
+
+
+def test_incremental_dedup_empty_batch(spark, split_corpus):
+    """Degenerate inputs: an empty incoming batch yields an empty pair frame
+    with the right schema (no crash in the collect-and-pushdown verify path)."""
+    _corpus, batch = split_corpus
+    empty = batch.filter(F.lit(False))
+    out = dedup.incremental_dedup_pairs(
+        spark, empty, table_prefix="t4_idx", threshold=0.5, max_bucket_df=50
+    )
+    assert out.columns == ["id_a", "id_b", "jaccard"]
+    assert out.count() == 0
