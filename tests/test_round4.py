@@ -528,6 +528,24 @@ def test_extend_dedup_index_two_batch_ingest_loop(spark, split_corpus):
         if r.id_a in b2_ids or r.id_b in b2_ids
     }
     assert got == want and len(got) > 0
+    # r5 O(batch) stats maintenance: per-batch partitions summed must equal a
+    # ground-truth recount of the memberships table (corpus partition
+    # '__base__' + one partition per extension)
+    summed = {
+        (r.band_idx, r.band_sig, r.sub_sig): r.total
+        for r in spark.table("t4_ext_bucket_stats")
+        .groupBy("band_idx", "band_sig", "sub_sig")
+        .agg(F.sum("cnt").alias("total"))
+        .collect()
+    }
+    truth = {
+        (r.band_idx, r.band_sig, r.sub_sig): r.cnt
+        for r in spark.table("t4_ext_memberships")
+        .groupBy("band_idx", "band_sig", "sub_sig")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert summed == truth
 
 
 # ---------------------------------------------------------------------------
@@ -646,9 +664,9 @@ def test_extend_dedup_index_batch_marker_exactly_once(spark, split_corpus):
 
 def test_incremental_dedup_tolerates_crash_duplicate_index_rows(spark, split_corpus):
     """A crash mid-extension can leave a batch's membership/doc rows appended
-    twice; stats (distinct), candidates (.distinct) and the verify text fetch
-    (dropDuplicates) must make that invisible — pairs identical to the clean
-    index."""
+    twice while stats (partition-overwritten per batch) count it once;
+    candidates (.distinct) and the verify text fetch (dropDuplicates) must make
+    the duplicate rows invisible — pairs identical to the clean index."""
     corpus, batch = split_corpus
     dedup.build_dedup_index(spark, corpus, table_prefix="t4_dup", n_buckets=4)
     clean = {
@@ -657,7 +675,10 @@ def test_incremental_dedup_tolerates_crash_duplicate_index_rows(spark, split_cor
             spark, batch, table_prefix="t4_dup", threshold=0.5, max_bucket_df=50
         ).collect()
     }
-    # simulate the crash artifact: corpus memberships+docs appended AGAIN
+    # simulate the crash artifact: corpus memberships+docs appended AGAIN.
+    # Stats are NOT touched — the r5 extension writes each batch's counts into
+    # its own batch_key partition (dynamic overwrite), so a crash-rerun never
+    # double-counts; the duplicate membership/doc rows are the only residue.
     m = dedup.minhash_band_memberships(corpus)
     (
         m.write.mode("append").bucketBy(4, "band_sig").sortBy("band_sig")
@@ -668,15 +689,6 @@ def test_incremental_dedup_tolerates_crash_duplicate_index_rows(spark, split_cor
         .write.mode("append").bucketBy(4, "id").sortBy("id")
         .format("parquet").saveAsTable("t4_dup_docs")
     )
-    # rerun extension-style stats rebuild (distinct) as extend_dedup_index does
-    stats = (
-        spark.table("t4_dup_memberships").distinct()
-        .groupBy("band_idx", "band_sig", "sub_sig")
-        .agg(F.count("*").alias("cnt"))
-    )
-    stats.write.mode("overwrite").format("parquet").saveAsTable("t4_dup_bucket_stats_s")
-    spark.sql("drop table if exists t4_dup_bucket_stats")
-    spark.sql("alter table t4_dup_bucket_stats_s rename to t4_dup_bucket_stats")
     dup = {
         (r.id_a, r.id_b): r.jaccard
         for r in dedup.incremental_dedup_pairs(

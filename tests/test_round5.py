@@ -1,0 +1,198 @@
+"""Round-5 scale-shape pins: bounded candidate-id probe, O(batch) index-stats
+maintenance (no corpus-signature rescan per extension), crash-idempotent stats
+partitions, and the repo-wide no-`.rdd`-in-query-paths guard.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from openstreetmapio_jl_spark.operators import dedup
+
+
+@pytest.fixture(scope="module")
+def small_corpus(spark):
+    """Corpus/batch with MANY cross near-dups so the candidate set is large
+    relative to a tiny in_pushdown_limit."""
+    import random
+
+    random.seed(7)
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+    def sentence(n=12):
+        return " ".join(random.choice(words) + str(random.randint(0, 9)) for _ in range(n))
+
+    corpus_rows, batch_rows = [], []
+    nid = iter(range(10_000))
+    for g in range(20):  # 20 near-dup groups spanning the split
+        base = sentence()
+        corpus_rows.append((next(nid), base + " old"))
+        batch_rows.append((next(nid), base + " new"))
+    for _ in range(30):
+        corpus_rows.append((next(nid), sentence()))
+    for _ in range(10):
+        batch_rows.append((next(nid), sentence()))
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    dedup.build_dedup_index(spark, corpus, table_prefix="t5_idx", n_buckets=4)
+    return corpus, batch
+
+
+# ---------------------------------------------------------------------------
+# bounded candidate-id probe (round-4 verdict item #1)
+# ---------------------------------------------------------------------------
+
+def test_candidate_probe_collect_is_bounded(spark, small_corpus, monkeypatch):
+    """The IN-pushdown vs semi-join branch must be decided by a BOUNDED probe:
+    with in_pushdown_limit=3 and far more candidates than 3, NO driver collect
+    inside incremental_dedup_pairs may return more than limit+1 rows — the
+    degenerate-batch scenario (candidates >> limit) must never materialize the
+    full candidate-id set on the driver."""
+    _corpus, batch = small_corpus
+    # pyspark 4.x: pyspark.sql.DataFrame is the abstract facade; the session's
+    # concrete frames are classic.dataframe.DataFrame — patch the real class
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    sizes: list[int] = []
+    orig_collect = DataFrame.collect
+
+    def spy(self):
+        rows = orig_collect(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", spy)
+    out = dedup.incremental_dedup_pairs(
+        spark, batch, table_prefix="t5_idx", threshold=0.5, in_pushdown_limit=3
+    )
+    monkeypatch.setattr(DataFrame, "collect", orig_collect)
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    assert len(got) >= 10  # plenty of candidates existed
+    assert sizes, "probe collect did not run"
+    assert max(sizes) <= 4, f"unbounded driver collect: sizes={sizes}"
+
+
+def test_semi_join_fallback_equals_in_pushdown(spark, small_corpus):
+    """Both text-fetch branches (literal IN pushdown vs broadcast semi-join)
+    must return identical pairs — the limit only changes the plan."""
+    _corpus, batch = small_corpus
+    a = dedup.incremental_dedup_pairs(
+        spark, batch, table_prefix="t5_idx", threshold=0.5
+    )
+    b = dedup.incremental_dedup_pairs(
+        spark, batch, table_prefix="t5_idx", threshold=0.5, in_pushdown_limit=0
+    )
+    ra = {(r.id_a, r.id_b, r.jaccard) for r in a.collect()}
+    rb = {(r.id_a, r.id_b, r.jaccard) for r in b.collect()}
+    assert ra == rb and len(ra) > 0
+
+
+# ---------------------------------------------------------------------------
+# O(batch) stats maintenance (round-4 verdict item #2 + ADVICE staging window)
+# ---------------------------------------------------------------------------
+
+def test_extension_never_reads_index_tables(spark, small_corpus, monkeypatch):
+    """extend_dedup_index must be O(batch): the ONLY table it reads is the
+    <prefix>_batches exactly-once marker — never the memberships, docs, or
+    stats tables (a per-batch corpus-signature rescan was the round-4
+    verdict's #2 scale finding)."""
+    _corpus, batch = small_corpus
+    reads: list[str] = []
+    orig_table = SparkSession.table
+
+    def spy(self, name):
+        reads.append(name)
+        return orig_table(self, name)
+
+    monkeypatch.setattr(SparkSession, "table", spy)
+    mode = dedup.extend_dedup_index(
+        spark, batch, table_prefix="t5_idx", n_buckets=4, batch_key="t5-b1"
+    )
+    monkeypatch.setattr(SparkSession, "table", orig_table)
+    assert mode == "extended"
+    assert reads == ["t5_idx_batches"], f"extension read corpus tables: {reads}"
+
+
+def test_crash_rerun_stats_partition_not_double_counted(spark, small_corpus):
+    """A crash AFTER the stats insert but BEFORE the marker reruns the whole
+    extension; the rerun's dynamic partition overwrite must REPLACE the
+    batch's stats partition, so summed stats equal a ground-truth distinct
+    recount of memberships (never 2x the batch)."""
+    _corpus, batch = small_corpus
+    dedup.build_dedup_index(
+        spark, _corpus, table_prefix="t5_crash", n_buckets=4
+    )
+    # first (crashed) attempt: memberships + docs + stats written, NO marker
+    m = dedup.minhash_band_memberships(batch)
+    (
+        m.write.mode("append").bucketBy(4, "band_sig").sortBy("band_sig")
+        .format("parquet").saveAsTable("t5_crash_memberships")
+    )
+    (
+        batch.select(F.col("doc_id").alias("id"), F.col("text"))
+        .write.mode("append").bucketBy(4, "id").sortBy("id")
+        .format("parquet").saveAsTable("t5_crash_docs")
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            m.groupBy("band_idx", "band_sig", "sub_sig")
+            .agg(F.count("*").alias("cnt"))
+            .withColumn("batch_key", F.lit("t5-crash-b1"))
+            .write.mode("overwrite")
+            .insertInto("t5_crash_bucket_stats")
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    # rerun: full extension (appends dup membership/doc rows, re-inserts the
+    # SAME stats partition, then commits the marker)
+    assert dedup.extend_dedup_index(
+        spark, batch, table_prefix="t5_crash", n_buckets=4,
+        batch_key="t5-crash-b1",
+    ) == "extended"
+    summed = {
+        (r.band_idx, r.band_sig, r.sub_sig): r.total
+        for r in spark.table("t5_crash_bucket_stats")
+        .groupBy("band_idx", "band_sig", "sub_sig")
+        .agg(F.sum("cnt").alias("total"))
+        .collect()
+    }
+    truth = {
+        (r.band_idx, r.band_sig, r.sub_sig): r.cnt
+        for r in spark.table("t5_crash_memberships")
+        .distinct()  # ground truth collapses the crash-duplicate rows
+        .groupBy("band_idx", "band_sig", "sub_sig")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert summed == truth
+
+
+# ---------------------------------------------------------------------------
+# repo-wide guard (round-4 verdict item #3)
+# ---------------------------------------------------------------------------
+
+def test_no_rdd_partition_probes_in_query_paths():
+    """Grep pin: no `.rdd` on a potentially AQE-planned DataFrame anywhere in
+    source — touching .rdd materializes AQE query stages (executes the
+    upstream plan) just to read a partition count. The only allowed use is
+    members.py's JVM-side persist-handle identity, which operates on the
+    analyzed logical plan, not a planned DataFrame."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    offenders = []
+    for py in (root / "openstreetmapio_jl_spark").rglob("*.py"):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if re.search(r"\.rdd\b", code) and "._jdf" not in code:
+                offenders.append(f"{py.name}:{i}: {line.strip()}")
+    for py in (root / "jobs").glob("*.py"):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if re.search(r"\.rdd\b", code):
+                offenders.append(f"{py.name}:{i}: {line.strip()}")
+    assert not offenders, "\n".join(offenders)
