@@ -40,6 +40,32 @@ import json
 import os
 
 
+def _default_batch_id(pages_path: str) -> str:
+    """Content-sensitive default batch id: md5 over the absolute path plus
+    every data file's (relative name, size, mtime-ns). The common delivery
+    pattern of OVERWRITING the same staging path with a new batch therefore
+    yields a NEW id — a path-only hash would reuse the previous batch's id,
+    making every lineage chunk key look committed and the index extension
+    look done: the batch would be silently dropped with exit code 0."""
+    import hashlib
+
+    root = os.path.abspath(pages_path)
+    h = hashlib.md5(root.encode())
+    if os.path.isdir(root):
+        entries = []
+        for dirpath, _dirs, files in os.walk(root):
+            for fn in files:
+                p = os.path.join(dirpath, fn)
+                st = os.stat(p)
+                entries.append((os.path.relpath(p, root), st.st_size, st.st_mtime_ns))
+        for rel, size, mtime in sorted(entries):
+            h.update(f"|{rel}:{size}:{mtime}".encode())
+    elif os.path.exists(root):
+        st = os.stat(root)
+        h.update(f"|{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:10]
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--pages", required=True)
@@ -70,19 +96,18 @@ def main() -> None:
     ap.add_argument(
         "--batch-id", default=None,
         help="identifier scoping this batch's lineage chunk keys and index "
-        "extension (default: md5 of the --pages path). Without per-batch "
-        "scoping, a second batch pointed at the same --out/--lineage would "
-        "collide with the first batch's chunk keys: the lineage log would "
-        "skip every chunk (writing nothing) while the index extension still "
-        "ran — silently losing the batch from the corpus",
+        "extension (default: md5 of the --pages path PLUS each data file's "
+        "size+mtime, so re-delivering new data at the same staging path gets "
+        "a fresh id). Without per-batch scoping, a second batch pointed at "
+        "the same --out/--lineage would collide with the first batch's chunk "
+        "keys: the lineage log would skip every chunk (writing nothing) "
+        "while the index extension still ran — silently losing the batch "
+        "from the corpus",
     )
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args()
-    import hashlib
 
-    batch_id = args.batch_id or hashlib.md5(
-        os.path.abspath(args.pages).encode()
-    ).hexdigest()[:10]
+    batch_id = args.batch_id or _default_batch_id(args.pages)
 
     from pyspark.sql import SparkSession, Window
     from pyspark.sql import functions as F
@@ -263,6 +288,16 @@ def main() -> None:
             mode = "built"
         stats["dedup_index"] = args.dedup_index
         stats["index_mode"] = mode
+        # With the content-sensitive default batch id, "0 chunks processed +
+        # extension skipped" can only mean THIS EXACT content (path + file
+        # sizes + mtimes) was already fully ingested — a safe no-op rerun,
+        # not the silent-batch-loss mode the --batch-id help text warns
+        # about (new content at the same path now hashes to a new id). Say
+        # so explicitly in the emitted stats.
+        if mode == "skipped" and stats.get("processed", 0) == 0:
+            stats["note"] = (
+                "no-op rerun: identical batch content already fully ingested"
+            )
 
     chunked.unpersist()
     polys.unpersist()

@@ -63,8 +63,15 @@ def main() -> None:
                 # (ParseException subclasses AnalysisException), a datatype
                 # mismatch — must fail LOUDLY: swallowing it would silently
                 # export the full unfiltered planet for every kind.
-                get_cond = getattr(e, "getCondition", e.getErrorClass)
-                if not (get_cond() or "").startswith("UNRESOLVED_COLUMN"):
+                # lazy accessor lookup: getattr(e, a, e.getErrorClass) would
+                # evaluate the fallback EAGERLY and raise AttributeError on
+                # PySpark builds that dropped the deprecated getErrorClass,
+                # masking the real analysis error
+                get_cond = getattr(e, "getCondition", None) or getattr(
+                    e, "getErrorClass", None
+                )
+                cond = get_cond() if get_cond is not None else None
+                if not (cond or "").startswith("UNRESOLVED_COLUMN"):
                     raise
                 skipped_kinds.append(kind)
         frames[kind] = df

@@ -224,17 +224,24 @@ def word_repetition_signals(
     One row per input document, always: docs with fewer than two words have no
     bigrams, so ``top_bigram``/``top_bigram_frac`` are NULL for them (left
     join), never silently dropped — a quality gate that inner-joined these
-    signals would otherwise delete single-word docs from the corpus.
+    signals would otherwise delete single-word docs from the corpus. Words are
+    the ``\\s+``-separated tokens of the TRIMMED text — consecutive/leading/
+    trailing whitespace never fabricates empty-string "words" or " "-bigrams
+    that would inflate ``n_words`` and distort both fractions; empty and
+    whitespace-only docs get ``n_words = 0`` with NULL fractions.
 
     Shape at scale: one explode + two window/groupBy passes keyed by doc id —
     everything co-partitions on the same key, AQE folds the exchanges; all
     JVM-side (split/explode/lead/row_number), no Python."""
     from pyspark.sql import Window
 
+    # \s+ on trimmed text yields empty tokens ONLY for the empty/whitespace-
+    # only string (as [""]); the filter drops those rows and the left join
+    # from the id base below restores such docs with n_words = 0
     w = docs.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
-    )
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "w"),
+    ).filter(F.col("w") != "")
     per_doc = Window.partitionBy("id").orderBy("pos")
     bg = w.withColumn("nxt", F.lead("w").over(per_doc)).filter(
         F.col("nxt").isNotNull()
@@ -250,9 +257,10 @@ def word_repetition_signals(
         F.count("*").alias("n_words"),
         F.countDistinct("w").alias("n_distinct"),
     )
-    return ww.join(top, "id", "left").select(
+    base = docs.select(F.col(id_col).alias("id"))
+    return base.join(ww, "id", "left").join(top, "id", "left").select(
         F.col("id").alias(id_col),
-        "n_words",
+        F.coalesce(F.col("n_words"), F.lit(0).cast("long")).alias("n_words"),
         F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_words"), 6).alias(
             "dup_word_frac"
         ),

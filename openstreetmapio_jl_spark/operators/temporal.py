@@ -31,6 +31,7 @@ def band_join(
     keys: list[str] | None = None,
     how: str = "inner",
     left_id: str | None = None,
+    validate_left_id: bool = False,
 ) -> DataFrame:
     """Pairs (l, r) with ``|l.<left_ts> - r.<right_ts>| <= gap_s`` (timestamps
     compared in epoch seconds), optionally also matching on equi ``keys``
@@ -47,14 +48,27 @@ def band_join(
     re-aggregation: the inner result plus a ``left_anti`` of the original left
     frame against the matched ``left_id`` set (a per-original-left-row
     re-aggregation, costing one extra scan of the left side). ``left_id`` must
-    name a unique key of ``left`` (an event id, a URL) — uniqueness is the
-    caller's contract, exactly as for any keyed outer join."""
+    name a UNIQUE, NON-NULL key of ``left`` (an event id, a URL) — uniqueness
+    and non-nullness are the caller's contract, exactly as for any keyed outer
+    join: a NULL ``left_id`` never equals any anti-join key, so a NULL-id left
+    row that matched in the inner arm would ALSO surface in the unmatched arm
+    (emitted twice). Pass ``validate_left_id=True`` to enforce the contract
+    with one extra column-pruned pass over ``left`` (raises on NULL ids);
+    default off so the hot path stays action-free."""
     assert left_ts != right_ts, "alias the two timestamp columns apart"
     if how not in ("inner", "left"):
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     if how == "left":
         if left_id is None:
             raise ValueError("how='left' requires left_id (a unique key of left)")
+        if validate_left_id:
+            n_null = left.filter(F.col(left_id).isNull()).limit(1).count()
+            if n_null:
+                raise ValueError(
+                    f"band_join(how='left'): left has NULL {left_id!r} rows — "
+                    "the outer re-aggregation would emit matched NULL-id rows "
+                    "twice; filter them or use a non-null key"
+                )
         inner = band_join(
             left,
             right,

@@ -891,12 +891,15 @@ def q_doc_repetition(spark, sf_dir):
 
 SQL_DOC_REPETITION = """
 with w as (
+  -- mirror of word_repetition_signals' tokenizer: \\s+ split of TRIMMED text,
+  -- empty tokens (whitespace-only docs) filtered; the final left join from
+  -- documents restores zero-word docs with n_words = 0
   select doc_id, w, pos from (
     select doc_id,
-      unnest(string_split(text, ' ')) as w,
-      generate_subscripts(string_split(text, ' '), 1) as pos
+      unnest(regexp_split_to_array(trim(text), '\\s+')) as w,
+      generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) as pos
     from documents
-  )
+  ) where w != ''
 ),
 b as (
   select doc_id, w || ' ' || lead(w) over (partition by doc_id order by pos) as bg
@@ -912,12 +915,14 @@ ww as (
   select doc_id, count(*) as n_words, count(distinct w) as n_distinct
   from w group by doc_id
 )
-select ww.doc_id,
-  n_words,
+select d.doc_id,
+  coalesce(n_words, 0) as n_words,
   round(1 - n_distinct / cast(n_words as double), 6) as dup_word_frac,
   top.bg as top_bigram,
   round(c / cast(n_words - 1 as double), 6) as top_bigram_frac
-from ww left join top on top.doc_id = ww.doc_id and top.rn = 1
+from documents d
+left join ww on ww.doc_id = d.doc_id
+left join top on top.doc_id = d.doc_id and top.rn = 1
 """
 
 

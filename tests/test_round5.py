@@ -171,6 +171,38 @@ def test_crash_rerun_stats_partition_not_double_counted(spark, small_corpus):
 
 
 # ---------------------------------------------------------------------------
+# word_repetition_signals whitespace normalization (ADVICE r4)
+# ---------------------------------------------------------------------------
+
+def test_repetition_signals_whitespace_normalized(spark):
+    """Consecutive/leading/trailing whitespace must not fabricate empty-string
+    'words' or ' '-bigrams; empty and whitespace-only docs keep their row with
+    n_words = 0 and NULL fractions."""
+    from openstreetmapio_jl_spark.functions import text as textfn
+
+    docs = spark.createDataFrame(
+        [
+            (1, "  foo   bar \t foo  "),   # messy: 3 words, bigram "foo bar"
+            (2, "foo bar foo"),             # clean twin of 1
+            (3, ""),                        # empty
+            (4, "   \t "),                  # whitespace-only
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in textfn.word_repetition_signals(docs).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    messy, clean = rows[1], rows[2]
+    assert messy.n_words == clean.n_words == 3
+    assert messy.dup_word_frac == clean.dup_word_frac
+    assert messy.top_bigram == clean.top_bigram
+    assert messy.top_bigram_frac == clean.top_bigram_frac
+    for d in (3, 4):
+        assert rows[d].n_words == 0
+        assert rows[d].dup_word_frac is None
+        assert rows[d].top_bigram is None and rows[d].top_bigram_frac is None
+
+
+# ---------------------------------------------------------------------------
 # repo-wide guard (round-4 verdict item #3)
 # ---------------------------------------------------------------------------
 
