@@ -151,10 +151,38 @@ def pip_enrich_stream(
     return SJ.point_in_polygon_join(pts, polygons, zoom=zoom)
 
 
+def write_band_probe_table(spark, table_prefix: str) -> str:
+    """Materialize the streaming prefilter's per-band probe sides as ONE
+    partitioned table ``<prefix>_band_sigs`` (band_idx=..., band_sig) of
+    DISTINCT indexed band signatures, derived from ``<prefix>_bucket_stats``
+    (signature-cardinality aggregates — never the memberships table). Pass
+    ``spark.table(f"{prefix}_band_sigs")`` as :func:`novel_pages_stream`'s
+    ``probe_sigs`` so each micro-batch probes a partition-pruned TABLE SCAN
+    instead of recomputing a ``filter().distinct()`` aggregate over the
+    memberships table per trigger — at a corpus-sized index that distinct is
+    a full signature shuffle every few seconds. Refresh on the compaction
+    cadence (after a run of :func:`extend_dedup_index` calls), not per batch.
+    Returns the table name."""
+    name = f"{table_prefix}_band_sigs"
+    sigs = (
+        spark.table(f"{table_prefix}_bucket_stats")
+        .select("band_idx", "band_sig")
+        .distinct()
+    )
+    (
+        sigs.write.mode("overwrite")
+        .partitionBy("band_idx")
+        .format("parquet")
+        .saveAsTable(name)
+    )
+    return name
+
+
 def novel_pages_stream(
     pages: DataFrame,
-    index_memberships: DataFrame,
+    index_memberships: DataFrame | None = None,
     *,
+    probe_sigs: DataFrame | None = None,
     text_col: str = "text",
     shingle_n: int = 5,
     num_hashes: int = 8,
@@ -179,7 +207,19 @@ def novel_pages_stream(
     presumed duplicate): it is the RECALL-side prefilter; the survivors flow to
     the batch compactor whose :func:`incremental_dedup_pairs` does the exact
     verify and index extension. Within-stream duplicates are by design left to
-    that compactor too (detecting them needs stream-stream state)."""
+    that compactor too (detecting them needs stream-stream state).
+
+    STATIC-SIDE COST: the static side of a stream-static join is re-executed
+    every micro-batch. Production path: pass ``probe_sigs`` — the
+    pre-deduplicated (band_idx, band_sig) table written by
+    :func:`write_band_probe_table` — so each trigger's probe is a
+    partition-pruned table scan with zero aggregation. When only
+    ``index_memberships`` is given, the per-band ``distinct`` frames are
+    persisted so the aggregate runs once (first trigger) and later triggers
+    hit the in-memory relation instead of re-shuffling the memberships table;
+    at corpus scale prefer ``probe_sigs``, which needs no executor cache."""
+    if (index_memberships is None) == (probe_sigs is None):
+        raise ValueError("pass exactly one of index_memberships / probe_sigs")
     nbands = num_hashes // band_size
     from openstreetmapio_jl_spark.operators.dedup import minhash_band_sig_cols
 
@@ -193,11 +233,19 @@ def novel_pages_stream(
     keep = F.lit(True)
     for b in range(nbands):
         out = out.withColumn(f"_sig{b}", sigs[b])
-        idx_b = (
-            index_memberships.filter(F.col("band_idx") == b)
-            .select(F.col("band_sig").alias(f"_idx_sig{b}"))
-            .distinct()
-        )
+        if probe_sigs is not None:
+            # pure scan + partition-pruned filter: no Aggregate in the
+            # per-trigger static plan (plan-shape-pinned in tests)
+            idx_b = probe_sigs.filter(F.col("band_idx") == b).select(
+                F.col("band_sig").alias(f"_idx_sig{b}")
+            )
+        else:
+            idx_b = (
+                index_memberships.filter(F.col("band_idx") == b)
+                .select(F.col("band_sig").alias(f"_idx_sig{b}"))
+                .distinct()
+                .persist()  # computed once, reused by every micro-batch
+            )
         out = out.join(
             idx_b, out[f"_sig{b}"] == idx_b[f"_idx_sig{b}"], "left_outer"
         )

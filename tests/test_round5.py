@@ -171,6 +171,59 @@ def test_crash_rerun_stats_partition_not_double_counted(spark, small_corpus):
 
 
 # ---------------------------------------------------------------------------
+# streaming prefilter probe tables (round-4 verdict item #5)
+# ---------------------------------------------------------------------------
+
+def test_band_probe_table_path_equals_memberships_path(spark, small_corpus):
+    """novel_pages_stream fed by the pre-materialized <prefix>_band_sigs table
+    must keep exactly the pages the memberships-derived path keeps, and its
+    static side must be a pure scan — NO Aggregate node per micro-batch (the
+    memberships path recomputed a filter().distinct() every trigger)."""
+    from openstreetmapio_jl_spark.streaming import pipelines as SP
+
+    _corpus, batch = small_corpus
+    SP.write_band_probe_table(spark, "t5_idx")
+    probe = spark.table("t5_idx_band_sigs")
+    # distinct-signature invariant vs the memberships table
+    want_sigs = {
+        (r.band_idx, r.band_sig)
+        for r in spark.table("t5_idx_memberships")
+        .select("band_idx", "band_sig").distinct().collect()
+    }
+    got_sigs = {(r.band_idx, r.band_sig) for r in probe.collect()}
+    assert got_sigs == want_sigs
+
+    pages = batch.select(
+        F.concat(F.lit("u"), F.col("doc_id")).alias("url"), F.col("text")
+    )
+    # the builder is pure column ops + joins, so it runs on a batch frame too:
+    # same code path the streaming plan uses, but with an inspectable plan
+    via_probe = SP.novel_pages_stream(pages, probe_sigs=probe)
+    via_members = SP.novel_pages_stream(
+        pages, spark.table("t5_idx_memberships")
+    )
+    a = {r.url for r in via_probe.collect()}
+    b = {r.url for r in via_members.collect()}
+    assert a == b
+    plan = via_probe._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" not in plan, plan
+
+
+def test_novel_pages_stream_requires_exactly_one_source(spark, small_corpus):
+    from openstreetmapio_jl_spark.streaming import pipelines as SP
+
+    _corpus, batch = small_corpus
+    with pytest.raises(ValueError):
+        SP.novel_pages_stream(batch)
+    with pytest.raises(ValueError):
+        SP.novel_pages_stream(
+            batch,
+            spark.table("t5_idx_memberships"),
+            probe_sigs=spark.table("t5_idx_memberships"),
+        )
+
+
+# ---------------------------------------------------------------------------
 # word_repetition_signals whitespace normalization (ADVICE r4)
 # ---------------------------------------------------------------------------
 
