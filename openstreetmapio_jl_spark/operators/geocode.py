@@ -18,8 +18,8 @@ GEO_RE = r"geo:(-?[0-9]+\.[0-9]+),(-?[0-9]+\.[0-9]+)"
 
 def extract_geocodes(pages: DataFrame, *, text_col: str = "text") -> DataFrame:
     """pages → + (lat, lon) for rows with a geo mention (others dropped).
-    One mention per page in v1 (first match); multi-mention explode is a
-    straightforward extension via ``regexp_extract_all``.
+    FIRST mention per page; :func:`extract_geocodes_multi` keeps one row per
+    mention when multi-place multiplicity is wanted.
 
     Hot-path shape: a cheap ``contains('geo:')`` substring prefilter gates the
     regex (on a real web corpus most pages carry no geo mention at all), and the
@@ -32,6 +32,37 @@ def extract_geocodes(pages: DataFrame, *, text_col: str = "text") -> DataFrame:
         .withColumn("_m", m)
         .filter(F.col("_m") != "")
         # "_m" is "geo:<lat>,<lon>" — one split, no second regex pass
+        .withColumn("_parts", F.split(F.substring(F.col("_m"), 5, 2_147_483_647), ","))
+        .withColumn("lat", F.element_at("_parts", 1).cast("double"))
+        .withColumn("lon", F.element_at("_parts", 2).cast("double"))
+        .drop("_m", "_parts")
+        .filter(F.col("lat").between(-90.0, 90.0) & F.col("lon").between(-180.0, 180.0))
+    )
+    return out
+
+
+def extract_geocodes_multi(pages: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """pages → one row PER geo mention: a page citing several places yields
+    one (lat, lon) row for each, so downstream containment joins hit EVERY
+    polygon any mention falls in — the multiplicity the reference's per-element
+    callback preserves (``/root/reference/src/load_pbf.jl:596-605`` keeps every
+    matching element rather than the first). Pages with no valid mention drop,
+    exactly like :func:`extract_geocodes`.
+
+    Same hot-path shape as the single-mention form: the cheap ``contains``
+    prefilter gates the regex, ``regexp_extract_all`` runs ONCE per surviving
+    row, and the explode is bounded by mention count (a handful per page), not
+    text length. Rows are otherwise identical to :func:`extract_geocodes`
+    output (original page columns + lat, lon) — dedup of repeated identical
+    mentions within one page is deliberately NOT applied (multiplicity is the
+    contract; wrap with ``.distinct()`` when one-hit-per-place is wanted)."""
+    out = (
+        pages.filter(F.col(text_col).contains("geo:"))
+        .withColumn(
+            "_m",
+            F.explode(F.regexp_extract_all(F.col(text_col), F.lit(GEO_RE), F.lit(0))),
+        )
+        # each "_m" is "geo:<lat>,<lon>" — one split, no second regex pass
         .withColumn("_parts", F.split(F.substring(F.col("_m"), 5, 2_147_483_647), ","))
         .withColumn("lat", F.element_at("_parts", 1).cast("double"))
         .withColumn("lon", F.element_at("_parts", 2).cast("double"))
