@@ -398,3 +398,139 @@ def test_spark_submit_incremental_corpus_ingest_loop(pyfiles_zip, tmp_path, osm_
     s3 = run(pages2)
     assert s3["processed"] == 0 and s3["skipped"] == 2
     assert s3["index_mode"] == "skipped"
+
+
+@pytest.mark.slow
+def test_stream_prefilter_composes_with_batch_compactor(
+    pyfiles_zip, tmp_path, osm_data, spark
+):
+    """Firehose→compactor composition (the advertised production shape): batch
+    2 flows through the STREAMING prefilter (novel_pages_stream vs batch 1's
+    persisted signature index, a real availableNow run) and its survivors
+    through ``corpus_pipeline_job --dedup-index``; the final corpus url set
+    equals a batch-only twin that ingested batch 2 directly. The fixture makes
+    every prefilter drop a TRUE near-dup (byte-identical corpus texts): the
+    prefilter is the recall-side candidate rule, so stream≡batch holds exactly
+    when signature collisions are genuine duplicates — which the batch
+    compactor would drop anyway — while the within-stream near-dup pair passes
+    the prefilter untouched and is resolved by the compactor (the documented
+    division of labor)."""
+    import datetime
+
+    import duckdb
+
+    from openstreetmapio_jl_spark.fixtures import generator as G
+    from openstreetmapio_jl_spark.streaming import pipelines as SP
+
+    meta, nodes, ways, rels = osm_data
+    pbf = str(tmp_path / "f.pbf")
+    G.write_fixture_pbf(pbf, meta, nodes, ways, rels, nodes_per_block=200)
+    pages1 = str(tmp_path / "pages1.parquet")
+    pq.write_table(G.make_pages(400), pages1)
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+
+    def run(cwd, pages, out, lin):
+        cmd = [
+            _spark_submit(),
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.driver.host=127.0.0.1",
+            "--py-files", pyfiles_zip,
+            os.path.join(REPO, "jobs", "corpus_pipeline_job.py"),
+            "--pages", pages, "--pbf", pbf, "--out", out, "--lineage", lin,
+            "--chunks", "2", "--min-quality", "0.0",
+            "--near-dup-threshold", "0.5",
+            "--dedup-index", "ingest_idx",
+        ]
+        p = subprocess.run(
+            cmd, cwd=cwd, env=env, capture_output=True, text=True, timeout=600,
+        )
+        assert p.returncode == 0, p.stderr[-4000:]
+        return json.loads(
+            [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+        )
+
+    # two independent worlds (own cwd => own Derby metastore + warehouse)
+    sworld = tmp_path / "stream_world"
+    bworld = tmp_path / "batch_world"
+    for w in (sworld, bworld):
+        w.mkdir()
+    s_out, s_lin = str(sworld / "corpus"), str(sworld / "lin")
+    b_out, b_lin = str(bworld / "corpus"), str(bworld / "lin")
+
+    # batch 1 ingested identically in both worlds (index built from survivors)
+    assert run(str(sworld), pages1, s_out, s_lin)["index_mode"] == "built"
+    assert run(str(bworld), pages1, b_out, b_lin)["index_mode"] == "built"
+
+    # batch 2: 3 byte-identical dups of indexed corpus pages (new urls), one
+    # within-stream near-dup pair, 3 genuinely fresh pages
+    corpus_rows = duckdb.sql(
+        f"select url, text from read_parquet('{s_out}/chunk=*/*.parquet')"
+        f" order by url limit 3"
+    ).fetchall()
+    assert len(corpus_rows) == 3
+    ts = datetime.datetime(2024, 5, 1)
+    base = (
+        "meridian harbor lantern velvet orchard thistle quarry ember sable "
+        "juniper gossamer raven tundra mosaic zephyr cobalt prairie saffron"
+    )
+    rows2 = [(f"https://z-dup-{i}", ts, b"", t, "en")
+             for i, (_u, t) in enumerate(corpus_rows)]
+    rows2.append(("https://z-pair-a", ts, b"", base, "en"))
+    rows2.append(("https://z-pair-b", ts, b"", base + " trailing note", "en"))
+    for i in range(3):
+        rows2.append(
+            (f"https://z-fresh-{i}", ts, b"",
+             f"entirely fresh document number {i} " + " ".join(
+                 f"w{i}{j}token" for j in range(25)),
+             "en")
+        )
+    pages2 = str(tmp_path / "pages2_feed")
+    spark.createDataFrame(
+        rows2,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    ).coalesce(1).write.parquet(pages2)
+
+    # STREAM path: availableNow prefilter against batch 1's persisted index
+    # (the bucketed memberships table read straight from the job's warehouse)
+    idx_m = spark.read.parquet(
+        str(sworld / "spark-warehouse" / "ingest_idx_memberships")
+    )
+    novel = SP.novel_pages_stream(SP.read_pages_stream(spark, pages2), idx_m)
+    SP.run_available_now(
+        novel,
+        query_name="compose_survivors",
+        output_mode="append",
+        checkpoint_dir=str(tmp_path / "ckpt_compose"),
+    )
+    survivors = spark.table("compose_survivors")
+    got_surv = {r.url for r in survivors.select("url").collect()}
+    # the prefilter dropped exactly the vs-index dups; the within-stream pair
+    # passed through for the compactor to resolve
+    assert got_surv == {
+        "https://z-pair-a", "https://z-pair-b",
+        "https://z-fresh-0", "https://z-fresh-1", "https://z-fresh-2",
+    }
+    surv_path = str(tmp_path / "survivors.parquet")
+    survivors.coalesce(1).write.parquet(surv_path)
+
+    # compactor over the stream survivors vs batch-only twin over raw batch 2
+    s2 = run(str(sworld), surv_path, s_out, s_lin)
+    b2 = run(str(bworld), pages2, b_out, b_lin)
+    assert s2["index_mode"] == b2["index_mode"] == "extended"
+
+    def corpus_urls(out):
+        return {
+            r[0]
+            for r in duckdb.sql(
+                f"select url from read_parquet('{out}/chunk=*/*.parquet')"
+            ).fetchall()
+        }
+
+    stream_corpus, batch_corpus = corpus_urls(s_out), corpus_urls(b_out)
+    assert stream_corpus == batch_corpus
+    # and the composed corpus holds batch1 + the pair's canonical + the fresh 3
+    assert {"https://z-pair-a", "https://z-fresh-0", "https://z-fresh-1",
+            "https://z-fresh-2"} <= stream_corpus
+    assert "https://z-pair-b" not in stream_corpus
+    assert not any(u.startswith("https://z-dup-") for u in stream_corpus)
