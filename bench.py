@@ -38,6 +38,8 @@ HEADLINE = [
     "sim_cosine_topk",       # brute-force cosine ANN baseline
     "pages_tile_counts",     # geocode + XYZ tile assignment
     "pip_hits_per_polygon",  # FLAGSHIP: cell-keyed PIP spatial join
+    "pip_hits_multi_mention",# r5: per-mention-multiplicity PIP (NEW in r05 —
+                             # round-over-round totals gain a 12th query)
     "pip_hits_multipolygon", # PIP vs assembled multipolygons (stitched rings)
     "knn_pages_to_poi",      # cell-ring expanding kNN
     "tile_pyramid_z11",      # raster<->vector tile rollup

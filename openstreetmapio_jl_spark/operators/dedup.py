@@ -643,8 +643,12 @@ def build_dedup_index(
 
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     warehouse = warehouse.removeprefix("file:")
-    # bucket_stats_staging: a pre-r5 extension artifact, dropped on rebuild
-    for suffix in ("memberships", "bucket_stats", "bucket_stats_staging", "docs", "batches"):
+    # bucket_stats_staging: a pre-r5 extension artifact, dropped on rebuild;
+    # band_sigs: the streaming prefilter's probe table (stale after a rebuild)
+    for suffix in (
+        "memberships", "bucket_stats", "bucket_stats_staging", "docs",
+        "batches", "band_sigs",
+    ):
         name = f"{table_prefix}_{suffix}"
         spark.sql(f"drop table if exists {name}")
         loc = os.path.join(warehouse, name)

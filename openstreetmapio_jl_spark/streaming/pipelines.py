@@ -163,7 +163,19 @@ def write_band_probe_table(spark, table_prefix: str) -> str:
     a full signature shuffle every few seconds. Refresh on the compaction
     cadence (after a run of :func:`extend_dedup_index` calls), not per batch.
     Returns the table name."""
+    import os
+    import shutil
+
     name = f"{table_prefix}_band_sigs"
+    # idempotent vs leftover LOCATIONS from a previous session: with the
+    # in-memory catalog the table is gone but its warehouse directory is not,
+    # and CREATE TABLE refuses an existing non-empty location (same cleanup
+    # build_dedup_index does for its four tables)
+    spark.sql(f"drop table if exists {name}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), name)
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
     sigs = (
         spark.table(f"{table_prefix}_bucket_stats")
         .select("band_idx", "band_sig")
@@ -176,6 +188,43 @@ def write_band_probe_table(spark, table_prefix: str) -> str:
         .saveAsTable(name)
     )
     return name
+
+
+def dedup_exact_within_stream(
+    pages: DataFrame,
+    *,
+    ts_col: str = "warc_ts",
+    delay: str = "10 minutes",
+    text_col: str = "text",
+) -> DataFrame:
+    """WITHIN-STREAM exact deduplication: drop later pages whose normalized
+    text fingerprint already appeared in the stream within the watermark
+    horizon — the stateful stream-side counterpart of
+    ``operators/dedup.py:exact_duplicates``. Closes the prefilter gap where a
+    burst of identical pages inside one crawl window (syndicated articles,
+    mirror sites) all pass :func:`novel_pages_stream` because none of them is
+    in the INDEX yet.
+
+    Streaming-legal and state-BOUNDED: ``dropDuplicatesWithinWatermark`` keys
+    state by fingerprint and evicts entries once the event-time watermark
+    (``ts_col`` minus ``delay``) passes them — state is sized by distinct
+    fingerprints per horizon, not by the stream's history. Pick ``delay`` as
+    the crawl-burst horizon; duplicates farther apart than it are the batch
+    compactor's job (they meet again at the signature index). Near-dups within
+    the stream stay out of scope by design — that requires stream-stream
+    candidate state; the compactor resolves them exactly.
+
+    Works on a batch frame too (plain ``dropDuplicates`` on the fingerprint —
+    one survivor per group, arbitrary member), so batch-twin tests can reuse
+    the builder."""
+    from openstreetmapio_jl_spark.operators.dedup import fingerprint
+
+    out = pages.withColumn("_fp", fingerprint(F.col(text_col)))
+    if out.isStreaming:
+        out = out.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(["_fp"])
+    else:
+        out = out.dropDuplicates(["_fp"])
+    return out.drop("_fp")
 
 
 def novel_pages_stream(
@@ -206,8 +255,10 @@ def novel_pages_stream(
     Signature-level ONLY (the LSH candidate rule: shares ≥1 band bucket ⇒
     presumed duplicate): it is the RECALL-side prefilter; the survivors flow to
     the batch compactor whose :func:`incremental_dedup_pairs` does the exact
-    verify and index extension. Within-stream duplicates are by design left to
-    that compactor too (detecting them needs stream-stream state).
+    verify and index extension. Within-stream EXACT duplicates are handled by
+    composing :func:`dedup_exact_within_stream` upstream (watermark-bounded
+    fingerprint state); within-stream NEAR-dups are by design left to the
+    compactor (they need stream-stream candidate state).
 
     STATIC-SIDE COST: the static side of a stream-static join is re-executed
     every micro-batch. Production path: pass ``probe_sigs`` — the

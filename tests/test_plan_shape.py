@@ -41,6 +41,7 @@ HEADLINE_BATCH = [
     "sim_cosine_topk",
     "pages_tile_counts",
     "pip_hits_per_polygon",
+    "pip_hits_multi_mention",    # round-5 per-mention multiplicity
     "knn_pages_to_poi",
     "tile_pyramid_z11",
 ]

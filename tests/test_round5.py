@@ -223,6 +223,56 @@ def test_novel_pages_stream_requires_exactly_one_source(spark, small_corpus):
         )
 
 
+def test_dedup_exact_within_stream(spark, tmp_path):
+    """Watermark-bounded within-stream exact dedup: a burst of identical pages
+    in one crawl window collapses to one survivor per normalized-text
+    fingerprint in a REAL availableNow run; distinct pages all pass. Composes
+    in front of the prefilter (the gap: none of the burst is in the index yet,
+    so novel_pages_stream alone keeps them all)."""
+    import datetime
+
+    from openstreetmapio_jl_spark.streaming import pipelines as SP
+
+    t0 = datetime.datetime(2024, 6, 1, 12, 0, 0)
+
+    def row(i, text, minutes):
+        return (
+            f"https://s{i}",
+            t0 + datetime.timedelta(minutes=minutes),
+            b"",
+            text,
+            "en",
+        )
+
+    rows = [
+        row(0, "identical syndicated article body", 0),
+        row(1, "identical   SYNDICATED article body", 1),  # same fingerprint
+        row(2, "identical syndicated article body", 2),    # same fingerprint
+        row(3, "a genuinely different page", 1),
+        row(4, "another distinct page entirely", 3),
+    ]
+    feed = str(tmp_path / "burst_feed")
+    spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    ).coalesce(1).write.parquet(feed)
+
+    stream = SP.read_pages_stream(spark, feed)
+    deduped = SP.dedup_exact_within_stream(stream, delay="10 minutes")
+    SP.run_available_now(
+        deduped,
+        query_name="within_stream_dedup",
+        output_mode="append",
+        checkpoint_dir=str(tmp_path / "ckpt_ws"),
+    )
+    got = [r.url for r in spark.table("within_stream_dedup").collect()]
+    assert len(got) == 3
+    assert sum(u in ("https://s0", "https://s1", "https://s2") for u in got) == 1
+    assert "https://s3" in got and "https://s4" in got
+    # batch-frame twin: same builder, same survivor count
+    batch = spark.read.parquet(feed)
+    assert SP.dedup_exact_within_stream(batch).count() == 3
+
+
 # ---------------------------------------------------------------------------
 # word_repetition_signals whitespace normalization (ADVICE r4)
 # ---------------------------------------------------------------------------
