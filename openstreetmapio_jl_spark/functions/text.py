@@ -267,3 +267,53 @@ def word_repetition_signals(
         "top_bigram",
         F.round(F.col("c") / (F.col("n_words") - 1), 6).alias("top_bigram_frac"),
     )
+
+
+# tracking-parameter keys a crawl-dedup canonicalizer strips (the CommonCrawl /
+# SURT convention: analytics params never distinguish page CONTENT)
+_TRACKING_KEY_RE = r"^(utm_.*|fbclid|gclid|msclkid|ref|ref_src)$"
+
+
+def canonicalize_url(col: Column) -> Column:
+    """Crawl-style URL canonicalization for content dedup, all JVM-side.
+
+    Two raw URLs that canonicalize equal are treated as the same page by a
+    crawl-dedup stage (the reference keys pages by raw url string —
+    ``/root/reference/src/load_overpass.jl`` builds one canonical query URL per
+    fetch; this extends that to the web-corpus side where the SAME page arrives
+    under many surface forms). Steps, in order:
+
+    1. trim; drop the ``#fragment`` (client-side only, never reaches the server);
+    2. drop the scheme entirely — http/https serve the same content post-HSTS;
+    3. hostname: lowercase (DNS is case-insensitive), strip one leading
+       ``www.``, strip default ports ``:80``/``:443``;
+    4. path: case-PRESERVED (paths are case-sensitive per RFC 3986), duplicate
+       slashes collapsed, trailing slashes stripped (``/a/`` ≡ ``/a``);
+    5. query: split on ``&``, drop empty params and tracking keys
+       (``utm_*``, ``fbclid``, ``gclid``, ``msclkid``, ``ref``, ``ref_src``),
+       sort the survivors bytewise (param order is almost never semantic),
+       rejoin; an emptied query drops its ``?``.
+
+    Assumes a well-formed absolute URL with at most one ``?``. Every step is a
+    builtin string/array function (whole-stage codegen, no Python), and every
+    step is expressible in ANSI/DuckDB SQL so the operator is oracle-checkable.
+    """
+    u = F.split_part(F.trim(col), F.lit("#"), F.lit(1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    locpath = F.split_part(rest, F.lit("?"), F.lit(1))
+    query = F.split_part(rest, F.lit("?"), F.lit(2))
+    host = F.lower(F.split_part(locpath, F.lit("/"), F.lit(1)))
+    host = F.regexp_replace(host, r"^www\.", "")
+    host = F.regexp_replace(host, r":(80|443)$", "")
+    path = F.regexp_extract(locpath, r"^[^/]*(/.*)?$", 1)
+    path = F.regexp_replace(path, r"/{2,}", "/")
+    path = F.regexp_replace(path, r"/+$", "")
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != F.lit(""))
+        & ~F.split_part(p, F.lit("="), F.lit(1)).rlike(_TRACKING_KEY_RE),
+    )
+    q = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        host, path, F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit(""))
+    )

@@ -1094,3 +1094,92 @@ def duplicate_clusters(
     return comp.groupBy(F.col("component").alias("canonical_id")).agg(
         F.count("*").alias("n_docs"), F.max("id").alias("max_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# chunk-level (CCNet-style) boilerplate dedup
+# ---------------------------------------------------------------------------
+
+def chunk_dedup(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    words_per_chunk: int = 8,
+    boiler_doc_threshold: int = 2,
+) -> DataFrame:
+    """CCNet-style chunk-level dedup: drop chunks shared across documents.
+
+    Wenzek et al. 2020 (CCNet) dedup CommonCrawl at PARAGRAPH granularity —
+    a chunk (paragraph) appearing in many documents is site chrome / legal
+    boilerplate, not content, and is removed from every document while the
+    unique remainder survives. Document-level dedup (exact_duplicates /
+    minhash LSH above) can't express this: it keeps or kills whole docs.
+    Chunks here are non-overlapping ``words_per_chunk``-word windows of the
+    ``\\s+``-tokenized text (the fixture corpus is single-line; a newline
+    corpus would split on ``\\n`` instead — same pipeline).
+
+    A chunk is boilerplate when its md5 appears in ``>= boiler_doc_threshold``
+    DISTINCT documents. Returns one row per input document, always:
+    ``(id, n_chunks, n_boiler, clean_hash)`` where ``clean_hash`` is the md5 of
+    the surviving chunks rejoined in original order (md5('') when everything —
+    or the whole doc — was boilerplate, e.g. exact duplicate docs, whose every
+    chunk repeats corpus-wide).
+
+    Shape at scale: chunking is per-row HOF codegen (split → transform/slice,
+    no explode until the chunk table); the frequency pass is ONE groupBy on the
+    16-byte chunk hash with map-side partial aggregation; the re-join is an
+    equi-join on that same hash (AQE handles the hot empty-chunk keys); the
+    reassembly is one groupBy on the doc id. No Python, no window over the
+    corpus, no driver collect — the same shape CCNet runs sharded over 30 TB.
+    """
+    w = F.lit(words_per_chunk)
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
+    )
+    n_chunks = F.ceil(F.size("words") / w).cast("int")
+    # sequence(0, -1) counts DOWN (same trap as char_shingles) — gate on size
+    chunks = F.when(
+        F.size("words") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(F.slice(F.col("words"), i * w + 1, w), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    base = docs.select(F.col(id_col).alias("id"), words.alias("words")).select(
+        "id", chunks.alias("chunks")
+    )
+    ex = base.select("id", F.posexplode("chunks").alias("pos", "chunk")).withColumn(
+        "h", F.md5(F.encode("chunk", "UTF-8"))
+    )
+    freq = ex.groupBy("h").agg(F.countDistinct("id").alias("ndocs"))
+    joined = ex.join(freq, "h")
+    boiler = F.col("ndocs") >= boiler_doc_threshold
+    agg = joined.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(F.when(boiler, 1).otherwise(0)).cast("long").alias("n_boiler"),
+        F.md5(
+            F.encode(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(~boiler, F.struct("pos", "chunk"))
+                            )
+                        ),
+                        lambda s: s["chunk"],
+                    ),
+                    " ",
+                ),
+                "UTF-8",
+            )
+        ).alias("clean_hash"),
+    )
+    ids = docs.select(F.col(id_col).alias("id"))
+    empty_md5 = "d41d8cd98f00b204e9800998ecf8427e"  # md5('') — zero-chunk docs
+    return ids.join(agg, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce(F.col("n_chunks"), F.lit(0)).cast("long").alias("n_chunks"),
+        F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long").alias("n_boiler"),
+        F.coalesce(F.col("clean_hash"), F.lit(empty_md5)).alias("clean_hash"),
+    )

@@ -926,6 +926,133 @@ left join top on top.doc_id = d.doc_id and top.rn = 1
 """
 
 
+def q_doc_chunk_dedup(spark, sf_dir):
+    """CCNet-style chunk-level boilerplate dedup (Wenzek et al. 2020 dedup
+    CommonCrawl at paragraph granularity): non-overlapping 8-word chunks,
+    md5 per chunk, a chunk shared by >= 2 distinct docs is boilerplate and
+    removed; per-doc output keeps counts plus the md5 of the surviving text
+    so the oracle pins chunking, frequency, and order-preserving reassembly
+    end-to-end. Document-level dedup can't express this — it keeps or kills
+    whole docs, never strips the shared chrome inside a kept doc."""
+    return dedup.chunk_dedup(_load(spark, sf_dir, "documents"))
+
+
+SQL_DOC_CHUNK_DEDUP = r"""
+with w as (
+  select doc_id,
+    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') as words
+  from documents),
+c as (
+  select doc_id, i as pos, array_to_string(words[i*8+1 : i*8+8], ' ') as chunk
+  from w, unnest(range(cast(ceil(len(words)/8.0) as int))) as t(i)),
+h as (select doc_id, pos, chunk, md5(chunk) as hh from c),
+f as (select hh, count(distinct doc_id) as ndocs from h group by hh),
+j as (select h.*, f.ndocs from h join f using (hh)),
+agg as (
+  select doc_id, count(*) as n_chunks,
+         sum(case when ndocs >= 2 then 1 else 0 end) as n_boiler,
+         md5(coalesce(string_agg(chunk, ' ' order by pos)
+                      filter (where ndocs < 2), '')) as clean_hash
+  from j group by doc_id)
+select d.doc_id,
+       cast(coalesce(a.n_chunks, 0) as bigint) as n_chunks,
+       cast(coalesce(a.n_boiler, 0) as bigint) as n_boiler,
+       coalesce(a.clean_hash, md5('')) as clean_hash
+from documents d left join agg a using (doc_id)
+"""
+
+
+def q_doc_url_dedup(spark, sf_dir):
+    """Crawl URL-canonicalization dedup: the same logical page arrives under
+    many raw URL surface forms (scheme/case/www/default-port/trailing-slash/
+    tracking-param/param-order variants); canonicalize and group so one
+    survivor represents the page. Raw URLs are synthesized DETERMINISTICALLY
+    from doc_id (the documents table carries no url column): 97 logical pages
+    × 6 surface-form classes, 97 coprime to 6 so every page collides across
+    DIFFERENT variant classes — the collapse exercises every canonicalization
+    step, not just exact-string grouping. Variants 0-3 canonicalize to the
+    bare path; 4-5 keep the semantic ``a=1&b=2`` query (sorted from both
+    orders), pinning that tracking params are stripped but content params
+    survive. All-JVM string/array builtins (functions/text.canonicalize_url)."""
+    d = _load(spark, sf_dir, "documents")
+    k = F.lpad((F.col("doc_id") % 97).cast("string"), 5, "0")
+    key = F.concat(F.lit("Article-"), k)
+    v = F.col("doc_id") % 6
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://example.org/"), key))
+        .when(v == 1, F.concat(F.lit("http://WWW.EXAMPLE.ORG/"), key))
+        .when(v == 2, F.concat(F.lit("https://example.org:443/"), key, F.lit("/")))
+        .when(
+            v == 3,
+            F.concat(
+                F.lit("https://example.org//"),
+                key,
+                F.lit("?utm_source=feed&fbclid=x#frag"),
+            ),
+        )
+        .when(v == 4, F.concat(F.lit("https://example.org/"), key, F.lit("?b=2&a=1")))
+        .otherwise(
+            F.concat(
+                F.lit("https://www.example.org/"),
+                key,
+                F.lit("/?a=1&b=2&utm_campaign=x"),
+            )
+        )
+    )
+    raw = d.select("doc_id", url.alias("url"))
+    canon = raw.select(
+        "doc_id", "url", textfn.canonicalize_url(F.col("url")).alias("canonical_url")
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("url").alias("n_raw_forms"),
+            F.min("doc_id").alias("survivor_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+SQL_DOC_URL_DEDUP = r"""
+with raw as (
+  select doc_id,
+    case cast(doc_id % 6 as int)
+      when 0 then 'https://example.org/Article-' || k
+      when 1 then 'http://WWW.EXAMPLE.ORG/Article-' || k
+      when 2 then 'https://example.org:443/Article-' || k || '/'
+      when 3 then 'https://example.org//Article-' || k || '?utm_source=feed&fbclid=x#frag'
+      when 4 then 'https://example.org/Article-' || k || '?b=2&a=1'
+      else 'https://www.example.org/Article-' || k || '/?a=1&b=2&utm_campaign=x'
+    end as url
+  from (select doc_id, lpad(cast(doc_id % 97 as varchar), 5, '0') as k from documents)),
+c as (
+  select doc_id, url,
+    regexp_replace(split_part(trim(url), '#', 1),
+                   '^[A-Za-z][A-Za-z0-9+.\-]*://', '') as rest
+  from raw),
+p as (
+  select doc_id, url,
+    regexp_replace(regexp_replace(lower(split_part(split_part(rest, '?', 1), '/', 1)),
+                                  '^www\.', ''), ':(80|443)$', '') as host,
+    regexp_replace(regexp_replace(regexp_extract(split_part(rest, '?', 1),
+                                                 '^[^/]*(/.*)?$', 1),
+                                  '/{2,}', '/', 'g'), '/+$', '') as path,
+    array_to_string(list_sort(list_filter(
+      string_split(split_part(rest, '?', 2), '&'),
+      q -> q <> '' and not regexp_matches(split_part(q, '=', 1),
+             '^(utm_.*|fbclid|gclid|msclkid|ref|ref_src)$'))), '&') as q
+  from c)
+select host || path || case when q <> '' then '?' || q else '' end as canonical_url,
+       count(*) as n_docs,
+       count(distinct url) as n_raw_forms,
+       min(doc_id) as survivor_doc_id
+from p
+group by 1
+having count(*) > 1
+"""
+
+
 def q_doc_token_quality(spark, sf_dir):
     d = _load(spark, sf_dir, "documents")
     return (
@@ -2409,16 +2536,23 @@ def registry() -> dict[str, tuple]:
     set-op shape; sim_lsh_topk shares the hyperplane-LSH bucket join with
     emb_lsh_neardup; quadkey_rollup shares the hierarchical tile rollup with
     tile_pyramid_z11). Round-5 in-window additions: pip_hits_multi_mention
-    (per-mention-multiplicity PIP, new surface) and hex_cells_pages_r7
+    (per-mention-multiplicity PIP, new surface), hex_cells_pages_r7
     (rotated BACK in — it is the north star's named H3 res-7 surface and the
-    r04 verdict flagged that both hex queries had drifted past the window).
+    r04 verdict flagged that both hex queries had drifted past the window),
+    doc_chunk_dedup (CCNet-style paragraph-granularity boilerplate removal,
+    new surface) and doc_url_dedup (crawl URL canonicalization, new surface).
     Rotated to the tail to make room (each r04-green with an in-window
-    superset sibling): events_band_join (events_band_join_outer BUILDS the
-    inner band join internally, so the binned-join path stays certified) and
-    doc_simhash (doc_simhash_neardup computes the same simhash signature as
-    its first stage). Pre-submit routine: `python tools/check_oracle.py` runs
-    ALL entries including the tail, so past-window twins cannot silently
-    regress."""
+    sibling covering its certified path): events_band_join
+    (events_band_join_outer BUILDS the inner band join internally, so the
+    binned-join path stays certified), doc_simhash (doc_simhash_neardup
+    computes the same simhash signature as its first stage), doc_fingerprint
+    (doc_winnow_fps runs the same gram-hash-min fingerprint shape, windowed
+    — doc_fingerprint is its single-global-window special case) and
+    osm_urlencode (overpass_url_build applies the IDENTICAL sequential
+    15-char percent-encode inside the URL builder, and its oracle pins the
+    encode order byte-for-byte). Pre-submit routine: `python
+    tools/check_oracle.py` runs ALL entries including the tail, so
+    past-window twins cannot silently regress."""
     return {
         "agg_pricing_summary": (q_agg_pricing_summary, SQL_AGG_PRICING),
         "join_revenue_by_nation": (q_join_revenue_by_nation, SQL_JOIN_REVENUE),
@@ -2439,6 +2573,8 @@ def registry() -> dict[str, tuple]:
         "doc_dup_clusters": (q_doc_dup_clusters, _sql_dup_clusters()),
         "doc_simhash_neardup": (q_doc_simhash_neardup, _sql_simhash_neardup()),
         "doc_repetition_signals": (q_doc_repetition, SQL_DOC_REPETITION),
+        "doc_chunk_dedup": (q_doc_chunk_dedup, SQL_DOC_CHUNK_DEDUP),
+        "doc_url_dedup": (q_doc_url_dedup, SQL_DOC_URL_DEDUP),
         "doc_token_quality": (q_doc_token_quality, SQL_DOC_TOKEN_QUALITY),
         "doc_langid": (q_doc_langid, _sql_langid()),
         "osm_counts": (q_osm_counts, _sql_osm_counts()),
@@ -2450,7 +2586,6 @@ def registry() -> dict[str, tuple]:
         "osm_member_closure": (q_osm_member_closure, _sql_member_closure()),
         "osm_multipolygon_assembly": (q_osm_multipolygon_assembly, _sql_multipolygon()),
         "osm_xml_differential": (q_osm_xml_differential, _sql_xml_differential()),
-        "osm_urlencode": (q_osm_urlencode, _sql_urlencode()),
         "overpass_url_build": (q_overpass_url_build, _sql_overpass_url()),
         "osm_around_radius": (q_osm_around_radius, _sql_around_radius()),
         "pages_tile_counts": (q_pages_tile_counts, _sql_pages_tiles()),
@@ -2468,7 +2603,6 @@ def registry() -> dict[str, tuple]:
         "sim_cosine_topk": (q_sim_cosine_topk, _sql_cosine_topk()),
         "sim_ivf_topk": (q_sim_ivf_topk, _sql_ivf_topk()),
         "emb_lsh_neardup": (q_emb_lsh_neardup, _sql_lsh_neardup()),
-        "doc_fingerprint": (q_doc_fingerprint, _sql_doc_fingerprint()),
         "doc_winnow_fps": (q_doc_winnow_fps, _sql_winnow()),
         "doc_lang_pivot": (q_doc_lang_pivot, _sql_lang_pivot()),
         "mm_media_stats": (q_mm_media_stats, _sql_mm_stats()),
@@ -2489,9 +2623,17 @@ def registry() -> dict[str, tuple]:
         # events_band_join_outer; mm_resize_stats: r03-green twin of the
         # in-window mm_media_stats/mm_frame_sample Arrow-batched multimodal
         # path, rotated out for doc_repetition_signals; hex_cells_pages:
-        # res-9 resolution twin of the in-window hex_cells_pages_r7)
+        # res-9 resolution twin of the in-window hex_cells_pages_r7;
+        # doc_fingerprint: r04-green; its global-min gram-hash digest is the
+        # single-window special case of the in-window doc_winnow_fps — rotated
+        # out for doc_chunk_dedup; osm_urlencode: r04-green; the in-window
+        # overpass_url_build applies the identical sequential percent-encode
+        # and its oracle pins the encode order byte-for-byte — rotated out
+        # for doc_url_dedup)
         "events_band_join": (q_events_band_join, SQL_EVENTS_BAND),
         "doc_simhash": (q_doc_simhash, _sql_simhash()),
+        "doc_fingerprint": (q_doc_fingerprint, _sql_doc_fingerprint()),
+        "osm_urlencode": (q_osm_urlencode, _sql_urlencode()),
         "mm_resize_stats": (q_mm_resize_stats, _sql_mm_resize()),
         "geohash_cells_pages": (q_geohash_cells_pages, _sql_geohash_cells()),
         "pip_hits_multipolygon_static": (

@@ -369,3 +369,121 @@ def test_no_rdd_partition_probes_in_query_paths():
             if re.search(r"\.rdd\b", code):
                 offenders.append(f"{py.name}:{i}: {line.strip()}")
     assert not offenders, "\n".join(offenders)
+
+
+# ---------------------------------------------------------------------------
+# crawl URL canonicalization (functions/text.canonicalize_url)
+# ---------------------------------------------------------------------------
+
+
+def test_canonicalize_url_collapses_surface_forms(spark):
+    from openstreetmapio_jl_spark.functions import text as textfn
+
+    same_page = [
+        "https://example.org/A/B",
+        "http://example.org/A/B",          # scheme unified
+        "https://WWW.Example.ORG/A/B",     # host case + www
+        "https://example.org:443/A/B",     # default port
+        "https://example.org/A/B/",        # trailing slash
+        "https://example.org//A///B",      # duplicate slashes
+        "https://example.org/A/B#section", # fragment
+        "https://example.org/A/B?utm_source=x&gclid=y",  # tracking-only query
+    ]
+    df = spark.createDataFrame([(u,) for u in same_page], "url string")
+    got = {
+        r.c
+        for r in df.select(
+            textfn.canonicalize_url(F.col("url")).alias("c")
+        ).collect()
+    }
+    assert got == {"example.org/A/B"}
+
+
+def test_canonicalize_url_preserves_semantics(spark):
+    from openstreetmapio_jl_spark.functions import text as textfn
+
+    cases = [
+        # path case is semantic (RFC 3986) — never folded
+        ("https://example.org/CaseSensitive", "example.org/CaseSensitive"),
+        # content params survive, sorted from either order
+        ("https://example.org/p?b=2&a=1", "example.org/p?a=1&b=2"),
+        ("https://example.org/p?a=1&b=2", "example.org/p?a=1&b=2"),
+        # mixed tracking + content: only tracking stripped
+        ("https://example.org/p?utm_medium=m&a=1", "example.org/p?a=1"),
+        # bare host; host-only with root slash folds to the same
+        ("https://example.org", "example.org"),
+        ("https://example.org/", "example.org"),
+        # non-default port is semantic
+        ("https://example.org:8080/p", "example.org:8080/p"),
+    ]
+    df = spark.createDataFrame(cases, "url string, want string")
+    bad = df.select(
+        "url", "want", textfn.canonicalize_url(F.col("url")).alias("got")
+    ).filter(F.col("got") != F.col("want"))
+    assert bad.count() == 0, bad.collect()
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style chunk-level boilerplate dedup (operators/dedup.chunk_dedup)
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_dedup_strips_shared_chunks_keeps_unique(spark):
+    import hashlib
+
+    boiler = "w1 w2 w3 w4"  # 4-word chunk shared by docs 1 and 2
+    uniq1, uniq2 = "u1 u2 u3 u4", "v1 v2 v3 v4"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} {uniq1}"),
+            (2, f"{boiler} {uniq2}"),
+            (3, "solo a b c"),
+            (4, "   "),  # whitespace-only: zero chunks, still one output row
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.chunk_dedup(docs, words_per_chunk=4).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    # docs 1/2: boilerplate chunk removed, unique tail kept in order
+    assert (out[1].n_chunks, out[1].n_boiler) == (2, 1)
+    assert out[1].clean_hash == md5(uniq1)
+    assert out[2].clean_hash == md5(uniq2)
+    # doc 3: nothing shared, whole text survives (one ragged final chunk)
+    assert (out[3].n_chunks, out[3].n_boiler) == (1, 0)
+    assert out[3].clean_hash == md5("solo a b c")
+    # doc 4: zero words → zero chunks → md5('')
+    assert (out[4].n_chunks, out[4].n_boiler) == (0, 0)
+    assert out[4].clean_hash == md5("")
+
+
+def test_chunk_dedup_exact_duplicate_docs_fully_boilerplate(spark):
+    import hashlib
+
+    text = " ".join(f"t{i}" for i in range(16))  # two full 8-word chunks
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in dedup.chunk_dedup(docs).collect()}
+    for d in (1, 2):
+        assert (out[d].n_chunks, out[d].n_boiler) == (2, 2)
+        assert out[d].clean_hash == hashlib.md5(b"").hexdigest()
+
+
+def test_chunk_dedup_reassembly_preserves_chunk_order(spark):
+    import hashlib
+
+    # 3 chunks; the MIDDLE one is shared — survivors must rejoin as 1st+3rd
+    a, shared, c = "a1 a2", "s1 s2", "c1 c2"
+    docs = spark.createDataFrame(
+        [(1, f"{a} {shared} {c}"), (2, f"{shared} x9")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.chunk_dedup(docs, words_per_chunk=2).collect()
+    }
+    assert out[1].clean_hash == hashlib.md5(f"{a} {c}".encode()).hexdigest()
