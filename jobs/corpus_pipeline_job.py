@@ -15,8 +15,12 @@ library provides:
    pairs → connected components → keep only each cluster's canonical url
    (minimum), dropping the other members; transitivity means a chained
    cluster loses all-but-one even when its ends aren't pairwise similar;
-2. **quality + language gate** — JVM-side quality_score_col / token counts,
-   drop below ``--min-quality``;
+1c. **chunk-level boilerplate removal** (``--chunk-dedup-words`` > 0) —
+   CCNet-style: each page's text is rewritten to the N-word chunks not
+   shared with any other page (site chrome / legal boilerplate stripped
+   from INSIDE kept pages); pages that were pure boilerplate drop;
+2. **quality + language gate** — JVM-side quality_score_col / token counts
+   over the CLEANED text, drop below ``--min-quality``;
 3. **geocode + spatial enrich** — regex geocode extraction, cell-keyed PIP
    join against the once-prepared OSM polygon dimension (LEFT join: pages
    without a geo mention or outside every polygon survive un-enriched);
@@ -83,6 +87,13 @@ def main() -> None:
     ap.add_argument(
         "--near-dup-max-bucket", type=int, default=1000,
         help="LSH bucket-cardinality cap before the candidate self-join",
+    )
+    ap.add_argument(
+        "--chunk-dedup-words", type=int, default=0, metavar="N",
+        help="CCNet-style chunk-level boilerplate removal: rewrite each "
+        "page's text to the chunks (non-overlapping N-word windows) NOT "
+        "shared with any other page, dropping pages that were pure "
+        "boilerplate; 0 disables",
     )
     ap.add_argument(
         "--dedup-index", default=None, metavar="PREFIX",
@@ -212,6 +223,24 @@ def main() -> None:
         n_near_dropped = losers.count()
         deduped = deduped.join(losers, "url", "left_anti")
 
+    # 1c. chunk-level boilerplate removal (CCNet-style): strip chunks shared
+    # across the surviving pages, drop pages that were pure boilerplate —
+    # runs AFTER doc-level dedup (whose survivor rule guarantees unique urls,
+    # chunk_clean's id contract) and BEFORE the quality gate (which should
+    # score the content that will actually be trained on, not the chrome)
+    n_chunk_boiler_dropped = 0
+    if args.chunk_dedup_words > 0:
+        from openstreetmapio_jl_spark.operators.dedup import chunk_clean
+
+        pre = deduped.persist()
+        n_pre = pre.count()
+        deduped = chunk_clean(
+            pre, id_col="url", text_col="text",
+            words_per_chunk=args.chunk_dedup_words,
+        ).persist()
+        n_chunk_boiler_dropped = n_pre - deduped.count()
+        pre.unpersist()
+
     # 2. quality + language gate (all JVM-side)
     gated = (
         deduped.withColumn("quality", textfn.quality_score_col(F.col("text")))
@@ -306,6 +335,7 @@ def main() -> None:
         for h in cc_handles:
             h.unpersist()
     stats["near_dup_dropped"] = n_near_dropped
+    stats["chunk_boiler_dropped"] = n_chunk_boiler_dropped
     print(json.dumps(stats))
     spark.stop()
 

@@ -1107,6 +1107,7 @@ def chunk_dedup(
     text_col: str = "text",
     words_per_chunk: int = 8,
     boiler_doc_threshold: int = 2,
+    emit_text: bool = False,
 ) -> DataFrame:
     """CCNet-style chunk-level dedup: drop chunks shared across documents.
 
@@ -1124,7 +1125,9 @@ def chunk_dedup(
     ``(id, n_chunks, n_boiler, clean_hash)`` where ``clean_hash`` is the md5 of
     the surviving chunks rejoined in original order (md5('') when everything —
     or the whole doc — was boilerplate, e.g. exact duplicate docs, whose every
-    chunk repeats corpus-wide).
+    chunk repeats corpus-wide). ``emit_text=True`` additionally returns the
+    surviving text itself as ``clean_text`` — the form the corpus pipeline's
+    cleaning stage consumes (the oracle query keeps the compact hash).
 
     Shape at scale: chunking is per-row HOF codegen (split → transform/slice,
     no explode until the chunk table); the frequency pass is ONE groupBy on the
@@ -1158,28 +1161,61 @@ def chunk_dedup(
     agg = joined.groupBy("id").agg(
         F.count("*").cast("long").alias("n_chunks"),
         F.sum(F.when(boiler, 1).otherwise(0)).cast("long").alias("n_boiler"),
-        F.md5(
-            F.encode(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.when(~boiler, F.struct("pos", "chunk"))
-                            )
-                        ),
-                        lambda s: s["chunk"],
-                    ),
-                    " ",
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(~boiler, F.struct("pos", "chunk")))
                 ),
-                "UTF-8",
-            )
-        ).alias("clean_hash"),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("clean_text"),
     )
     ids = docs.select(F.col(id_col).alias("id"))
-    empty_md5 = "d41d8cd98f00b204e9800998ecf8427e"  # md5('') — zero-chunk docs
-    return ids.join(agg, "id", "left").select(
+    clean_text = F.coalesce(F.col("clean_text"), F.lit(""))  # zero-chunk docs
+    cols = [
         F.col("id").alias(id_col),
         F.coalesce(F.col("n_chunks"), F.lit(0)).cast("long").alias("n_chunks"),
         F.coalesce(F.col("n_boiler"), F.lit(0)).cast("long").alias("n_boiler"),
-        F.coalesce(F.col("clean_hash"), F.lit(empty_md5)).alias("clean_hash"),
+        F.md5(F.encode(clean_text, "UTF-8")).alias("clean_hash"),
+    ]
+    if emit_text:
+        cols.append(clean_text.alias("clean_text"))
+    return ids.join(agg, "id", "left").select(*cols)
+
+
+def chunk_clean(
+    docs: DataFrame,
+    *,
+    id_col: str = "url",
+    text_col: str = "text",
+    words_per_chunk: int = 8,
+    boiler_doc_threshold: int = 2,
+) -> DataFrame:
+    """Pipeline form of :func:`chunk_dedup`: rewrite ``text_col`` to its
+    chunk-deduped remainder and DROP documents that were pure boilerplate.
+
+    Returns the input frame with the SAME schema (all other columns pass
+    through untouched) — documents whose every chunk repeats corpus-wide
+    (exact clones, pure site chrome) are removed entirely; the rest keep the
+    surviving chunks in original order. The join back to the input is a
+    single equi-join on ``id_col``, so the stage composes with the corpus
+    pipeline's later quality/geocode stages without reshaping anything.
+
+    Requires ``id_col`` values to be unique (the corpus pipeline runs this
+    AFTER exact dedup, whose survivor rule guarantees url uniqueness).
+    """
+    cleaned = chunk_dedup(
+        docs,
+        id_col=id_col,
+        text_col=text_col,
+        words_per_chunk=words_per_chunk,
+        boiler_doc_threshold=boiler_doc_threshold,
+        emit_text=True,
+    ).select(id_col, "clean_text")
+    out = (
+        docs.drop(text_col)
+        .join(cleaned.filter(F.col("clean_text") != ""), id_col)
+        .withColumnRenamed("clean_text", text_col)
     )
+    return out.select(*docs.columns)  # original column order preserved

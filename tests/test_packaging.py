@@ -155,6 +155,7 @@ def test_spark_submit_corpus_pipeline(pyfiles_zip, tmp_path, osm_data):
         "--pages", pages, "--pbf", pbf, "--out", out, "--lineage", lin,
         "--chunks", "3", "--min-quality", "0.2",
         "--near-dup-threshold", "0.85",  # exercises pairs -> CC -> survivor
+        "--chunk-dedup-words", "8",      # exercises chunk-level boilerplate strip
     ]
     env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
     p = subprocess.run(
@@ -164,6 +165,7 @@ def test_spark_submit_corpus_pipeline(pyfiles_zip, tmp_path, osm_data):
     stats = json.loads([l for l in p.stdout.splitlines() if l.startswith("{")][-1])
     assert stats["processed"] == 3 and stats["rows"] > 0
     assert stats["near_dup_dropped"] >= 0  # stage ran (drop count corpus-dependent)
+    assert stats["chunk_boiler_dropped"] >= 0  # chunk-clean stage ran
 
     import duckdb
 

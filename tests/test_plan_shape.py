@@ -42,6 +42,8 @@ HEADLINE_BATCH = [
     "pages_tile_counts",
     "pip_hits_per_polygon",
     "pip_hits_multi_mention",    # round-5 per-mention multiplicity
+    "doc_chunk_dedup",           # round-5 CCNet chunk-level boilerplate dedup
+    "doc_url_dedup",             # round-5 crawl URL canonicalization
     "knn_pages_to_poi",
     "tile_pyramid_z11",
 ]

@@ -487,3 +487,22 @@ def test_chunk_dedup_reassembly_preserves_chunk_order(spark):
         for r in dedup.chunk_dedup(docs, words_per_chunk=2).collect()
     }
     assert out[1].clean_hash == hashlib.md5(f"{a} {c}".encode()).hexdigest()
+
+
+def test_chunk_clean_rewrites_text_and_drops_pure_boilerplate(spark):
+    shared = "s1 s2 s3 s4"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} keep1 keep2 keep3 keep4", "en"),
+            (2, f"{shared} other1 other2 other3 other4", "de"),
+            (3, shared, "fr"),  # pure boilerplate → dropped entirely
+        ],
+        "url long, text string, lang string",
+    )
+    out = dedup.chunk_clean(docs, id_col="url", words_per_chunk=4)
+    assert out.columns == docs.columns  # schema and order pass through
+    rows = {r.url: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].text == "keep1 keep2 keep3 keep4"
+    assert rows[2].text == "other1 other2 other3 other4"
+    assert (rows[1].lang, rows[2].lang) == ("en", "de")  # passthrough intact
