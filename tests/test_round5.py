@@ -506,3 +506,103 @@ def test_chunk_clean_rewrites_text_and_drops_pure_boilerplate(spark):
     assert rows[1].text == "keep1 keep2 keep3 keep4"
     assert rows[2].text == "other1 other2 other3 other4"
     assert (rows[1].lang, rows[2].lang) == ("en", "de")  # passthrough intact
+
+
+def _py_canonicalize_url(u: str) -> str:
+    """Pure-Python reference of functions/text.canonicalize_url's documented
+    steps — an independent implementation (urllib-free, like the Column form)
+    used only to differential-test the Spark and DuckDB versions."""
+    import re as _re
+
+    u = u.strip().split("#", 1)[0]
+    rest = _re.sub(r"^[A-Za-z][A-Za-z0-9+.\-]*://", "", u)
+    locpath, _, query = rest.partition("?")
+    host, slash, path = locpath.partition("/")
+    host = host.lower()
+    host = _re.sub(r"^www\.", "", host)
+    host = _re.sub(r":(80|443)$", "", host)
+    path = (slash + path) if slash else ""
+    path = _re.sub(r"/{2,}", "/", path)
+    path = _re.sub(r"/+$", "", path)
+    keep = [
+        p
+        for p in query.split("&")
+        if p != ""
+        and not _re.match(r"^(utm_.*|fbclid|gclid|msclkid|ref|ref_src)$", p.split("=", 1)[0])
+    ]
+    q = "&".join(sorted(keep))
+    return host + path + (("?" + q) if q else "")
+
+
+def _gen_urls(n: int, seed: int = 5) -> list:
+    import random
+
+    rng = random.Random(seed)
+    schemes = ["http", "https", "HTTP", "HtTpS"]
+    hosts = ["example.org", "Example.ORG", "www.example.org", "WWW.EXAMPLE.org",
+             "sub.domain.example.org", "example.org:443", "example.org:80",
+             "example.org:8080"]
+    segs = ["a", "B", "Page-1", "x_y", "idx.html", "caf%C3%A9"]
+    keys = ["a", "b", "q", "sort", "utm_source", "utm_campaign", "fbclid",
+            "gclid", "ref", "refx", "xref", "msclkid"]
+    out = []
+    for _ in range(n):
+        path = ""
+        for _ in range(rng.randint(0, 4)):
+            path += "/" * rng.randint(1, 3) + rng.choice(segs)
+        if path and rng.random() < 0.4:
+            path += "/" * rng.randint(1, 2)
+        params = "&".join(
+            f"{rng.choice(keys)}={rng.randint(0, 9)}" for _ in range(rng.randint(0, 4))
+        )
+        frag = "#frag" if rng.random() < 0.3 else ""
+        out.append(
+            f"{rng.choice(schemes)}://{rng.choice(hosts)}{path}"
+            + (f"?{params}" if params else "")
+            + frag
+        )
+    return out
+
+
+def test_canonicalize_url_three_way_differential(spark):
+    """Spark Column form == pure-Python reference == the DuckDB SQL mirror
+    used by the doc_url_dedup oracle, over 400 generated URLs covering
+    scheme/host-case/www/port/dup-slash/trailing-slash/param/fragment
+    combinations — pins the canonicalizer far beyond the 6 fixture variants."""
+    import duckdb
+
+    from openstreetmapio_jl_spark.functions import text as textfn
+
+    urls = _gen_urls(400)
+    want_map = {u: _py_canonicalize_url(u) for u in urls}
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got_spark = dict(
+        df.select("url", textfn.canonicalize_url(F.col("url")).alias("c")).collect()
+    )
+    assert got_spark == want_map
+
+    con = duckdb.connect()
+    con.execute("create table raw(url varchar)")
+    con.executemany("insert into raw values (?)", [(u,) for u in urls])
+    sql = r"""
+with c as (
+  select url, regexp_replace(split_part(trim(url), '#', 1),
+              '^[A-Za-z][A-Za-z0-9+.\-]*://', '') as rest from raw),
+p as (
+  select url,
+    regexp_replace(regexp_replace(lower(split_part(split_part(rest,'?',1),'/',1)),
+                                  '^www\.', ''), ':(80|443)$', '') as host,
+    regexp_replace(regexp_replace(regexp_extract(split_part(rest,'?',1),
+                                                 '^[^/]*(/.*)?$', 1),
+                                  '/{2,}', '/', 'g'), '/+$', '') as path,
+    array_to_string(list_sort(list_filter(
+      string_split(split_part(rest,'?',2), '&'),
+      q -> q <> '' and not regexp_matches(split_part(q,'=',1),
+             '^(utm_.*|fbclid|gclid|msclkid|ref|ref_src)$'))), '&') as q
+  from c)
+select url, host || path || case when q <> '' then '?' || q else '' end as c
+from p
+"""
+    got_duck = dict(con.execute(sql).fetchall())
+    assert got_duck == want_map
