@@ -40,6 +40,9 @@ HEADLINE = [
     "pip_hits_per_polygon",  # FLAGSHIP: cell-keyed PIP spatial join
     "pip_hits_multi_mention",# r5: per-mention-multiplicity PIP (NEW in r05 —
                              # round-over-round totals gain a 12th query)
+    "doc_chunk_dedup",       # r5: CCNet chunk-level boilerplate dedup (NEW in
+                             # r05 — 13th query; totals are not comparable
+                             # across rounds, per-query minima are)
     "pip_hits_multipolygon", # PIP vs assembled multipolygons (stitched rings)
     "knn_pages_to_poi",      # cell-ring expanding kNN
     "tile_pyramid_z11",      # raster<->vector tile rollup

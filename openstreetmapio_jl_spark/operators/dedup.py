@@ -1219,3 +1219,79 @@ def chunk_clean(
         .withColumnRenamed("clean_text", text_col)
     )
     return out.select(*docs.columns)  # original column order preserved
+
+
+# ---------------------------------------------------------------------------
+# train/test decontamination (benchmark n-gram overlap)
+# ---------------------------------------------------------------------------
+
+def word_ngram_hashes(text_col: Column, n: int = 8) -> Column:
+    """ARRAY<STRING> of md5s over the OVERLAPPING n-word grams of the
+    ``\\s+``-tokenized text; texts with fewer than ``n`` words yield an EMPTY
+    array (``sequence(1, 0)`` counts DOWN — the char_shingles trap — so the
+    gram count is gated). md5 keeps the hash engine-portable for the oracle."""
+    words = F.filter(F.split(F.trim(text_col), r"\s+"), lambda x: x != F.lit(""))
+    n_grams = F.size(words) - (n - 1)
+    return F.when(
+        n_grams > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.md5(
+                F.encode(F.array_join(F.slice(words, i, n), " "), "UTF-8")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def contamination_stats(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_words: int = 8,
+) -> DataFrame:
+    """Train/test decontamination: per-corpus-document overlap with a
+    benchmark set's word n-grams (the GPT-3/Gopher-style 13-gram scan —
+    Brown et al. 2020 §C; 8 words here to fit the fixture corpus's short
+    docs). A training document sharing n-grams with an eval benchmark leaks
+    the benchmark into training; pipelines drop or redact documents whose
+    ``contam_frac`` exceeds a threshold.
+
+    Returns one row per corpus document: ``(id, n_grams, n_contaminated,
+    contam_frac)`` — n_contaminated counts the doc's gram OCCURRENCES found
+    anywhere in the benchmark, contam_frac their fraction (NULL for docs
+    shorter than one gram).
+
+    Shape at scale: benchmark suites are small (thousands of docs) while the
+    corpus is the 100-TB side — the benchmark's distinct gram hashes BROADCAST
+    and the probe is a broadcast LEFT SEMI join on the corpus's exploded
+    grams: zero shuffle of corpus data beyond the final per-doc groupBy,
+    which co-partitions with the explode. No Python anywhere.
+    """
+    grams = word_ngram_hashes(F.col(text_col), ngram_words)
+    base = corpus.select(F.col(id_col).alias("id"), grams.alias("grams"))
+    bench = (
+        benchmark.select(F.explode(word_ngram_hashes(F.col(text_col), ngram_words)).alias("g"))
+        .distinct()
+    )
+    exploded = base.select("id", F.explode("grams").alias("g"))
+    hits = (
+        exploded.join(F.broadcast(bench), "g", "left_semi")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    totals = base.select("id", F.size("grams").cast("long").alias("n_grams"))
+    return totals.join(hits, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_grams",
+        F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long").alias(
+            "n_contaminated"
+        ),
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(
+                F.coalesce(F.col("n_contaminated"), F.lit(0)) / F.col("n_grams"), 6
+            ),
+        ).alias("contam_frac"),
+    )

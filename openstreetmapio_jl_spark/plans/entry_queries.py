@@ -1053,6 +1053,46 @@ having count(*) > 1
 """
 
 
+def q_doc_decontaminate(spark, sf_dir):
+    """Train/test decontamination (GPT-3/Gopher-style benchmark n-gram scan):
+    per-corpus-doc overlap with a benchmark set's 8-word grams. The benchmark
+    is the deterministic doc_id % 50 == 0 slice of documents, the corpus the
+    remainder — exact-dup pairs straddling the split surface as ~fully
+    contaminated docs. Scale shape: benchmark gram hashes BROADCAST, corpus
+    probed with a broadcast left-semi join — zero corpus shuffle beyond the
+    per-doc rollup. Returns EVERY corpus doc (n_grams pins the gram counting
+    corpus-wide, not just on flagged docs)."""
+    d = _load(spark, sf_dir, "documents")
+    is_bench = F.col("doc_id") % 50 == 0
+    return dedup.contamination_stats(
+        d.filter(~is_bench), d.filter(is_bench), ngram_words=8
+    )
+
+
+SQL_DOC_DECONTAMINATE = r"""
+with w as (
+  select doc_id,
+    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') as words
+  from documents),
+g as (
+  select doc_id, md5(array_to_string(words[i : i+7], ' ')) as gh
+  from w, unnest(range(1, len(words) - 6)) as t(i)),
+bench as (select distinct gh from g where doc_id % 50 = 0),
+hit as (
+  select doc_id, count(*) as n_contaminated
+  from g join bench using (gh) where doc_id % 50 <> 0 group by doc_id),
+tot as (
+  select doc_id, greatest(len(words) - 7, 0) as n_grams
+  from w where doc_id % 50 <> 0)
+select t.doc_id, cast(t.n_grams as bigint) as n_grams,
+       cast(coalesce(h.n_contaminated, 0) as bigint) as n_contaminated,
+       case when t.n_grams > 0
+            then round(coalesce(h.n_contaminated, 0) / cast(t.n_grams as double), 6)
+       end as contam_frac
+from tot t left join hit h using (doc_id)
+"""
+
+
 def q_doc_token_quality(spark, sf_dir):
     d = _load(spark, sf_dir, "documents")
     return (
@@ -2540,9 +2580,10 @@ def registry() -> dict[str, tuple]:
     (rotated BACK in — it is the north star's named H3 res-7 surface and the
     r04 verdict flagged that both hex queries had drifted past the window),
     doc_chunk_dedup (CCNet-style paragraph-granularity boilerplate removal,
-    new surface) and doc_url_dedup (crawl URL canonicalization, new surface).
-    Rotated to the tail to make room (each r04-green with an in-window
-    sibling covering its certified path): events_band_join
+    new surface), doc_url_dedup (crawl URL canonicalization, new surface)
+    and doc_decontaminate (benchmark n-gram train/test decontamination, new
+    surface). Rotated to the tail to make room (each r04-green with an
+    in-window sibling covering its certified path): events_band_join
     (events_band_join_outer BUILDS the inner band join internally, so the
     binned-join path stays certified), doc_simhash (doc_simhash_neardup
     computes the same simhash signature as its first stage), doc_fingerprint
@@ -2575,6 +2616,7 @@ def registry() -> dict[str, tuple]:
         "doc_repetition_signals": (q_doc_repetition, SQL_DOC_REPETITION),
         "doc_chunk_dedup": (q_doc_chunk_dedup, SQL_DOC_CHUNK_DEDUP),
         "doc_url_dedup": (q_doc_url_dedup, SQL_DOC_URL_DEDUP),
+        "doc_decontaminate": (q_doc_decontaminate, SQL_DOC_DECONTAMINATE),
         "doc_token_quality": (q_doc_token_quality, SQL_DOC_TOKEN_QUALITY),
         "doc_langid": (q_doc_langid, _sql_langid()),
         "osm_counts": (q_osm_counts, _sql_osm_counts()),
@@ -2606,7 +2648,6 @@ def registry() -> dict[str, tuple]:
         "doc_winnow_fps": (q_doc_winnow_fps, _sql_winnow()),
         "doc_lang_pivot": (q_doc_lang_pivot, _sql_lang_pivot()),
         "mm_media_stats": (q_mm_media_stats, _sql_mm_stats()),
-        "mm_frame_sample": (q_mm_frame_sample, _sql_mm_frames()),
         # --- past the driver's 50-entry correctness window: certified twins
         # (events_band_join: r04-green; the binned band-join path stays
         # in-window via events_band_join_outer, which builds the inner join
@@ -2629,8 +2670,12 @@ def registry() -> dict[str, tuple]:
         # out for doc_chunk_dedup; osm_urlencode: r04-green; the in-window
         # overpass_url_build applies the identical sequential percent-encode
         # and its oracle pins the encode order byte-for-byte — rotated out
-        # for doc_url_dedup)
+        # for doc_url_dedup; mm_frame_sample: r04-green; the in-window
+        # mm_media_stats drives the same Arrow-batched mapInPandas multimodal
+        # path over the identical _mm_payloads synthesis — rotated out for
+        # doc_decontaminate)
         "events_band_join": (q_events_band_join, SQL_EVENTS_BAND),
+        "mm_frame_sample": (q_mm_frame_sample, _sql_mm_frames()),
         "doc_simhash": (q_doc_simhash, _sql_simhash()),
         "doc_fingerprint": (q_doc_fingerprint, _sql_doc_fingerprint()),
         "osm_urlencode": (q_osm_urlencode, _sql_urlencode()),

@@ -606,3 +606,58 @@ from p
 """
     got_duck = dict(con.execute(sql).fetchall())
     assert got_duck == want_map
+
+
+# ---------------------------------------------------------------------------
+# train/test decontamination (operators/dedup.contamination_stats)
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_stats_counts_benchmark_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "q1 q2 q3 q4 leak1 leak2 leak3 leak4")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the benchmark's full text → every 4-gram contaminated
+            (1, "q1 q2 q3 q4 leak1 leak2 leak3 leak4"),
+            # shares ONE aligned 4-gram window (leak1..leak4)
+            (2, "x1 x2 x3 leak1 leak2 leak3 leak4 y1"),
+            # no overlap
+            (3, "a b c d e f g h"),
+            # shorter than one gram → 0 grams, NULL fraction
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.contamination_stats(corpus, bench, ngram_words=4).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert (out[1].n_grams, out[1].n_contaminated, out[1].contam_frac) == (5, 5, 1.0)
+    assert (out[2].n_grams, out[2].n_contaminated) == (5, 1)
+    assert abs(out[2].contam_frac - 0.2) < 1e-9
+    assert (out[3].n_grams, out[3].n_contaminated, out[3].contam_frac) == (5, 0, 0.0)
+    assert (out[4].n_grams, out[4].n_contaminated) == (0, 0)
+    assert out[4].contam_frac is None
+
+
+def test_contamination_probe_is_a_broadcast_semi_join(spark):
+    """The benchmark side must BROADCAST (it is the small side by contract);
+    a shuffled semi join here would re-shuffle the 100-TB corpus's exploded
+    grams — the exact shape the operator exists to avoid."""
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", *[F.concat(F.lit(f"w{j}-"), F.col("id")) for j in range(10)]
+        ).alias("text"),
+    )
+    df = dedup.contamination_stats(
+        docs.filter(F.col("doc_id") >= 10), docs.filter(F.col("doc_id") < 10)
+    )
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
