@@ -1141,19 +1141,33 @@ def chunk_dedup(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
     )
     n_chunks = F.ceil(F.size("words") / w).cast("int")
-    # sequence(0, -1) counts DOWN (same trap as char_shingles) — gate on size
-    chunks = F.when(
-        F.size("words") > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.array_join(F.slice(F.col("words"), i * w + 1, w), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    base = docs.select(F.col(id_col).alias("id"), words.alias("words")).select(
-        "id", chunks.alias("chunks")
-    )
-    ex = base.select("id", F.posexplode("chunks").alias("pos", "chunk")).withColumn(
-        "h", F.md5(F.encode("chunk", "UTF-8"))
+    wdf = docs.select(F.col(id_col).alias("id"), words.alias("words"))
+    # Explode chunk POSITIONS (an int sequence) and slice AFTER the explode —
+    # never explode a materialized HOF-built ARRAY<STRING>: codegen re-derives
+    # a generator's non-attribute child at every consumer, so exploding the
+    # chunk array re-evaluates the whole transform-lambda chain ~an order of
+    # magnitude more than once (measured 4x wall on this query at sf0.1; same
+    # pathology minhash_lsh_buckets documents for shingles). sequence(0, -1)
+    # counts DOWN (the char_shingles trap) — gate on size; zero-word docs get
+    # no chunk rows here and are restored by the ids left join below.
+    ex = (
+        wdf.select(
+            "id",
+            "words",
+            F.explode(
+                F.when(
+                    F.size("words") > 0, F.sequence(F.lit(0), n_chunks - 1)
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("pos"),
+        )
+        .select(
+            "id",
+            "pos",
+            F.array_join(F.slice(F.col("words"), F.col("pos") * w + 1, w), " ").alias(
+                "chunk"
+            ),
+        )
+        .withColumn("h", F.md5(F.encode("chunk", "UTF-8")))
     )
     freq = ex.groupBy("h").agg(F.countDistinct("id").alias("ndocs"))
     joined = ex.join(freq, "h")
@@ -1225,22 +1239,10 @@ def chunk_clean(
 # train/test decontamination (benchmark n-gram overlap)
 # ---------------------------------------------------------------------------
 
-def word_ngram_hashes(text_col: Column, n: int = 8) -> Column:
-    """ARRAY<STRING> of md5s over the OVERLAPPING n-word grams of the
-    ``\\s+``-tokenized text; texts with fewer than ``n`` words yield an EMPTY
-    array (``sequence(1, 0)`` counts DOWN — the char_shingles trap — so the
-    gram count is gated). md5 keeps the hash engine-portable for the oracle."""
-    words = F.filter(F.split(F.trim(text_col), r"\s+"), lambda x: x != F.lit(""))
-    n_grams = F.size(words) - (n - 1)
-    return F.when(
-        n_grams > 0,
-        F.transform(
-            F.sequence(F.lit(1), n_grams),
-            lambda i: F.md5(
-                F.encode(F.array_join(F.slice(words, i, n), " "), "UTF-8")
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+def word_tokens(text_col: Column) -> Column:
+    """ARRAY<STRING> of the ``\\s+``-separated tokens of the trimmed text
+    (empty tokens filtered, so whitespace-only docs yield an empty array)."""
+    return F.filter(F.split(F.trim(text_col), r"\s+"), lambda x: x != F.lit(""))
 
 
 def contamination_stats(
@@ -1269,19 +1271,41 @@ def contamination_stats(
     grams: zero shuffle of corpus data beyond the final per-doc groupBy,
     which co-partitions with the explode. No Python anywhere.
     """
-    grams = word_ngram_hashes(F.col(text_col), ngram_words)
-    base = corpus.select(F.col(id_col).alias("id"), grams.alias("grams"))
+    # Explode gram POSITIONS and hash AFTER the explode — never explode a
+    # materialized HOF-built gram array: codegen re-derives a generator's
+    # non-attribute child at every consumer, re-running the whole gram-lambda
+    # chain ~an order of magnitude more than once (measured: this query went
+    # 6.5 s → 0.6 s at sf0.1 from this restructure; minhash_lsh_buckets
+    # documents the same pathology for shingles). sequence(1, 0) counts DOWN
+    # (the char_shingles trap) — gate on the gram count.
+    n = ngram_words
+    n_grams = F.size("words") - (n - 1)
+    positions = F.when(n_grams > 0, F.sequence(F.lit(1), n_grams)).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram_md5 = F.md5(
+        F.encode(F.array_join(F.slice(F.col("words"), F.col("i"), n), " "), "UTF-8")
+    )
+    wdf = corpus.select(
+        F.col(id_col).alias("id"), word_tokens(F.col(text_col)).alias("words")
+    )
     bench = (
-        benchmark.select(F.explode(word_ngram_hashes(F.col(text_col), ngram_words)).alias("g"))
+        benchmark.select(word_tokens(F.col(text_col)).alias("words"))
+        .select(F.explode(positions).alias("i"), "words")
+        .select(gram_md5.alias("g"))
         .distinct()
     )
-    exploded = base.select("id", F.explode("grams").alias("g"))
+    exploded = wdf.select("id", F.explode(positions).alias("i"), "words").select(
+        "id", gram_md5.alias("g")
+    )
     hits = (
         exploded.join(F.broadcast(bench), "g", "left_semi")
         .groupBy("id")
         .agg(F.count("*").alias("n_contaminated"))
     )
-    totals = base.select("id", F.size("grams").cast("long").alias("n_grams"))
+    totals = wdf.select(
+        "id", F.greatest(n_grams, F.lit(0)).cast("long").alias("n_grams")
+    )
     return totals.join(hits, "id", "left").select(
         F.col("id").alias(id_col),
         "n_grams",
