@@ -41,8 +41,12 @@ HEADLINE = [
     "pip_hits_multi_mention",# r5: per-mention-multiplicity PIP (NEW in r05 —
                              # round-over-round totals gain a 12th query)
     "doc_chunk_dedup",       # r5: CCNet chunk-level boilerplate dedup (NEW in
-                             # r05 — 13th query; totals are not comparable
-                             # across rounds, per-query minima are)
+                             # r05 — totals are not comparable across rounds
+                             # once queries are added, per-query minima are)
+    "doc_decontaminate",     # r5: benchmark n-gram decontamination (NEW in
+                             # r05 — broadcast-semi-join probe)
+    "er_customer_mentions",  # r5: SparkER token-blocking entity resolution
+                             # (NEW in r05 — purged-block candidate join)
     "pip_hits_multipolygon", # PIP vs assembled multipolygons (stitched rings)
     "knn_pages_to_poi",      # cell-ring expanding kNN
     "tile_pyramid_z11",      # raster<->vector tile rollup

@@ -1093,6 +1093,115 @@ from tot t left join hit h using (doc_id)
 """
 
 
+def q_er_customer_mentions(spark, sf_dir):
+    """SparkER-style entity resolution (token blocking + block purging +
+    Jaccard top-1): link dirty customer MENTIONS synthesized from orders back
+    to the customer entity catalog. Entities carry two selective tokens (the
+    zero-padded custkey and a derived alias code); mention classes by
+    o_orderkey % 4 — exact copy (Jaccard 1.0), number-only (0.5), number +
+    code + a per-order noise token (2/3), and a stop-tokens-only class that
+    must produce NO match. Stop tokens ('customer', 'code', 'ref', ...)
+    exceed max_block_df and are purged before the candidate join — the
+    operator's scale lever — so every score above is over selective tokens
+    only. One row per matched mention, ties broken by ascending custkey."""
+    from openstreetmapio_jl_spark.operators import er
+
+    cust = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders")
+    num = F.lpad(F.col("c_custkey").cast("string"), 9, "0")
+    entities = cust.select(
+        "c_custkey",
+        F.concat(
+            F.lit("Customer#"), num, F.lit(" code "),
+            (F.col("c_custkey") * 7 + 13).cast("string"),
+        ).alias("entity_name"),
+    )
+    onum = F.lpad(F.col("o_custkey").cast("string"), 9, "0")
+    code = (F.col("o_custkey") * 7 + 13).cast("string")
+    v = F.col("o_orderkey") % 4
+    mention = (
+        F.when(v == 0, F.concat(F.lit("Customer#"), onum, F.lit(" code "), code))
+        .when(v == 1, F.concat(F.lit("CUSTOMER "), onum))
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("customer "), onum, F.lit(" code "), code,
+                F.lit(" ref "), F.col("o_orderkey").cast("string"),
+            ),
+        )
+        .otherwise(F.lit("customer service inquiry"))
+    )
+    mentions = orders.select("o_orderkey", mention.alias("mention_name"))
+    return er.resolve_entities(
+        mentions,
+        entities,
+        mention_id="o_orderkey",
+        mention_name="mention_name",
+        entity_id="c_custkey",
+        entity_name="entity_name",
+        max_block_df=100,
+        min_jaccard=0.4,
+    )
+
+
+SQL_ER_CUSTOMER_MENTIONS = r"""
+with entities as (
+  select c_custkey,
+         'Customer#' || lpad(cast(c_custkey as varchar), 9, '0')
+           || ' code ' || cast(c_custkey * 7 + 13 as varchar) as entity_name
+  from customer),
+mentions as (
+  select o_orderkey,
+    case cast(o_orderkey % 4 as int)
+      when 0 then 'Customer#' || lpad(cast(o_custkey as varchar), 9, '0')
+                  || ' code ' || cast(o_custkey * 7 + 13 as varchar)
+      when 1 then 'CUSTOMER ' || lpad(cast(o_custkey as varchar), 9, '0')
+      when 2 then 'customer ' || lpad(cast(o_custkey as varchar), 9, '0')
+                  || ' code ' || cast(o_custkey * 7 + 13 as varchar)
+                  || ' ref ' || cast(o_orderkey as varchar)
+      else 'customer service inquiry'
+    end as mention_name
+  from orders),
+mtok as (
+  select distinct o_orderkey as mid, tok from (
+    select o_orderkey,
+           unnest(list_filter(string_split_regex(lower(mention_name), '[^a-z0-9]+'),
+                              t -> t <> '')) as tok
+    from mentions)),
+etok as (
+  select distinct c_custkey as eid, tok from (
+    select c_custkey,
+           unnest(list_filter(string_split_regex(lower(entity_name), '[^a-z0-9]+'),
+                              t -> t <> '')) as tok
+    from entities)),
+keep as (
+  select tok from (
+    select tok, sum(c) as block_df from (
+      select tok, count(*) as c from mtok group by tok
+      union all
+      select tok, count(*) as c from etok group by tok) group by tok)
+  where block_df <= 100),
+mkeep as (select mtok.* from mtok join keep using (tok)),
+ekeep as (select etok.* from etok join keep using (tok)),
+msize as (select mid, count(*) as m_sz from mkeep group by mid),
+esize as (select eid, count(*) as e_sz from ekeep group by eid),
+inter as (
+  select mid, eid, count(*) as inter
+  from mkeep join ekeep using (tok) group by mid, eid),
+scored as (
+  select mid, eid,
+         round(inter / cast(m_sz + e_sz - inter as double), 6) as jaccard
+  from inter join msize using (mid) join esize using (eid)
+  where round(inter / cast(m_sz + e_sz - inter as double), 6) >= 0.4),
+best as (
+  select mid, eid, jaccard,
+         row_number() over (partition by mid order by jaccard desc, eid asc) as rn
+  from scored)
+select mid as o_orderkey, eid as c_custkey, jaccard
+from best where rn = 1
+"""
+
+
 def q_doc_token_quality(spark, sf_dir):
     d = _load(spark, sf_dir, "documents")
     return (
@@ -2581,9 +2690,11 @@ def registry() -> dict[str, tuple]:
     r04 verdict flagged that both hex queries had drifted past the window),
     doc_chunk_dedup (CCNet-style paragraph-granularity boilerplate removal,
     new surface), doc_url_dedup (crawl URL canonicalization, new surface)
-    and doc_decontaminate (benchmark n-gram train/test decontamination, new
-    surface). Rotated to the tail to make room (each r04-green with an
-    in-window sibling covering its certified path): events_band_join
+    doc_decontaminate (benchmark n-gram train/test decontamination, new
+    surface) and er_customer_mentions (SparkER token-blocking entity
+    resolution, new surface). Rotated to the tail to make room (each
+    r04-green with an in-window sibling covering its certified path):
+    events_band_join
     (events_band_join_outer BUILDS the inner band join internally, so the
     binned-join path stays certified), doc_simhash (doc_simhash_neardup
     computes the same simhash signature as its first stage), doc_fingerprint
@@ -2617,12 +2728,12 @@ def registry() -> dict[str, tuple]:
         "doc_chunk_dedup": (q_doc_chunk_dedup, SQL_DOC_CHUNK_DEDUP),
         "doc_url_dedup": (q_doc_url_dedup, SQL_DOC_URL_DEDUP),
         "doc_decontaminate": (q_doc_decontaminate, SQL_DOC_DECONTAMINATE),
+        "er_customer_mentions": (q_er_customer_mentions, SQL_ER_CUSTOMER_MENTIONS),
         "doc_token_quality": (q_doc_token_quality, SQL_DOC_TOKEN_QUALITY),
         "doc_langid": (q_doc_langid, _sql_langid()),
         "osm_counts": (q_osm_counts, _sql_osm_counts()),
         "osm_poi_topk": (q_osm_poi_topk, _sql_osm_poi()),
         "osm_country_filter": (q_osm_country_filter, _sql_osm_country()),
-        "osm_way_sizes": (q_osm_way_sizes, _sql_osm_way_sizes()),
         "osm_member_types": (q_osm_member_types, _sql_osm_members()),
         "osm_ref_integrity": (q_osm_ref_integrity, _sql_osm_integrity()),
         "osm_member_closure": (q_osm_member_closure, _sql_member_closure()),
@@ -2673,9 +2784,14 @@ def registry() -> dict[str, tuple]:
         # for doc_url_dedup; mm_frame_sample: r04-green; the in-window
         # mm_media_stats drives the same Arrow-batched mapInPandas multimodal
         # path over the identical _mm_payloads synthesis — rotated out for
-        # doc_decontaminate)
+        # doc_decontaminate; osm_way_sizes: r04-green; a thin size()-filter
+        # projection whose vectorized tag/size predicate path is certified
+        # in-window by osm_country_filter and whose way-decode inputs stay
+        # in-window via osm_counts / osm_member_closure /
+        # osm_multipolygon_assembly — rotated out for er_customer_mentions)
         "events_band_join": (q_events_band_join, SQL_EVENTS_BAND),
         "mm_frame_sample": (q_mm_frame_sample, _sql_mm_frames()),
+        "osm_way_sizes": (q_osm_way_sizes, _sql_osm_way_sizes()),
         "doc_simhash": (q_doc_simhash, _sql_simhash()),
         "doc_fingerprint": (q_doc_fingerprint, _sql_doc_fingerprint()),
         "osm_urlencode": (q_osm_urlencode, _sql_urlencode()),

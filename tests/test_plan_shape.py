@@ -44,6 +44,8 @@ HEADLINE_BATCH = [
     "pip_hits_multi_mention",    # round-5 per-mention multiplicity
     "doc_chunk_dedup",           # round-5 CCNet chunk-level boilerplate dedup
     "doc_url_dedup",             # round-5 crawl URL canonicalization
+    "doc_decontaminate",         # round-5 benchmark n-gram decontamination
+    "er_customer_mentions",      # round-5 token-blocking entity resolution
     "knn_pages_to_poi",
     "tile_pyramid_z11",
 ]

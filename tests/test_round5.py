@@ -661,3 +661,63 @@ def test_contamination_probe_is_a_broadcast_semi_join(spark):
         df._jdf.queryExecution(), "formatted"
     )
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# entity resolution (operators/er.resolve_entities)
+# ---------------------------------------------------------------------------
+
+
+def test_resolve_entities_blocks_scores_and_purges(spark):
+    from openstreetmapio_jl_spark.operators import er
+
+    entities = spark.createDataFrame(
+        [
+            (1, "Acme Rocket Skates inc"),
+            (2, "Acme Anvil Works inc"),
+            (3, "Globex Portable Holes inc"),
+        ],
+        "entity_id long, entity_name string",
+    )
+    mentions = spark.createDataFrame(
+        [
+            (10, "ACME rocket-skates"),     # → entity 1
+            (11, "acme anvil works!!"),     # → entity 2
+            (12, "globex portable holes"),  # → entity 3, exact surviving set
+            (13, "inc"),                    # stop token only → purged → no match
+            (14, "weyland yutani"),         # no shared tokens → no match
+        ],
+        "mention_id long, mention_name string",
+    )
+    out = {
+        r.mention_id: r
+        for r in er.resolve_entities(
+            mentions, entities, max_block_df=3, min_jaccard=0.3
+        ).collect()
+    }
+    # 'inc' is held by 3 entities + 1 mention = 4 > max_block_df=3 → purged;
+    # 'acme' df=4 → purged too, so matching rides the specific tokens
+    assert set(out) == {10, 11, 12}
+    assert (out[10].entity_id, out[11].entity_id, out[12].entity_id) == (1, 2, 3)
+    # mention 12: tokens {globex, portable, holes} == entity 3's surviving set
+    assert out[12].jaccard == 1.0
+    # mention 10: {rocket, skates} vs entity 1 surviving {rocket, skates}
+    # ('acme'/'inc' purged) → exact on survivors
+    assert out[10].jaccard == 1.0
+
+
+def test_resolve_entities_top1_deterministic_tie_break(spark):
+    from openstreetmapio_jl_spark.operators import er
+
+    entities = spark.createDataFrame(
+        [(7, "alpha beta"), (5, "alpha gamma")],
+        "entity_id long, entity_name string",
+    )
+    mentions = spark.createDataFrame(
+        [(1, "alpha")], "mention_id long, mention_name string"
+    )
+    out = er.resolve_entities(
+        mentions, entities, max_block_df=100, min_jaccard=0.1
+    ).collect()
+    # both entities score 1/2 — the tie must go to the SMALLER entity id
+    assert len(out) == 1 and out[0].entity_id == 5 and out[0].jaccard == 0.5
