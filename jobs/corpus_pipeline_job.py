@@ -50,10 +50,25 @@ def _default_batch_id(pages_path: str) -> str:
     pattern of OVERWRITING the same staging path with a new batch therefore
     yields a NEW id — a path-only hash would reuse the previous batch's id,
     making every lineage chunk key look committed and the index extension
-    look done: the batch would be silently dropped with exit code 0."""
+    look done: the batch would be silently dropped with exit code 0.
+
+    Only LOCAL paths can be content-hashed here (os.stat). A remote URI
+    (s3://, hdfs://, ...) would silently degrade to the path-only hash —
+    exactly the silent-loss mode this function exists to prevent — so it
+    fails loudly and demands an explicit --batch-id instead."""
     import hashlib
 
+    if "://" in pages_path:
+        raise SystemExit(
+            f"--pages is a remote URI ({pages_path}): the default batch id "
+            "is content-derived via local os.stat and cannot see remote "
+            "content, so overwriting this URI with a new batch would reuse "
+            "the old batch id and silently drop the batch. Pass an explicit "
+            "per-batch --batch-id."
+        )
     root = os.path.abspath(pages_path)
+    if not os.path.exists(root):
+        raise SystemExit(f"--pages path does not exist: {pages_path}")
     h = hashlib.md5(root.encode())
     if os.path.isdir(root):
         entries = []
@@ -64,7 +79,7 @@ def _default_batch_id(pages_path: str) -> str:
                 entries.append((os.path.relpath(p, root), st.st_size, st.st_mtime_ns))
         for rel, size, mtime in sorted(entries):
             h.update(f"|{rel}:{size}:{mtime}".encode())
-    elif os.path.exists(root):
+    else:
         st = os.stat(root)
         h.update(f"|{st.st_size}:{st.st_mtime_ns}".encode())
     return h.hexdigest()[:10]
@@ -317,16 +332,27 @@ def main() -> None:
             mode = "built"
         stats["dedup_index"] = args.dedup_index
         stats["index_mode"] = mode
-        # With the content-sensitive default batch id, "0 chunks processed +
-        # extension skipped" can only mean THIS EXACT content (path + file
-        # sizes + mtimes) was already fully ingested — a safe no-op rerun,
-        # not the silent-batch-loss mode the --batch-id help text warns
-        # about (new content at the same path now hashes to a new id). Say
-        # so explicitly in the emitted stats.
+        # "0 chunks processed + extension skipped" is a safe no-op rerun
+        # ONLY under the content-derived default id (identical path + file
+        # sizes + mtimes ⇒ identical content). Under an EXPLICIT --batch-id
+        # the job cannot distinguish a scheduler retry of a completed batch
+        # from a reused id pointed at NEW content — the silent-loss mode the
+        # help text warns about — so it warns instead of asserting safety
+        # (it cannot fail: at-least-once schedulers legitimately rerun
+        # completed batches with the same id).
         if mode == "skipped" and stats.get("processed", 0) == 0:
-            stats["note"] = (
-                "no-op rerun: identical batch content already fully ingested"
-            )
+            if args.batch_id is None:
+                stats["note"] = (
+                    "no-op rerun: identical batch content already fully "
+                    "ingested (content-derived batch id)"
+                )
+            else:
+                stats["note"] = (
+                    "WARNING: 0 chunks processed and index extension skipped "
+                    f"under explicit --batch-id {batch_id}: if --pages holds "
+                    "NEW content, the batch was NOT ingested — rerun with a "
+                    "fresh --batch-id"
+                )
 
     chunked.unpersist()
     polys.unpersist()

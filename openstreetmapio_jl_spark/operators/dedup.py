@@ -91,6 +91,7 @@ def minhash_lsh_buckets(
     shingle_n: int = 5,
     num_hashes: int = 8,
     band_size: int = 2,
+    rebalance: bool | None = None,
 ) -> DataFrame:
     """→ (band_idx, band_sig, n_docs, min_id, max_id) for buckets with >= 2 docs —
     the LSH candidate-duplicate groups. Bands are md5 over ``band_size``
@@ -110,13 +111,20 @@ def minhash_lsh_buckets(
     # fewer leaf files than cores ⇒ under-partitioned scan ⇒ rebalance. Non-file
     # frames report zero files and are treated as already parallel (local test
     # frames parallelize to defaultParallelism; at real scale the corpus always
-    # has >= cores splits and no reshuffle happens either way).
+    # has >= cores splits and no reshuffle happens either way). Two blind spots
+    # the file count can't see without running the plan: a `.coalesce(n)`
+    # upstream (files plentiful, runtime partitions few — under-rebalanced) and
+    # a single LARGE splittable file (1 file, many maxPartitionBytes splits —
+    # needlessly rebalanced). ``rebalance`` overrides the heuristic for both:
+    # True forces the reshuffle, False forbids it, None (default) probes.
     dp = docs.sparkSession.sparkContext.defaultParallelism
-    try:
-        n_files = len(docs.inputFiles())
-    except Exception:  # non-file plans (streams, pure-local relations)
-        n_files = 0
-    if 0 < n_files < dp:
+    if rebalance is None:
+        try:
+            n_files = len(docs.inputFiles())
+        except Exception:  # non-file plans (streams, pure-local relations)
+            n_files = 0
+        rebalance = 0 < n_files < dp
+    if rebalance:
         docs = docs.repartition(dp * 2, id_col)
     # Explode POSITIONS (an int sequence) and slice inside the same codegen stage
     # rather than exploding a materialized ARRAY<STRING> of n-grams: the string
@@ -1137,9 +1145,7 @@ def chunk_dedup(
     corpus, no driver collect — the same shape CCNet runs sharded over 30 TB.
     """
     w = F.lit(words_per_chunk)
-    words = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != F.lit("")
-    )
+    words = word_tokens(F.col(text_col))  # the ONE corpus tokenization rule
     n_chunks = F.ceil(F.size("words") / w).cast("int")
     wdf = docs.select(F.col(id_col).alias("id"), words.alias("words"))
     # Explode chunk POSITIONS (an int sequence) and slice AFTER the explode —
@@ -1226,10 +1232,15 @@ def chunk_clean(
         words_per_chunk=words_per_chunk,
         boiler_doc_threshold=boiler_doc_threshold,
         emit_text=True,
-    ).select(id_col, "clean_text")
+    ).select(id_col, "n_chunks", "clean_text")
+    # drop ONLY true boilerplate (had chunks, none survived); an empty /
+    # whitespace-only doc has NO chunks, shares nothing with anything, and
+    # passes through (text rewritten to '') to reach the same downstream
+    # quality gate it reaches with this stage disabled
+    keep = (F.col("clean_text") != "") | (F.col("n_chunks") == 0)
     out = (
         docs.drop(text_col)
-        .join(cleaned.filter(F.col("clean_text") != ""), id_col)
+        .join(cleaned.filter(keep).drop("n_chunks"), id_col)
         .withColumnRenamed("clean_text", text_col)
     )
     return out.select(*docs.columns)  # original column order preserved

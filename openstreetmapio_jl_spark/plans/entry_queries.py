@@ -1913,7 +1913,12 @@ aug as (
   from pp a left join pp b on b.i = a.i + 1
 ),
 g as (
-  select * from (
+  -- DISTINCT mentions: the final hit count is over distinct (url, lat, lon)
+  -- on both engines, but here dedup must happen BEFORE the ray cast — a page
+  -- repeating an identical mention would contribute every polygon edge twice
+  -- to sum(c), flipping the even-odd parity (2k crossings = even) and
+  -- silently dropping a true hit that the duplicate-immune Spark side keeps.
+  select distinct * from (
     select url,
       cast(regexp_extract(m, '{geocode.GEO_RE}', 1) as double) as plat,
       cast(regexp_extract(m, '{geocode.GEO_RE}', 2) as double) as plon

@@ -236,6 +236,7 @@ def novel_pages_stream(
     shingle_n: int = 5,
     num_hashes: int = 8,
     band_size: int = 2,
+    persist_handles: list | None = None,
 ) -> DataFrame:
     """STREAM-STATIC incremental-dedup PREFILTER: keep only pages whose MinHash
     band signatures collide with NO bucket of the persisted signature index
@@ -268,7 +269,15 @@ def novel_pages_stream(
     ``index_memberships`` is given, the per-band ``distinct`` frames are
     persisted so the aggregate runs once (first trigger) and later triggers
     hit the in-memory relation instead of re-shuffling the memberships table;
-    at corpus scale prefer ``probe_sigs``, which needs no executor cache."""
+    at corpus scale prefer ``probe_sigs``, which needs no executor cache.
+    Two consequences of that persist, both absent on the ``probe_sigs`` path:
+    (1) the cached frames pin executor memory for the session — pass a list
+    as ``persist_handles`` and unpersist them after the query stops (the
+    ingest loop rebuilds the stream per extension cycle; without the handles
+    every rebuild would pin ``nbands`` more frames); (2) the index SNAPSHOT
+    is frozen at first materialization — rows a concurrent
+    ``extend_dedup_index`` adds are not probed until the stream is rebuilt,
+    which the ingest loop does anyway after each extension."""
     if (index_memberships is None) == (probe_sigs is None):
         raise ValueError("pass exactly one of index_memberships / probe_sigs")
     nbands = num_hashes // band_size
@@ -297,6 +306,8 @@ def novel_pages_stream(
                 .distinct()
                 .persist()  # computed once, reused by every micro-batch
             )
+            if persist_handles is not None:
+                persist_handles.append(idx_b)
         out = out.join(
             idx_b, out[f"_sig{b}"] == idx_b[f"_idx_sig{b}"], "left_outer"
         )

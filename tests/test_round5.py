@@ -721,3 +721,197 @@ def test_resolve_entities_top1_deterministic_tie_break(spark):
     ).collect()
     # both entities score 1/2 — the tie must go to the SMALLER entity id
     assert len(out) == 1 and out[0].entity_id == 5 and out[0].jaccard == 0.5
+
+
+# ---------------------------------------------------------------------------
+# round-5 self-review regression pins (post-judge fixes)
+# ---------------------------------------------------------------------------
+
+def _load_job_module():
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "jobs", "corpus_pipeline_job.py")
+    spec = importlib.util.spec_from_file_location("corpus_pipeline_job", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_default_batch_id_fails_loud_on_remote_uri():
+    """A remote --pages URI cannot be content-hashed driver-side: a silent
+    path-only fallback would reproduce the exact silent-batch-loss mode the
+    content hash exists to prevent, so it must refuse and demand --batch-id."""
+    job = _load_job_module()
+    with pytest.raises(SystemExit, match="remote URI"):
+        job._default_batch_id("s3://staging/current")
+    with pytest.raises(SystemExit, match="does not exist"):
+        job._default_batch_id("/nonexistent/pages/dir")
+
+
+def test_default_batch_id_tracks_local_content(tmp_path):
+    d = tmp_path / "pages"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"v1")
+    job = _load_job_module()
+    a = job._default_batch_id(str(d))
+    import os
+    (d / "part-0.parquet").write_bytes(b"v2-longer")  # overwrite in place
+    b = job._default_batch_id(str(d))
+    assert a != b  # same path, new content => new batch id
+
+
+def test_chunk_clean_keeps_empty_docs_drops_only_true_boilerplate(spark):
+    """chunk_clean's drop rule is 'every chunk repeats corpus-wide' — a doc
+    with NO chunks (empty/whitespace text) shares nothing and must survive
+    (text rewritten to ''), reaching the same downstream quality gate it
+    reaches with the stage disabled."""
+    boiler = "shared legal boilerplate chunk of exactly eight words"
+    docs = spark.createDataFrame(
+        [
+            ("u1", boiler + " plus unique tail content here for u1"),
+            ("u2", boiler + " plus unique tail content here for u2"),
+            ("u3", boiler),          # pure boilerplate -> dropped
+            ("u4", ""),              # empty -> kept, text ''
+            ("u5", "   "),           # whitespace-only -> kept, text ''
+        ],
+        "url string, text string",
+    )
+    out = {
+        r.url: r.text
+        for r in dedup.chunk_clean(docs, words_per_chunk=8).collect()
+    }
+    assert set(out) == {"u1", "u2", "u4", "u5"}
+    assert out["u4"] == "" and out["u5"] == ""
+    assert "unique tail" in out["u1"] and boiler.split()[0] not in out["u1"].split()[0]
+
+
+def test_novel_pages_stream_exposes_persist_handles(spark):
+    """The memberships fallback persists one frame per band; a long-lived
+    ingest driver rebuilds the stream after every index extension, so the
+    handles must be exposed for unpersist or every rebuild pins nbands more
+    frames in executor cache."""
+    from openstreetmapio_jl_spark.streaming import pipelines as SP
+
+    pages = spark.createDataFrame(
+        [("u1", "the quick brown fox jumps over the lazy dog")],
+        "url string, text string",
+    )
+    idx_m = spark.createDataFrame(
+        [(0, "00000000000000000000000000000000")], "band_idx int, band_sig string"
+    )
+    handles = []
+    out = SP.novel_pages_stream(pages, idx_m, persist_handles=handles)
+    assert len(handles) == 4  # num_hashes=8 / band_size=2
+    out.count()
+    for h in handles:
+        assert h.storageLevel.useMemory  # actually persisted
+        h.unpersist()
+    assert not handles[0].storageLevel.useMemory
+
+
+def test_minhash_rebalance_override(spark, tmp_path):
+    """rebalance=True/False overrides the inputFiles under-partition probe —
+    the escape hatch for its two blind spots (coalesced upstream: files
+    plentiful but runtime partitions few; single large splittable file:
+    1 file but many maxPartitionBytes splits)."""
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"document number {i} with some repeated shingle text body") for i in range(50)],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(p)
+    docs = spark.read.parquet(p)  # 1 file < defaultParallelism => probe says rebalance
+
+    def plan(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    auto = dedup.minhash_lsh_buckets(docs, shingle_n=5)
+    forced_off = dedup.minhash_lsh_buckets(docs, shingle_n=5, rebalance=False)
+    assert "RepartitionByExpression" in plan(auto)
+    assert "RepartitionByExpression" not in plan(forced_off)
+    # override is a pure plan transform: results identical
+    key = lambda df: sorted(
+        (r.band_idx, r.band_sig, r.n_docs) for r in df.collect()
+    )
+    assert key(auto) == key(forced_off)
+
+
+def test_multi_mention_oracle_immune_to_duplicate_identical_mentions(spark, tmp_path):
+    """Engine-vs-oracle parity pin for the case the sf fixtures never hit: a
+    page carrying the SAME geo mention an EVEN number of times. The Spark side
+    ray-casts each mention row independently and collapses with countDistinct;
+    the DuckDB oracle groups by (url, lat, lon, polygon) BEFORE the parity test
+    — without `select distinct` in its mention CTE, 2k crossings sum to even
+    and a true hit silently vanishes from the oracle only."""
+    import duckdb
+    import pandas as pd
+
+    from openstreetmapio_jl_spark.operators import geocode, spatial_join as SJ
+    from openstreetmapio_jl_spark.plans import entry_queries as EQ
+
+    # --- shared micro fixture: one unit-square polygon, two pages ----------
+    # page 1 mentions A twice (the even-duplicate trap, doubled again by the
+    # successor-join augmentation pulling in page 2's text), page 2 mentions B
+    # once; both points are inside the square.
+    square_edges = [
+        {"y1": 0.0, "x1": 0.0, "y2": 0.0, "x2": 1.0},
+        {"y1": 0.0, "x1": 1.0, "y2": 1.0, "x2": 1.0},
+        {"y1": 1.0, "x1": 1.0, "y2": 1.0, "x2": 0.0},
+        {"y1": 1.0, "x1": 0.0, "y2": 0.0, "x2": 0.0},
+    ]
+    pages_pdf = pd.DataFrame(
+        {
+            "url": ["https://x.test/page-00000001", "https://x.test/page-00000002"],
+            "text": [
+                "twice geo:0.5200000,0.4800000 and again geo:0.5200000,0.4800000",
+                "once geo:0.3000000,0.7000000 here",
+            ],
+        }
+    )
+    polys_pdf = pd.DataFrame(
+        {
+            "id": [42],
+            "edges": [square_edges],
+            "min_lat": [0.0],
+            "max_lat": [1.0],
+            "min_lon": [0.0],
+            "max_lon": [1.0],
+        }
+    )
+    (tmp_path / "truth").mkdir()
+    pages_pdf.to_parquet(tmp_path / "pages.parquet")
+    polys_pdf.to_parquet(tmp_path / "truth" / "polygons.parquet")
+
+    # --- oracle: the REAL registry SQL, fixture root swapped ---------------
+    sql = EQ._sql_pip_multi_mention().replace(
+        f"{EQ.FIXTURE_ROOT}/{EQ.ORACLE_SF_NAME}", str(tmp_path)
+    )
+    oracle = duckdb.connect().execute(sql).fetchall()
+
+    # --- Spark: the query's own pipeline on the same frames ----------------
+    pages = spark.createDataFrame(pages_pdf)
+    polys = spark.createDataFrame(
+        polys_pdf,
+        "id long, edges array<struct<y1:double,x1:double,y2:double,x2:double>>, "
+        "min_lat double, max_lat double, min_lon double, max_lon double",
+    )
+    pg = pages.withColumn(
+        "i", F.regexp_extract("url", r"page-(\d{8})", 1).cast("int")
+    )
+    nxt = pg.select((F.col("i") - 1).alias("i"), F.col("text").alias("next_text"))
+    aug = pg.join(nxt, "i", "left").select(
+        "url",
+        F.when(F.col("next_text").isNull(), F.col("text"))
+        .otherwise(F.concat_ws(" ", "text", "next_text"))
+        .alias("text"),
+    )
+    pts = geocode.extract_geocodes_multi(aug).select("url", "lat", "lon")
+    hits = SJ.point_in_polygon_join(pts, polys, zoom=13, nsalt=16, salt_id_col="url")
+    got = (
+        hits.groupBy("polygon_id")
+        .agg(F.countDistinct("url", "lat", "lon").alias("n_hits"))
+        .collect()
+    )
+    # distinct mentions inside: (p1, A), (p1, B via successor-join), (p2, B)
+    assert [(r.polygon_id, r.n_hits) for r in got] == [(42, 3)]
+    assert sorted(oracle) == [(42, 3)]
