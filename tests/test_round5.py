@@ -915,3 +915,32 @@ def test_multi_mention_oracle_immune_to_duplicate_identical_mentions(spark, tmp_
     # distinct mentions inside: (p1, A), (p1, B via successor-join), (p2, B)
     assert [(r.polygon_id, r.n_hits) for r in got] == [(42, 3)]
     assert sorted(oracle) == [(42, 3)]
+
+
+def test_resolve_entities_materialized_blocks_equal_and_fewer_scans(spark, tmp_path):
+    """materialize_blocks computes the purged-token block index once instead
+    of once per consumer: same rows, strictly fewer base-table scans (the
+    scale lever when the mention side is the corpus)."""
+    from openstreetmapio_jl_spark.operators import er
+
+    mp, ep = str(tmp_path / "m"), str(tmp_path / "e")
+    spark.createDataFrame(
+        [(i, f"acme widget {i}") for i in range(40)],
+        "mention_id long, mention_name string",
+    ).write.parquet(mp)
+    spark.createDataFrame(
+        [(i, f"acme widget {i}") for i in range(40)],
+        "entity_id long, entity_name string",
+    ).write.parquet(ep)
+    m, e = spark.read.parquet(mp), spark.read.parquet(ep)
+
+    def scans(df):
+        return df._jdf.queryExecution().executedPlan().toString().count("FileScan")
+
+    plain = er.resolve_entities(m, e, max_block_df=100, min_jaccard=0.3)
+    mat = er.resolve_entities(
+        m, e, max_block_df=100, min_jaccard=0.3, materialize_blocks=True
+    )
+    rows = lambda df: sorted((r.mention_id, r.entity_id, r.jaccard) for r in df.collect())
+    assert rows(plain) == rows(mat)
+    assert scans(mat) < scans(plain)
