@@ -201,3 +201,33 @@ def bbox_cols_of_ring(ring: Column) -> list[Column]:
         F.array_min(lons).alias("min_lon"),
         F.array_max(lons).alias("max_lon"),
     ]
+
+
+# m² per planar degree² at the equator: (R·π/180)²
+M2_PER_DEG2 = (EARTH_RADIUS_M * math.pi / 180.0) ** 2
+
+
+def polygon_area_m2_col(
+    edges: Column, min_lat: Column, max_lat: Column, min_lon: Column
+) -> Column:
+    """Polygon area (m²) from a closed edge array — shoelace over vertices
+    SHIFTED to the bbox corner (raw lon·lat products lose ~11 digits to
+    cancellation; shifted terms are O(extent²) so float64 keeps them exact),
+    scaled by cos(mean_lat): the standard small-polygon equal-area
+    approximation. Winding-direction independent (absolute value). Pure
+    column math — whole-stage codegen, no Python."""
+    shoelace2 = F.aggregate(
+        edges,
+        F.lit(0.0),
+        lambda a, e: a
+        + (
+            (e["x1"] - min_lon) * (e["y2"] - min_lat)
+            - (e["x2"] - min_lon) * (e["y1"] - min_lat)
+        ),
+    )
+    return (
+        F.abs(shoelace2)
+        / 2.0
+        * F.lit(M2_PER_DEG2)
+        * F.cos(F.radians((min_lat + max_lat) / 2.0))
+    )

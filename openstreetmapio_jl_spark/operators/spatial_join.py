@@ -152,6 +152,86 @@ def assemble_way_lines(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     return with_pos.unionByName(resolved)
 
 
+def way_lengths_m(ways: DataFrame, nodes: DataFrame) -> DataFrame:
+    """Geodesic length per way (meters): consecutive vertices connected by
+    haversine segments, summed per way — the length analytic the reference's
+    per-way refs/LocationsOnWays decode feeds (``src/load_pbf.jl:454-476``
+    carries the coordinate sequence; it never aggregates it).
+
+    Two resolution paths, mirroring :func:`assemble_way_lines`:
+
+    - ways with embedded LocationsOnWays ``positions`` compute their length
+      as pure array math over the embedded coordinates — **zero shuffle**;
+    - otherwise refs resolve against ``nodes`` (one join + one groupBy on the
+      way id, both on the same key so AQE coalesces them); refs missing from
+      ``nodes`` are skipped and the surviving vertices are connected in ref
+      order (skip-missing, the same semantics a SQL inner-join + lead() pair
+      produces).
+
+    Extra input columns (tags projections, classes) ride through unchanged —
+    via ``first()`` on the groupBy path, untouched on the positions path.
+    Output adds ``n_pts`` (resolved vertex count) and ``length_m``; ways with
+    fewer than 2 resolved vertices report ``length_m = 0.0``. Everything is
+    whole-stage-codegen column math — no Python, no window.
+    """
+    carry = [c for c in ways.columns if c not in ("refs", "positions")]
+    extra = [c for c in carry if c != "id"]
+    has_pos = "positions" in ways.columns
+
+    def _length(lats: Column, lons: Column) -> Column:
+        seg = F.transform(
+            F.sequence(F.lit(1), F.size(lats) - 1),
+            lambda i: geo.haversine_m_col(
+                F.element_at(lats, i),
+                F.element_at(lons, i),
+                F.element_at(lats, i + 1),
+                F.element_at(lons, i + 1),
+            ),
+        )
+        total = F.aggregate(seg, F.lit(0.0), lambda acc, x: acc + x)
+        # sequence(1, 0) would DESCEND (Spark defaults step to -1) — guard
+        # single-vertex ways before the transform ever builds that range
+        return F.when(F.size(lats) >= 2, total).otherwise(F.lit(0.0))
+
+    if has_pos:
+        with_pos = ways.filter(F.col("positions").isNotNull())
+        lats = F.transform("positions", lambda p: p["lat"])
+        lons = F.transform("positions", lambda p: p["lon"])
+        embedded = with_pos.select(
+            *carry,
+            F.size("positions").alias("n_pts"),
+            _length(lats, lons).alias("length_m"),
+        )
+        without = ways.filter(F.col("positions").isNull())
+    else:
+        embedded = None
+        without = ways
+
+    node_pos = nodes.select(
+        F.col("id").alias("ref"), F.col("lat").alias("n_lat"), F.col("lon").alias("n_lon")
+    )
+    resolved = (
+        without.select(*carry, F.posexplode("refs").alias("seq", "ref"))
+        .join(node_pos, "ref", "inner")
+        .groupBy("id")
+        .agg(
+            *[F.first(c).alias(c) for c in extra],
+            F.array_sort(
+                F.collect_list(F.struct("seq", F.col("n_lat"), F.col("n_lon")))
+            ).alias("pts"),
+        )
+        .select(
+            *carry,
+            F.size("pts").alias("n_pts"),
+            _length(
+                F.transform("pts", lambda p: p["n_lat"]),
+                F.transform("pts", lambda p: p["n_lon"]),
+            ).alias("length_m"),
+        )
+    )
+    return embedded.unionByName(resolved) if embedded is not None else resolved
+
+
 _STITCH_SCHEMA = "rel_id long, lats array<double>, lons array<double>"
 
 

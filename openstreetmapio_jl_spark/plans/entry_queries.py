@@ -127,6 +127,7 @@ def _ofx(name: str) -> str:
 
 
 _DEC = "decimal(18,4)"
+_DEC2 = "decimal(18,2)"
 _DEC6 = "decimal(18,6)"
 
 
@@ -1351,6 +1352,104 @@ def _sql_osm_way_sizes() -> str:
     return f"""
 select id, cast(len(refs) as int) as n_refs
 from read_parquet('{_ofx("truth/ways.parquet")}') where len(refs) > 10
+"""
+
+
+def q_osm_way_lengths(spark, sf_dir):
+    """Geodesic road-network length per highway class — the classic OSM length
+    analytic over the decoded way geometry (the reference decodes the per-way
+    coordinate sequence at load_pbf.jl:454-476 but never aggregates it).
+    ``positions`` is dropped so every way resolves through the refs→nodes join
+    path — the exact inner-join + lead() semantics the oracle mirrors."""
+    b, _ = _osm(spark, sf_dir)
+    hw = b.ways.filter(F.col("tags")["highway"].isNotNull()).select(
+        "id", F.col("tags")["highway"].alias("highway"), "refs"
+    )
+    lens = SJ.way_lengths_m(hw, b.nodes).filter(F.col("n_pts") >= 2)
+    return lens.groupBy("highway").agg(
+        F.count("*").alias("n_ways"),
+        F.round(F.sum("length_m"), 2).cast(_DEC2).alias("total_m"),
+    )
+
+
+def _sql_osm_way_lengths() -> str:
+    hav = geo.haversine_m_sql("lat", "lon", "lat2", "lon2")
+    return f"""
+with hw as (
+  select id, element_at(tags, 'highway')[1] as highway, refs
+  from read_parquet('{_ofx("truth/ways.parquet")}')
+  where len(element_at(tags, 'highway')) > 0
+), e as (
+  select id, highway, unnest(refs) as ref,
+         unnest(generate_series(1, len(refs))) as seq
+  from hw
+), j as (
+  select e.id, e.highway, e.seq, n.lat, n.lon
+  from e join read_parquet('{_ofx("truth/nodes.parquet")}') n on n.id = e.ref
+), seg as (
+  select id, highway, lat, lon,
+         lead(lat) over (partition by id order by seq) as lat2,
+         lead(lon) over (partition by id order by seq) as lon2
+  from j
+)
+select highway, count(distinct id) as n_ways,
+       cast(round(sum({hav}), 2) as decimal(18,2)) as total_m
+from seg where lat2 is not null
+group by highway
+"""
+
+
+def q_osm_polygon_areas(spark, sf_dir):
+    """Area per landuse/natural class over assembled way-polygons — the closed-
+    way complement of osm_way_lengths (:func:`geo.polygon_area_m2_col`). Pure
+    column math over the SAME persisted polygon dimension the PIP joins use —
+    no extra assembly work."""
+    polys = _way_polygons(spark, sf_dir)
+    area_m2 = geo.polygon_area_m2_col(
+        F.col("edges"), F.col("min_lat"), F.col("max_lat"), F.col("min_lon")
+    )
+    return (
+        polys.select(
+            F.coalesce(F.col("tags")["landuse"], F.col("tags")["natural"]).alias(
+                "cls"
+            ),
+            area_m2.alias("area_m2"),
+        )
+        .filter(F.col("cls").isNotNull())
+        .groupBy("cls")
+        .agg(
+            F.count("*").alias("n_polys"),
+            F.round(F.sum("area_m2") / 1e6, 4).cast(_DEC).alias("total_km2"),
+        )
+    )
+
+
+def _sql_osm_polygon_areas() -> str:
+    return f"""
+with p as (
+  select id, edges, min_lat, max_lat, min_lon
+  from read_parquet('{_ofx("truth/polygons.parquet")}')
+), w as (
+  select id, coalesce(element_at(tags, 'landuse')[1],
+                      element_at(tags, 'natural')[1]) as cls
+  from read_parquet('{_ofx("truth/ways.parquet")}')
+), sh as (
+  select id,
+         sum((ed.x1 - min_lon) * (ed.y2 - min_lat)
+             - (ed.x2 - min_lon) * (ed.y1 - min_lat)) as s2
+  from (select id, min_lat, min_lon, unnest(edges) as ed from p) t
+  group by id
+), a as (
+  select p.id,
+         abs(sh.s2) / 2 * {geo.M2_PER_DEG2!r}
+           * cos(radians((p.min_lat + p.max_lat) / 2)) as area_m2
+  from p join sh using (id)
+)
+select w.cls, count(*) as n_polys,
+       cast(round(sum(a.area_m2) / 1e6, 4) as decimal(18,4)) as total_km2
+from a join w using (id)
+where w.cls is not null
+group by w.cls
 """
 
 
@@ -2702,8 +2801,12 @@ def registry() -> dict[str, tuple]:
     doc_chunk_dedup (CCNet-style paragraph-granularity boilerplate removal,
     new surface), doc_url_dedup (crawl URL canonicalization, new surface)
     doc_decontaminate (benchmark n-gram train/test decontamination, new
-    surface) and er_customer_mentions (SparkER token-blocking entity
-    resolution, new surface). Rotated to the tail to make room (each
+    surface), er_customer_mentions (SparkER token-blocking entity
+    resolution, new surface), osm_way_lengths (geodesic road-network
+    length per highway class — the way_lengths_m operator, new surface) and
+    osm_polygon_areas (equal-area shoelace per landuse/natural class over the
+    assembled way-polygon dimension, new surface).
+    Rotated to the tail to make room (each
     r04-green with an in-window sibling covering its certified path):
     events_band_join
     (events_band_join_outer BUILDS the inner band join internally, so the
@@ -2744,8 +2847,8 @@ def registry() -> dict[str, tuple]:
         "doc_langid": (q_doc_langid, _sql_langid()),
         "osm_counts": (q_osm_counts, _sql_osm_counts()),
         "osm_poi_topk": (q_osm_poi_topk, _sql_osm_poi()),
-        "osm_country_filter": (q_osm_country_filter, _sql_osm_country()),
-        "osm_member_types": (q_osm_member_types, _sql_osm_members()),
+        "osm_polygon_areas": (q_osm_polygon_areas, _sql_osm_polygon_areas()),
+        "osm_way_lengths": (q_osm_way_lengths, _sql_osm_way_lengths()),
         "osm_ref_integrity": (q_osm_ref_integrity, _sql_osm_integrity()),
         "osm_member_closure": (q_osm_member_closure, _sql_member_closure()),
         "osm_multipolygon_assembly": (q_osm_multipolygon_assembly, _sql_multipolygon()),
@@ -2799,8 +2902,20 @@ def registry() -> dict[str, tuple]:
         # projection whose vectorized tag/size predicate path is certified
         # in-window by osm_country_filter and whose way-decode inputs stay
         # in-window via osm_counts / osm_member_closure /
-        # osm_multipolygon_assembly — rotated out for er_customer_mentions)
+        # osm_multipolygon_assembly — rotated out for er_customer_mentions;
+        # osm_member_types: r04-green; a thin members-explode + enum count
+        # whose member-decode path stays certified in-window by
+        # osm_ref_integrity (same explode over the same decoded member
+        # structs, joined back to element ids) and osm_member_closure —
+        # rotated out for osm_way_lengths;
+        # osm_country_filter: r04-green; a thin vectorized map-tag equality
+        # filter whose path stays certified in-window by osm_poi_topk (the
+        # same tags[...] access + filter on nodes) and osm_way_lengths (the
+        # same map-tag predicate on ways) — rotated out for
+        # osm_polygon_areas)
         "events_band_join": (q_events_band_join, SQL_EVENTS_BAND),
+        "osm_country_filter": (q_osm_country_filter, _sql_osm_country()),
+        "osm_member_types": (q_osm_member_types, _sql_osm_members()),
         "mm_frame_sample": (q_mm_frame_sample, _sql_mm_frames()),
         "osm_way_sizes": (q_osm_way_sizes, _sql_osm_way_sizes()),
         "doc_simhash": (q_doc_simhash, _sql_simhash()),

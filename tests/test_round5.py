@@ -944,3 +944,100 @@ def test_resolve_entities_materialized_blocks_equal_and_fewer_scans(spark, tmp_p
     rows = lambda df: sorted((r.mention_id, r.entity_id, r.jaccard) for r in df.collect())
     assert rows(plain) == rows(mat)
     assert scans(mat) < scans(plain)
+
+
+def test_way_lengths_m_join_path_skip_missing_and_single_vertex(spark):
+    """refs→nodes resolution: missing refs are skipped and the surviving
+    vertices connect in ref order; <2 resolved vertices → length 0.0."""
+    import numpy as np
+
+    from openstreetmapio_jl_spark.functions.geo import haversine_m
+    from openstreetmapio_jl_spark.operators import spatial_join as SJ
+
+    nodes = spark.createDataFrame(
+        [(1, 50.0, 8.0), (2, 50.001, 8.0), (3, 50.001, 8.002)],
+        "id long, lat double, lon double",
+    )
+    ways = spark.createDataFrame(
+        [
+            (10, "a", [1, 2, 3]),        # full chain: d(1,2) + d(2,3)
+            (11, "b", [1, 999, 3]),      # 999 missing → d(1,3) directly
+            (12, "c", [2]),              # single vertex → 0.0
+            (13, "d", [999, 998]),       # nothing resolves → dropped
+        ],
+        "id long, cls string, refs array<long>",
+    )
+    got = {
+        r.id: (r.cls, r.n_pts, r.length_m)
+        for r in SJ.way_lengths_m(ways, nodes).collect()
+    }
+    d12 = float(haversine_m(50.0, 8.0, 50.001, 8.0))
+    d23 = float(haversine_m(50.001, 8.0, 50.001, 8.002))
+    d13 = float(haversine_m(50.0, 8.0, 50.001, 8.002))
+    assert set(got) == {10, 11, 12}
+    assert got[10][0] == "a" and got[10][1] == 3
+    assert np.isclose(got[10][2], d12 + d23, rtol=1e-9)
+    assert got[11][1] == 2 and np.isclose(got[11][2], d13, rtol=1e-9)
+    assert got[12] == ("c", 1, 0.0)
+
+
+def test_way_lengths_m_embedded_positions_matches_join_path(spark):
+    """Ways carrying LocationsOnWays positions compute their length from the
+    embedded arrays (no refs→nodes resolution) — same value as the join
+    path."""
+    import numpy as np
+
+    from openstreetmapio_jl_spark.operators import spatial_join as SJ
+
+    nodes = spark.createDataFrame(
+        [(1, 50.0, 8.0), (2, 50.001, 8.0), (3, 50.001, 8.002)],
+        "id long, lat double, lon double",
+    )
+    base = spark.createDataFrame(
+        [(10, [1, 2, 3], [(50.0, 8.0), (50.001, 8.0), (50.001, 8.002)])],
+        "id long, refs array<long>, "
+        "positions array<struct<lat: double, lon: double>>",
+    )
+    via_pos = SJ.way_lengths_m(base, nodes)
+    via_join = SJ.way_lengths_m(base.drop("positions"), nodes)
+    lp = via_pos.filter("id = 10").collect()[0]
+    lj = via_join.filter("id = 10").collect()[0]
+    assert lp.n_pts == lj.n_pts == 3
+    assert np.isclose(lp.length_m, lj.length_m, rtol=1e-12)
+
+
+def test_polygon_area_m2_known_square(spark):
+    """~111.19 m × ~65.3 m square at 54°N: area must match the product of the
+    haversine side lengths within the small-polygon approximation (<0.1%),
+    regardless of ring winding direction."""
+    import numpy as np
+
+    from openstreetmapio_jl_spark.functions import geo
+
+    lat0, lon0, d = 54.0, 9.0, 0.001  # 0.001° ≈ 111.19 m N-S, ≈ 65.36 m E-W
+    ccw = [(lat0, lon0), (lat0, lon0 + d), (lat0 + d, lon0 + d), (lat0 + d, lon0), (lat0, lon0)]
+
+    def edges(ring):
+        return [
+            {"y1": a[0], "x1": a[1], "y2": b[0], "x2": b[1]}
+            for a, b in zip(ring, ring[1:])
+        ]
+
+    df = spark.createDataFrame(
+        [(1, edges(ccw)), (2, edges(ccw[::-1]))],
+        "id long, edges array<struct<y1: double, x1: double, y2: double, x2: double>>",
+    ).select(
+        "id",
+        geo.polygon_area_m2_col(
+            F.col("edges"),
+            F.lit(lat0),
+            F.lit(lat0 + d),
+            F.lit(lon0),
+        ).alias("area_m2"),
+    )
+    got = {r.id: r.area_m2 for r in df.collect()}
+    ns = float(geo.haversine_m(lat0, lon0, lat0 + d, lon0))
+    ew = float(geo.haversine_m(lat0 + d / 2, lon0, lat0 + d / 2, lon0 + d))
+    expected = ns * ew
+    assert np.isclose(got[1], expected, rtol=1e-3)
+    assert got[1] == got[2]  # winding-independent
