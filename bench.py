@@ -50,6 +50,10 @@ HEADLINE = [
     "pip_hits_multipolygon", # PIP vs assembled multipolygons (stitched rings)
     "knn_pages_to_poi",      # cell-ring expanding kNN
     "tile_pyramid_z11",      # raster<->vector tile rollup
+    "osm_way_lengths",       # r5: geodesic length per highway class (NEW in
+                             # r05 — refs→nodes resolve + haversine fold)
+    "osm_polygon_areas",     # r5: equal-area shoelace per landuse class (NEW
+                             # in r05 — rides the persisted polygon dimension)
 ]
 
 FLAGSHIP = "pip_hits_per_polygon"
