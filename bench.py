@@ -54,6 +54,10 @@ HEADLINE = [
                              # r05 — refs→nodes resolve + haversine fold)
     "osm_polygon_areas",     # r5: equal-area shoelace per landuse class (NEW
                              # in r05 — rides the persisted polygon dimension)
+    "osm_road_sssp",         # r5: intersection-contracted highway graph +
+                             # bounded-round shortest paths (NEW in r05 — the
+                             # iterative-analytic pillar; per-pass time is
+                             # dominated by the synchronous relaxation rounds)
 ]
 
 FLAGSHIP = "pip_hits_per_polygon"

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from openstreetmapio_jl_spark.fixtures import generator as G
 from openstreetmapio_jl_spark.functions import cells, geo
 from openstreetmapio_jl_spark.functions import text as textfn
-from openstreetmapio_jl_spark.operators import dedup, geocode, knn, similarity
+from openstreetmapio_jl_spark.operators import dedup, geocode, knn, routing, similarity
 from openstreetmapio_jl_spark.operators import spatial_join as SJ
 from openstreetmapio_jl_spark.operators import tiler
 
@@ -1453,6 +1453,97 @@ group by w.cls
 """
 
 
+def q_osm_road_sssp(spark, sf_dir):
+    """Shortest-path distances over the highway graph: degree-2 chains
+    contract to intersection-to-intersection edges (haversine-weighted), then
+    synchronous Bellman-Ford rounds from the minimum contracted vertex id —
+    OSM's canonical routing analytic over the reference's decoded per-way
+    ref sequences (``load_pbf.jl:885-966``). Every per-round reduction is a
+    set-min, so the fixpoint is deterministic and engine-independent; the
+    oracle runs a FIXED 24 relaxation rounds (3× the fixture's measured
+    8-round hop diameter — Bellman-Ford is idempotent after convergence, so
+    any bound ≥ the true round count yields the identical fixpoint), while
+    the Spark side iterates to convergence under a fail-loud cap."""
+    b, _ = _osm(spark, sf_dir)
+    hw = b.ways.filter(F.col("tags")["highway"].isNotNull()).select("id", "refs")
+    edges = routing.contract_road_graph(hw, b.nodes)
+    d = routing.sssp_distances(edges, max_rounds=64)
+    return d.select(
+        F.col("node").alias("ref"),
+        F.round("dist_m", 2).cast(_DEC2).alias("dist_m"),
+    )
+
+
+def _sql_osm_road_sssp(rounds: int = 24) -> str:
+    hav = geo.haversine_m_sql("lat", "lon", "lat2", "lon2")
+    relax = ""
+    prev = "d0"
+    # every d{{i}} is referenced TWICE by d{{i+1}} (carry + relax); without
+    # MATERIALIZED DuckDB inlines the chain into a 2^rounds plan
+    for i in range(1, rounds + 1):
+        relax += f""",
+d{i} as materialized (
+  select node, min(dist) as dist from (
+    select node, dist from {prev}
+    union all
+    select u.v as node, {prev}.dist + u.w_m as dist
+    from {prev} join u on u.u = {prev}.node
+  ) group by node
+)"""
+        prev = f"d{i}"
+    return f"""
+with hw as (
+  select id as way_id, refs from read_parquet('{_ofx("truth/ways.parquet")}')
+  where len(element_at(tags, 'highway')) > 0
+), e as (
+  select way_id, unnest(refs) as ref,
+         unnest(generate_series(0, len(refs) - 1)) as pos
+  from hw
+), deg as (
+  select ref, count(distinct way_id) as n_ways from e group by ref
+), pts as (
+  select e.way_id, e.pos, e.ref, n.lat, n.lon, deg.n_ways
+  from e
+  join read_parquet('{_ofx("truth/nodes.parquet")}') n on n.id = e.ref
+  join deg on deg.ref = e.ref
+), m as (
+  select way_id, pos, ref,
+    lead(lat) over wsec as lat2, lead(lon) over wsec as lon2,
+    lat, lon,
+    (pos = min(pos) over wall or pos = max(pos) over wall or n_ways >= 2) as is_v
+  from pts
+  window wsec as (partition by way_id order by pos),
+         wall as (partition by way_id)
+), g as (
+  select way_id, ref, pos,
+    sum(case when is_v then 1 else 0 end)
+      over (partition by way_id order by pos) as grp,
+    case when lat2 is null then null else {hav} end as seg_m
+  from m
+), seg as (
+  select way_id, grp, arg_min(ref, pos) as vref, sum(seg_m) as w_m
+  from g group by way_id, grp
+), ed as (
+  select vref as a, lead(vref) over (partition by way_id order by grp) as b, w_m
+  from seg
+), und as (
+  select least(a, b) as src, greatest(a, b) as dst, min(w_m) as w_m
+  from ed where b is not null and a <> b
+  group by least(a, b), greatest(a, b)
+), u as materialized (
+  -- MATERIALIZED: every relaxation round references u; inlined, DuckDB
+  -- replicates the whole contraction pipeline (and its parquet file
+  -- handles) once per round and exhausts the fd limit
+  select src as u, dst as v, w_m from und
+  union all
+  select dst as u, src as v, w_m from und
+), d0 as (
+  select min(u) as node, 0.0 as dist from u
+){relax}
+select node as ref, cast(round(dist, 2) as decimal(18,2)) as dist_m from {prev}
+"""
+
+
 def q_osm_bbox_count(spark, sf_dir):
     b, _ = _osm(spark, sf_dir)
     bb = G.BBOX
@@ -2805,7 +2896,9 @@ def registry() -> dict[str, tuple]:
     resolution, new surface), osm_way_lengths (geodesic road-network
     length per highway class — the way_lengths_m operator, new surface) and
     osm_polygon_areas (equal-area shoelace per landuse/natural class over the
-    assembled way-polygon dimension, new surface).
+    assembled way-polygon dimension, new surface) and osm_road_sssp
+    (intersection-contracted highway graph + bounded-round shortest-path
+    distances, new surface).
     Rotated to the tail to make room (each
     r04-green with an in-window sibling covering its certified path):
     events_band_join
@@ -2816,13 +2909,14 @@ def registry() -> dict[str, tuple]:
     — doc_fingerprint is its single-global-window special case) and
     osm_urlencode (overpass_url_build applies the IDENTICAL sequential
     15-char percent-encode inside the URL builder, and its oracle pins the
-    encode order byte-for-byte). Pre-submit routine: `python
+    encode order byte-for-byte); window_top_orders (er_customer_mentions runs
+    the identical rank-per-partition row_number window as its top-1
+    resolver). Pre-submit routine: `python
     tools/check_oracle.py` runs ALL entries including the tail, so
     past-window twins cannot silently regress."""
     return {
         "agg_pricing_summary": (q_agg_pricing_summary, SQL_AGG_PRICING),
         "join_revenue_by_nation": (q_join_revenue_by_nation, SQL_JOIN_REVENUE),
-        "window_top_orders": (q_window_top_orders, SQL_WINDOW_TOP),
         "setop_nations": (q_setop_nations, SQL_SETOP),
         "doc_hash_sample": (q_doc_hash_sample, SQL_DOC_HASH_SAMPLE),
         "events_tumbling_5min": (q_events_tumbling, SQL_EVENTS_TUMBLING),
@@ -2849,6 +2943,7 @@ def registry() -> dict[str, tuple]:
         "osm_poi_topk": (q_osm_poi_topk, _sql_osm_poi()),
         "osm_polygon_areas": (q_osm_polygon_areas, _sql_osm_polygon_areas()),
         "osm_way_lengths": (q_osm_way_lengths, _sql_osm_way_lengths()),
+        "osm_road_sssp": (q_osm_road_sssp, _sql_osm_road_sssp()),
         "osm_ref_integrity": (q_osm_ref_integrity, _sql_osm_integrity()),
         "osm_member_closure": (q_osm_member_closure, _sql_member_closure()),
         "osm_multipolygon_assembly": (q_osm_multipolygon_assembly, _sql_multipolygon()),
@@ -2912,7 +3007,13 @@ def registry() -> dict[str, tuple]:
         # filter whose path stays certified in-window by osm_poi_topk (the
         # same tags[...] access + filter on nodes) and osm_way_lengths (the
         # same map-tag predicate on ways) — rotated out for
-        # osm_polygon_areas)
+        # osm_polygon_areas;
+        # window_top_orders: r04-green; the rank-per-partition window path
+        # stays certified in-window by er_customer_mentions (identical
+        # row_number().over(partitionBy.orderBy) top-1 shape inside the
+        # resolver), doc_winnow_fps (sliding min windows) and
+        # events_sessionize (lag windows) — rotated out for osm_road_sssp)
+        "window_top_orders": (q_window_top_orders, SQL_WINDOW_TOP),
         "events_band_join": (q_events_band_join, SQL_EVENTS_BAND),
         "osm_country_filter": (q_osm_country_filter, _sql_osm_country()),
         "osm_member_types": (q_osm_member_types, _sql_osm_members()),

@@ -1041,3 +1041,173 @@ def test_polygon_area_m2_known_square(spark):
     expected = ns * ew
     assert np.isclose(got[1], expected, rtol=1e-3)
     assert got[1] == got[2]  # winding-independent
+
+
+# ---------------------------------------------------------------------------
+# road-graph contraction + bounded-round SSSP (round-5 routing surface)
+# ---------------------------------------------------------------------------
+
+def _road_fixture(spark):
+    """Two ways crossing at ref 3: way 10 = 1-2-3-4 (a degree-2 chain through
+    ref 2), way 20 = 5-3-6. Grid coordinates so haversine lengths are known."""
+    from openstreetmapio_jl_spark.functions import geo
+
+    lat0, lon0, d = 54.0, 9.0, 0.001
+    nodes = spark.createDataFrame(
+        [
+            (1, lat0, lon0),
+            (2, lat0, lon0 + d),
+            (3, lat0, lon0 + 2 * d),
+            (4, lat0, lon0 + 3 * d),
+            (5, lat0 + d, lon0 + 2 * d),
+            (6, lat0 - d, lon0 + 2 * d),
+        ],
+        "id long, lat double, lon double",
+    )
+    ways = spark.createDataFrame(
+        [(10, [1, 2, 3, 4]), (20, [5, 3, 6])], "id long, refs array<long>"
+    )
+    step_ew = float(geo.haversine_m(lat0, lon0, lat0, lon0 + d))
+    step_ns = float(geo.haversine_m(lat0, lon0 + 2 * d, lat0 + d, lon0 + 2 * d))
+    return nodes, ways, step_ew, step_ns
+
+
+def test_contract_road_graph_collapses_degree2_chains(spark):
+    """Ref 2 (degree-2 interior) vanishes; the 1-2-3 chain becomes one edge of
+    summed length; endpoints and the shared intersection survive as vertices."""
+    import numpy as np
+
+    from openstreetmapio_jl_spark.operators import routing
+
+    nodes, ways, step_ew, step_ns = _road_fixture(spark)
+    edges = {
+        (r.src, r.dst): r.w_m
+        for r in routing.contract_road_graph(ways, nodes).collect()
+    }
+    assert set(edges) == {(1, 3), (3, 4), (3, 5), (3, 6)}
+    assert np.isclose(edges[(1, 3)], 2 * step_ew, rtol=1e-9)
+    assert np.isclose(edges[(3, 4)], step_ew, rtol=1e-9)
+    assert np.isclose(edges[(3, 5)], step_ns, rtol=1e-9)
+    assert np.isclose(edges[(3, 6)], step_ns, rtol=1e-9)
+
+
+def test_contract_road_graph_parallel_min_selfloop_missing_refs(spark):
+    """Parallel edges keep the min weight; a closed ring with no internal
+    intersection drops (self-loop); refs absent from nodes are skipped and the
+    survivors connect in sequence order."""
+    import numpy as np
+
+    from openstreetmapio_jl_spark.functions import geo
+    from openstreetmapio_jl_spark.operators import routing
+
+    lat0, lon0, d = 54.0, 9.0, 0.001
+    nodes = spark.createDataFrame(
+        [
+            (1, lat0, lon0),
+            (2, lat0, lon0 + d),
+            (3, lat0 + d, lon0),
+        ],
+        "id long, lat double, lon double",
+    )
+    ways = spark.createDataFrame(
+        [
+            (10, [1, 2]),            # direct edge 1-2: one step
+            (11, [1, 3, 2]),         # detour via 3 — 3 is degree-2 interior, so
+            #                          the whole way contracts to a HEAVIER
+            #                          parallel 1-2 edge that loses the min
+            (12, [1, 2, 1]),         # closed ring -> both arcs are 1-2/2-1 edges
+            (13, [1, 99, 2]),        # 99 missing -> contracts to 1-2 direct
+        ],
+        "id long, refs array<long>",
+    )
+    edges = {
+        (r.src, r.dst): r.w_m
+        for r in routing.contract_road_graph(ways, nodes).collect()
+    }
+    step = float(geo.haversine_m(lat0, lon0, lat0, lon0 + d))
+    # 1-2 candidates: way10 (1 step), way11 (2 diagonal steps via contracted 3),
+    # way12's two arcs (1 step each), way13 (1 step after skipping 99) -> min
+    assert set(edges) == {(1, 2)}
+    assert np.isclose(edges[(1, 2)], step, rtol=1e-9)
+    assert all(s < t for s, t in edges)  # src<dst normalization, no self-loops
+
+
+def test_sssp_distances_known_graph_and_contraction_invariance(spark):
+    """Distances on the crossing fixture from the min vertex (1): through the
+    contracted graph AND through the raw uncontracted segment graph — shortest
+    paths are invariant under degree-2 contraction."""
+    import numpy as np
+
+    from openstreetmapio_jl_spark.operators import routing
+
+    nodes, ways, step_ew, step_ns = _road_fixture(spark)
+    contracted = routing.contract_road_graph(ways, nodes)
+    handles: list = []
+    got = {
+        r.node: r.dist_m
+        for r in routing.sssp_distances(contracted, max_rounds=8, handles=handles).collect()
+    }
+    expected = {
+        1: 0.0,
+        3: 2 * step_ew,
+        4: 3 * step_ew,
+        5: 2 * step_ew + step_ns,
+        6: 2 * step_ew + step_ns,
+    }
+    assert set(got) == set(expected)  # ref 2 contracted away; all reachable
+    for k, v in expected.items():
+        assert np.isclose(got[k], v, rtol=1e-9), k
+    for h in handles:
+        h.unpersist()
+
+    # raw segment graph: every consecutive ref pair is an edge
+    from openstreetmapio_jl_spark.functions import geo
+
+    raw = (
+        ways.select(F.posexplode("refs").alias("pos", "ref"), F.col("id").alias("way_id"))
+        .join(nodes.select(F.col("id").alias("ref"), "lat", "lon"), "ref")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("way_id").orderBy("pos")
+    raw_edges = (
+        raw.select(
+            F.col("ref").alias("src"),
+            F.lead("ref").over(w).alias("dst"),
+            geo.haversine_m_col(
+                F.col("lat"), F.col("lon"), F.lead("lat").over(w), F.lead("lon").over(w)
+            ).alias("w_m"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    got_raw = {r.node: r.dist_m for r in routing.sssp_distances(raw_edges, max_rounds=16).collect()}
+    for k, v in expected.items():
+        assert np.isclose(got_raw[k], v, rtol=1e-9), k
+    assert np.isclose(got_raw[2], step_ew, rtol=1e-9)  # interior ref present raw
+
+
+def test_sssp_distances_explicit_source_unreachable_and_cap(spark):
+    from openstreetmapio_jl_spark.operators import routing
+
+    edges = spark.createDataFrame(
+        [(1, 2, 5.0), (2, 3, 7.0), (10, 11, 1.0)], "src long, dst long, w_m double"
+    )
+    got = {r.node: r.dist_m for r in routing.sssp_distances(edges, source=10).collect()}
+    assert got == {10: 0.0, 11: 1.0}  # component of 1-2-3 unreachable, absent
+    # absent source -> empty result, not a wrong zero
+    assert routing.sssp_distances(edges, source=999).count() == 0
+    # fail-loud cap: a 3-hop chain cannot converge in 1 round
+    with pytest.raises(ValueError, match="max_rounds"):
+        routing.sssp_distances(edges, source=1, max_rounds=1).collect()
+
+
+def test_contract_road_graph_plan_is_jvm_only(spark):
+    """The contraction pipeline is pure builtin column math — no
+    row-at-a-time Python anywhere in its plan (the SSSP rounds atop it are
+    localCheckpoint-pinned RDD scans, so the contraction plan IS the
+    codegen surface of the routing stack)."""
+    from openstreetmapio_jl_spark.operators import routing
+
+    nodes, ways, _, _ = _road_fixture(spark)
+    plan = routing.contract_road_graph(ways, nodes)._jdf.queryExecution().toString()
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
