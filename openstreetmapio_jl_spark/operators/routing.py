@@ -156,6 +156,24 @@ def sssp_distances(
     dist = dist.localCheckpoint(eager=True)
     if handles is not None:
         handles.append(CheckpointHandle(dist))
+
+    def _fingerprint(df: DataFrame):
+        # order-independent (count, sum-of-row-hashes) — a single map-side-
+        # combined agg job, NO shuffle join. Sound because a converged round
+        # recomputes the identical min over the identical set, so every
+        # (node, dist_m) is bit-equal round-over-round at the fixpoint;
+        # while any distance still improves, its row hash changes (modulo a
+        # 2^-64 xxhash64 collision). The previous join-based check shuffled
+        # the full |V| distance table once more per round just to test it.
+        row = df.agg(
+            F.count("*").alias("n"),
+            # decimal(38,0) accumulator: long-sum overflows under ANSI mode
+            # (|xxhash64| < 1e19, so 38 digits hold any realistic |V|)
+            F.sum(F.xxhash64("node", "dist_m").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return row.n, row.h
+
+    fp = _fingerprint(dist)
     for _ in range(max_rounds):
         relax = (
             dist.join(bidir, dist["node"] == bidir["u"])
@@ -169,12 +187,10 @@ def sssp_distances(
         )
         if handles is not None:
             handles.append(CheckpointHandle(nd))
-        improved = nd.join(
-            dist.withColumnRenamed("dist_m", "prev"), "node", "left"
-        ).filter(F.col("prev").isNull() | (F.col("dist_m") < F.col("prev")))
-        if improved.isEmpty():
+        nfp = _fingerprint(nd)
+        if nfp == fp:
             return nd
-        dist = nd
+        dist, fp = nd, nfp
     raise ValueError(
         f"sssp_distances: distances still improving after max_rounds={max_rounds} "
         "— the graph's shortest-path hop diameter exceeds the bound; contract "
