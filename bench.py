@@ -109,8 +109,12 @@ def run_bench(sf_dir: str, master: str | None = None) -> dict:
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     for _pass in range(3):
         for name in HEADLINE:
-            df = reg[name][0](spark, sf_dir)
+            # plan construction INSIDE the timed window: lazy queries spend
+            # milliseconds there, but iterative operators (osm_road_sssp)
+            # execute their checkpointed rounds eagerly during construction —
+            # timing only the final count would underreport them ~100x
             t0 = time.perf_counter()
+            df = reg[name][0](spark, sf_dir)
             _force(df)
             sec = time.perf_counter() - t0
             samples[name].append(round(sec, 3))

@@ -14,6 +14,9 @@ routing — but ships no graph layer. This module builds it Spark-first:
    Bellman-Ford rounds of (equi-join + min-groupBy) — the same bounded-round
    discipline as ``operators/graph.py``'s connected components, with a
    ``localCheckpoint`` per round cutting lineage and a fail-loud cap.
+3. :func:`network_distances` seeds the same relaxation from a vertex SET —
+   distance to the nearest seed (accessibility/isochrone analytics); the
+   round bound only shrinks vs single-source.
 
 Scale shape: contraction is explode / window / groupBy keyed by way id (one
 shuffle family) plus one degree groupBy keyed by ref; each SSSP round is one
@@ -107,32 +110,7 @@ def contract_road_graph(
     )
 
 
-def sssp_distances(
-    edges: DataFrame,
-    *,
-    source: int | None = None,
-    max_rounds: int = 64,
-    handles: list | None = None,
-) -> DataFrame:
-    """→ ``(node, dist_m)``: shortest-path distance from ``source`` to every
-    REACHABLE vertex of the undirected weighted graph ``edges`` (columns
-    ``src, dst, w_m``; weights must be non-negative). ``source=None`` picks
-    the minimum vertex id appearing in ``edges`` — deterministic and
-    computable without a driver action. Unreachable vertices are absent.
-
-    Synchronous Bellman-Ford: each round relaxes EVERY known distance across
-    every incident edge and takes the per-vertex min of (old, relaxed) — a
-    pure set-min, so the per-round table (and the fixpoint) is deterministic
-    regardless of partitioning or join order. Converges in (shortest-path
-    hop diameter) rounds; raises ``ValueError`` if ``max_rounds`` is reached
-    while distances are still improving (fail-loud, never a silently-partial
-    result — run :func:`contract_road_graph` first precisely to keep this
-    bound small).
-
-    Storage contract matches ``connected_components``: per-round distance
-    tables are ``localCheckpoint``-pinned; pass ``handles`` to release them
-    after the result is consumed.
-    """
+def _bidirectional(edges: DataFrame, handles: list | None) -> DataFrame:
     bidir = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"), "w_m")
         .unionByName(
@@ -142,17 +120,16 @@ def sssp_distances(
     )
     if handles is not None:
         handles.append(CheckpointHandle(bidir))
-    if source is None:
-        dist = bidir.agg(F.min("u").alias("node")).select(
-            "node", F.lit(0.0).alias("dist_m")
-        )
-    else:
-        dist = (
-            bidir.filter(F.col("u") == F.lit(source))
-            .limit(1)
-            .select(F.col("u").alias("node"), F.lit(0.0).alias("dist_m"))
-        )
-        # an absent source yields an empty frame -> empty result, not a wrong 0
+    return bidir
+
+
+def _relax_to_fixpoint(
+    bidir: DataFrame, dist: DataFrame, max_rounds: int, handles: list | None
+) -> DataFrame:
+    """Synchronous Bellman-Ford rounds over ``bidir`` (u, v, w_m) from the
+    seed table ``dist`` (node, dist_m) until the per-vertex min table stops
+    changing; raises past ``max_rounds`` (see the public wrappers' contract).
+    """
     dist = dist.localCheckpoint(eager=True)
     if handles is not None:
         handles.append(CheckpointHandle(dist))
@@ -163,8 +140,8 @@ def sssp_distances(
         # recomputes the identical min over the identical set, so every
         # (node, dist_m) is bit-equal round-over-round at the fixpoint;
         # while any distance still improves, its row hash changes (modulo a
-        # 2^-64 xxhash64 collision). The previous join-based check shuffled
-        # the full |V| distance table once more per round just to test it.
+        # 2^-64 xxhash64 collision). A join-based check would shuffle the
+        # full |V| distance table once more per round just to test it.
         row = df.agg(
             F.count("*").alias("n"),
             # decimal(38,0) accumulator: long-sum overflows under ANSI mode
@@ -192,7 +169,83 @@ def sssp_distances(
             return nd
         dist, fp = nd, nfp
     raise ValueError(
-        f"sssp_distances: distances still improving after max_rounds={max_rounds} "
+        f"distances still improving after max_rounds={max_rounds} "
         "— the graph's shortest-path hop diameter exceeds the bound; contract "
         "the graph (contract_road_graph) or raise max_rounds"
     )
+
+
+def sssp_distances(
+    edges: DataFrame,
+    *,
+    source: int | None = None,
+    max_rounds: int = 64,
+    handles: list | None = None,
+) -> DataFrame:
+    """→ ``(node, dist_m)``: shortest-path distance from ``source`` to every
+    REACHABLE vertex of the undirected weighted graph ``edges`` (columns
+    ``src, dst, w_m``; weights must be non-negative). ``source=None`` picks
+    the minimum vertex id appearing in ``edges`` — deterministic and
+    computable without a driver action. Unreachable vertices are absent.
+
+    Synchronous Bellman-Ford: each round relaxes EVERY known distance across
+    every incident edge and takes the per-vertex min of (old, relaxed) — a
+    pure set-min, so the per-round table (and the fixpoint) is deterministic
+    regardless of partitioning or join order. Converges in (shortest-path
+    hop diameter) rounds; raises ``ValueError`` if ``max_rounds`` is reached
+    while distances are still improving (fail-loud, never a silently-partial
+    result — run :func:`contract_road_graph` first precisely to keep this
+    bound small).
+
+    Storage contract matches ``connected_components``: per-round distance
+    tables are ``localCheckpoint``-pinned; pass ``handles`` to release them
+    after the result is consumed.
+    """
+    bidir = _bidirectional(edges, handles)
+    if source is None:
+        dist = bidir.agg(F.min("u").alias("node")).select(
+            "node", F.lit(0.0).alias("dist_m")
+        )
+    else:
+        dist = (
+            bidir.filter(F.col("u") == F.lit(source))
+            .limit(1)
+            .select(F.col("u").alias("node"), F.lit(0.0).alias("dist_m"))
+        )
+        # an absent source yields an empty frame -> empty result, not a wrong 0
+    return _relax_to_fixpoint(bidir, dist, max_rounds, handles)
+
+
+def network_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    max_rounds: int = 64,
+    handles: list | None = None,
+) -> DataFrame:
+    """→ ``(node, dist_m)``: network distance from every reachable vertex to
+    its NEAREST seed — multi-source shortest paths, the "distance to the
+    nearest X over the road network" analytic (isochrone/accessibility
+    queries run this with X = hospitals, transit stops, arterial roads).
+
+    ``seeds`` carries a ``node`` column and optionally a ``dist_m`` starting
+    cost (defaults to 0.0; duplicates keep the min). Seeds absent from the
+    graph's vertex set are kept at their starting cost but relax nothing —
+    callers who want graph-members-only should semi-join first. Same
+    synchronous relaxation, determinism, fail-loud ``max_rounds``, and
+    checkpoint ``handles`` contract as :func:`sssp_distances`; the round
+    bound is the max hop count from any vertex to its nearest seed, which
+    multi-source seeding only ever SHRINKS vs the single-source diameter.
+    """
+    bidir = _bidirectional(edges, handles)
+    cost = (
+        F.col("dist_m").cast("double")
+        if "dist_m" in seeds.columns
+        else F.lit(0.0)
+    )
+    dist = (
+        seeds.select(F.col("node"), cost.alias("dist_m"))
+        .groupBy("node")
+        .agg(F.min("dist_m").alias("dist_m"))
+    )
+    return _relax_to_fixpoint(bidir, dist, max_rounds, handles)

@@ -1474,11 +1474,11 @@ def q_osm_road_sssp(spark, sf_dir):
     )
 
 
-def _sql_osm_road_sssp(rounds: int = 24) -> str:
-    hav = geo.haversine_m_sql("lat", "lon", "lat2", "lon2")
+def _sql_relax_rounds(rounds: int) -> tuple[str, str]:
+    """→ (chain of d1..dN relaxation CTEs seeded from d0, final CTE name)."""
     relax = ""
     prev = "d0"
-    # every d{{i}} is referenced TWICE by d{{i+1}} (carry + relax); without
+    # every d{i} is referenced TWICE by d{i+1} (carry + relax); without
     # MATERIALIZED DuckDB inlines the chain into a 2^rounds plan
     for i in range(1, rounds + 1):
         relax += f""",
@@ -1491,9 +1491,19 @@ d{i} as materialized (
   ) group by node
 )"""
         prev = f"d{i}"
+    return relax, prev
+
+
+def _sql_road_graph_ctes() -> str:
+    """Shared oracle prefix: decode-truth ways → contracted road graph as the
+    bidirectional edge CTE ``u`` (mirrors ``routing.contract_road_graph`` +
+    the direction doubling inside the relaxation wrappers)."""
+    hav = geo.haversine_m_sql("lat", "lon", "lat2", "lon2")
     return f"""
 with hw as (
-  select id as way_id, refs from read_parquet('{_ofx("truth/ways.parquet")}')
+  select id as way_id, refs,
+         element_at(tags, 'highway')[1] as cls
+  from read_parquet('{_ofx("truth/ways.parquet")}')
   where len(element_at(tags, 'highway')) > 0
 ), e as (
   select way_id, unnest(refs) as ref,
@@ -1537,8 +1547,56 @@ with hw as (
   select src as u, dst as v, w_m from und
   union all
   select dst as u, src as v, w_m from und
-), d0 as (
+)"""
+
+
+def _sql_osm_road_sssp(rounds: int = 24) -> str:
+    relax, prev = _sql_relax_rounds(rounds)
+    return f"""{_sql_road_graph_ctes()}, d0 as (
   select min(u) as node, 0.0 as dist from u
+){relax}
+select node as ref, cast(round(dist, 2) as decimal(18,2)) as dist_m from {prev}
+"""
+
+
+def q_osm_network_dist(spark, sf_dir):
+    """Accessibility analytic: network distance from every road-graph vertex
+    to the nearest 'residential'-class road — multi-source shortest paths
+    seeded from the residential ways' vertices
+    (``routing.network_distances``). Same
+    determinism/oracle framing as ``q_osm_road_sssp``; multi-source seeding
+    only shrinks the hop bound, so the fixed-24-round oracle stays valid."""
+    b, _ = _osm(spark, sf_dir)
+    hw = b.ways.filter(F.col("tags")["highway"].isNotNull()).select(
+        "id", "refs", F.col("tags")["highway"].alias("cls")
+    )
+    edges = routing.contract_road_graph(hw, b.nodes)
+    verts = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seed_refs = (
+        hw.filter(F.col("cls") == "residential")
+        .select(F.explode("refs").alias("node"))
+        .distinct()
+    )
+    seeds = verts.join(seed_refs, "node", "left_semi")
+    d = routing.network_distances(edges, seeds, max_rounds=64)
+    return d.select(
+        F.col("node").alias("ref"),
+        F.round("dist_m", 2).cast(_DEC2).alias("dist_m"),
+    )
+
+
+def _sql_osm_network_dist(rounds: int = 24) -> str:
+    relax, prev = _sql_relax_rounds(rounds)
+    return f"""{_sql_road_graph_ctes()}, d0 as (
+  select v.node, 0.0 as dist
+  from (select distinct u as node from u) v
+  where v.node in (
+    select distinct unnest(refs) from hw where cls = 'residential'
+  )
 ){relax}
 select node as ref, cast(round(dist, 2) as decimal(18,2)) as dist_m from {prev}
 """
@@ -3036,4 +3094,8 @@ def registry() -> dict[str, tuple]:
         "pages_stream_pip": (q_pages_stream_pip, _sql_pip()),
         "quadkey_rollup": (q_quadkey_rollup, _sql_quadkey_rollup()),
         "sim_lsh_topk": (q_sim_lsh_topk, _sql_lsh_topk()),
+        # tail by design (not rotation): multi-source network distance rides
+        # the SAME contraction + relaxation path osm_road_sssp certifies
+        # in-window; only the seeding differs (vertex set vs min vertex)
+        "osm_network_dist": (q_osm_network_dist, _sql_osm_network_dist()),
     }

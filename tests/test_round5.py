@@ -1211,3 +1211,41 @@ def test_contract_road_graph_plan_is_jvm_only(spark):
     nodes, ways, _, _ = _road_fixture(spark)
     plan = routing.contract_road_graph(ways, nodes)._jdf.queryExecution().toString()
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+def test_network_distances_nearest_seed_and_start_costs(spark):
+    """Multi-source: every vertex gets the distance to its NEAREST seed;
+    duplicate seeds keep the min starting cost; a seed absent from the graph
+    keeps its row but relaxes nothing."""
+    import numpy as np
+
+    from openstreetmapio_jl_spark.operators import routing
+
+    # path graph 1-2-3-4-5, unit weights
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(1, 5)], "src long, dst long, w_m double"
+    )
+    seeds = spark.createDataFrame(
+        [(1, 0.0), (5, 0.0), (5, 7.0), (99, 2.5)], "node long, dist_m double"
+    )
+    got = {r.node: r.dist_m for r in routing.network_distances(edges, seeds).collect()}
+    assert got == {1: 0.0, 2: 1.0, 3: 2.0, 4: 1.0, 5: 0.0, 99: 2.5}
+
+    # default zero start cost when seeds carry no dist_m column
+    seeds0 = spark.createDataFrame([(3,)], "node long")
+    got0 = {r.node: r.dist_m for r in routing.network_distances(edges, seeds0).collect()}
+    assert got0 == {1: 2.0, 2: 1.0, 3: 0.0, 4: 1.0, 5: 2.0}
+    assert all(np.isfinite(v) for v in got0.values())
+
+
+def test_network_distances_single_seed_equals_sssp(spark):
+    """Seeding from exactly {min vertex} reproduces sssp_distances — the
+    multi-source wrapper is a strict generalization."""
+    from openstreetmapio_jl_spark.operators import routing
+
+    nodes, ways, _, _ = _road_fixture(spark)
+    edges = routing.contract_road_graph(ways, nodes)
+    a = {r.node: r.dist_m for r in routing.sssp_distances(edges).collect()}
+    seeds = spark.createDataFrame([(min(a),)], "node long")
+    b = {r.node: r.dist_m for r in routing.network_distances(edges, seeds).collect()}
+    assert a == b
