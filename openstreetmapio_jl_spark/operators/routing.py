@@ -111,16 +111,19 @@ def contract_road_graph(
 
 
 def _bidirectional(edges: DataFrame, handles: list | None) -> DataFrame:
-    bidir = (
-        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"), "w_m")
-        .unionByName(
-            edges.select(F.col("dst").alias("u"), F.col("src").alias("v"), "w_m")
-        )
-        .localCheckpoint(eager=True)
-    )
+    # checkpoint the EDGE LIST, not the doubled union: Catalyst computes each
+    # branch of a union independently (no common-subplan reuse), so unioning
+    # the raw plan would run the whole contraction pipeline twice — and
+    # checkpointing the union would store the edge data twice. One
+    # materialized copy; the per-round join scans it twice, which is cheap.
+    edges = edges.localCheckpoint(eager=True)
     if handles is not None:
-        handles.append(CheckpointHandle(bidir))
-    return bidir
+        handles.append(CheckpointHandle(edges))
+    return edges.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), "w_m"
+    ).unionByName(
+        edges.select(F.col("dst").alias("u"), F.col("src").alias("v"), "w_m")
+    )
 
 
 def _relax_to_fixpoint(

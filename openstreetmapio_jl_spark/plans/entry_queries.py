@@ -1570,7 +1570,10 @@ def q_osm_network_dist(spark, sf_dir):
     hw = b.ways.filter(F.col("tags")["highway"].isNotNull()).select(
         "id", "refs", F.col("tags")["highway"].alias("cls")
     )
-    edges = routing.contract_road_graph(hw, b.nodes)
+    # materialize the contracted graph once: the seeds build (vertex set +
+    # semi-join) and the relaxation's direction doubling would otherwise each
+    # recompute the whole contraction pipeline (unions don't share subplans)
+    edges = routing.contract_road_graph(hw, b.nodes).localCheckpoint(eager=True)
     verts = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
