@@ -103,3 +103,85 @@ def band_join(
         <= F.lit(gap_s)
     )
     return joined.filter(band).drop("_bin")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    keys: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    tolerance_s: float | None = None,
+) -> DataFrame:
+    """Backward as-of join: every left row picks up ``value_cols`` from the
+    LATEST right row with the same ``keys`` and ``right.<right_ts> <=
+    left.<left_ts>`` (inclusive — pandas ``merge_asof`` / DuckDB ``ASOF JOIN``
+    semantics); unmatched left rows keep NULLs (left-outer). With
+    ``tolerance_s``, matches older than the tolerance are nulled out.
+
+    NOT a join underneath: the scalable shape is union-the-sides + one
+    per-key ordered window with ``last(value, ignorenulls=True)`` over the
+    unbounded-preceding frame — ONE shuffle on ``keys``, no candidate
+    explosion, no O(|L|·|R|) nested loop (what Spark plans for the naive
+    ``max(right_ts) <= left_ts`` correlated form). Right rows sort BEFORE
+    left rows at equal timestamps, which is exactly the inclusive bound.
+
+    Contract: ``right`` must be unique per (keys, right_ts) — duplicate
+    right timestamps within a key make which duplicate wins
+    order-dependent; dedupe upstream (e.g. keep the max-id row per (key,
+    ts)). ``left_ts``/``right_ts`` may be the same name; value columns must
+    not collide with left columns (alias upstream). All ``value_cols`` come
+    from the SINGLE matched row (carried as one struct through one window
+    expression), so a NULL value in the matched row stays NULL rather than
+    falling back to an older row.
+    """
+    from pyspark.sql import Window
+
+    for c in value_cols:
+        if c in left.columns:
+            raise ValueError(f"value column {c!r} collides with a left column")
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        *value_cols,
+    )
+    l = left.select(
+        "*", F.col(left_ts).alias("_ats"), F.lit(1).alias("_side")
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_ats", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # pick the matched right ROW atomically (one struct through one window
+    # expression): per-column last(ignorenulls) would skip a legitimately-
+    # NULL value and splice in an OLDER row's value for that column only
+    mrow = F.last(
+        F.when(
+            F.col("_side") == 0,
+            F.struct(F.col("_ats").alias("_mts"), *value_cols),
+        ),
+        ignorenulls=True,
+    ).over(w)
+    if tolerance_s is None:
+        in_tol = F.lit(True)
+    elif dict(u.dtypes)["_ats"].startswith("timestamp"):
+        # timestamp/timestamp_ntz subtraction yields a day-time interval
+        # (neither casts to double in Spark 4's ANSI type system)
+        in_tol = (F.col("_ats") - mrow["_mts"]) <= F.make_dt_interval(
+            F.lit(0), F.lit(0), F.lit(0), F.lit(float(tolerance_s))
+        )
+    else:  # numeric epoch columns
+        in_tol = (F.col("_ats") - mrow["_mts"]) <= F.lit(float(tolerance_s))
+    filled = u.select(
+        "*",
+        *[F.when(in_tol, mrow[c]).alias(f"_v_{c}") for c in value_cols],
+    )
+    out = filled.filter(F.col("_side") == 1)
+    for c in value_cols:
+        out = out.drop(c).withColumnRenamed(f"_v_{c}", c)
+    return out.drop("_ats", "_side")

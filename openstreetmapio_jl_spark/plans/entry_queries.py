@@ -555,6 +555,63 @@ group by p_id
 """
 
 
+def q_events_asof(spark, sf_dir):
+    """Backward AS-OF join (no native Spark operator; the correlated
+    latest-row-at-or-before form plans as a nested loop): every purchase
+    picks up the value of the user's latest view at-or-before it, nulled
+    past a 24 h tolerance (709 of 1981 purchases match at sf0.01 — wide
+    enough to discriminate, tight enough that the tolerance branch nulls a
+    majority and is itself oracle-covered) — via the union + per-key ordered window shape
+    (``temporal.asof_join``), ONE shuffle on user_id. The right side is
+    deduped to one row per (user_id, ts) (max event_id wins) to satisfy the
+    operator's uniqueness contract deterministically in both engines. Oracle
+    = DuckDB's NATIVE ``ASOF LEFT JOIN`` — an independent implementation of
+    the same semantics, so inclusive-boundary or tie-direction drift breaks
+    equality."""
+    from pyspark.sql import Window as W
+
+    from openstreetmapio_jl_spark.operators import temporal
+
+    e = _load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", "ts"
+    )
+    dw = W.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .withColumn("_rn", F.row_number().over(dw))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", F.col("ts").alias("v_ts"), F.col("value").alias("view_value"))
+    )
+    out = temporal.asof_join(
+        p, v, keys=["user_id"], left_ts="ts", right_ts="v_ts",
+        value_cols=["view_value"], tolerance_s=86400,
+    )
+    return out.select(
+        "p_id",
+        "user_id",
+        F.round("view_value", 2).cast(_DEC2).alias("last_view_value"),
+    )
+
+
+SQL_EVENTS_ASOF = """
+with p as (
+  select event_id as p_id, user_id, ts
+  from events where event_type = 'purchase'
+), v as (
+  select user_id, ts as v_ts, value as view_value
+  from events where event_type = 'view'
+  qualify row_number() over (partition by user_id, ts order by event_id desc) = 1
+)
+select p.p_id, p.user_id,
+  cast(round(case
+    when v.v_ts is not null and epoch(p.ts) - epoch(v.v_ts) <= 86400.0
+    then v.view_value end, 2) as decimal(18,2)) as last_view_value
+from p asof left join v on p.user_id = v.user_id and p.ts >= v.v_ts
+"""
+
+
+
 def q_pages_stream_pip(spark, sf_dir):
     """STREAM-STATIC flagship: the web-pages feed as a file-source stream,
     geocoded and PIP-joined (cell equi-join + exact ray cast) against the
@@ -3097,6 +3154,10 @@ def registry() -> dict[str, tuple]:
         "pages_stream_pip": (q_pages_stream_pip, _sql_pip()),
         "quadkey_rollup": (q_quadkey_rollup, _sql_quadkey_rollup()),
         "sim_lsh_topk": (q_sim_lsh_topk, _sql_lsh_topk()),
+        # tail by design (not rotation): backward as-of join — the windowed
+        # union shape vs DuckDB's NATIVE ASOF JOIN as an independent oracle;
+        # the keyed-temporal path is certified in-window by events_band_join_outer
+        "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
         # tail by design (not rotation): multi-source network distance rides
         # the SAME contraction + relaxation path osm_road_sssp certifies
         # in-window; only the seeding differs (vertex set vs min vertex)

@@ -1249,3 +1249,89 @@ def test_network_distances_single_seed_equals_sssp(spark):
     seeds = spark.createDataFrame([(min(a),)], "node long")
     b = {r.node: r.dist_m for r in routing.network_distances(edges, seeds).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# backward as-of join (round-5 temporal surface)
+# ---------------------------------------------------------------------------
+
+def test_asof_join_backward_inclusive_tolerance_and_nomatch(spark):
+    """Latest right row at-or-before each left row per key: equal timestamps
+    match (inclusive), the newest of several qualifying rows wins, matches
+    older than the tolerance null out, and keys with no prior right row stay
+    NULL (left-outer)."""
+    from openstreetmapio_jl_spark.operators import temporal
+
+    left = spark.createDataFrame(
+        [
+            (1, "a", 100.0),   # right at 100 exists -> inclusive tie match
+            (2, "a", 150.0),   # latest right <= 150 is 120
+            (3, "a", 5000.0),  # latest right is 120, but 4880s > tol -> NULL
+            (4, "b", 50.0),    # no right row for b at all -> NULL
+            (5, "a", 10.0),    # before every right row -> NULL
+        ],
+        "id long, k string, ts double",
+    )
+    right = spark.createDataFrame(
+        [("a", 20.0, 1.5), ("a", 100.0, 2.5), ("a", 120.0, 3.5)],
+        "k string, rts double, val double",
+    )
+    out = {
+        r.id: r.val
+        for r in temporal.asof_join(
+            left, right, keys=["k"], left_ts="ts", right_ts="rts",
+            value_cols=["val"], tolerance_s=1000,
+        ).collect()
+    }
+    assert out == {1: 2.5, 2: 3.5, 3: None, 4: None, 5: None}
+
+
+def test_asof_join_matched_row_is_atomic_across_value_cols(spark):
+    """A legitimately-NULL value in the MATCHED right row must stay NULL —
+    per-column last(ignorenulls) would splice in the older row's value."""
+    from openstreetmapio_jl_spark.operators import temporal
+
+    left = spark.createDataFrame([(1, "a", 200.0)], "id long, k string, ts double")
+    right = spark.createDataFrame(
+        [("a", 10.0, 7.0, "old"), ("a", 100.0, None, "new")],
+        "k string, rts double, val double, tag string",
+    )
+    row = temporal.asof_join(
+        left, right, keys=["k"], left_ts="ts", right_ts="rts",
+        value_cols=["val", "tag"],
+    ).collect()[0]
+    assert row.tag == "new" and row.val is None  # NOT 7.0 from the older row
+
+
+def test_asof_join_timestamp_columns_and_collision_guard(spark):
+    """Timestamp-typed ts columns ride the interval tolerance branch (Spark 4
+    forbids timestamp->double casts); a value column colliding with a left
+    column fails loud."""
+    import datetime as dt
+
+    from openstreetmapio_jl_spark.operators import temporal
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(1, "a", at(100)), (2, "a", at(5000))], "id long, k string, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [("a", at(90), 9.0)], "k string, rts timestamp, val double"
+    )
+    out = {
+        r.id: r.val
+        for r in temporal.asof_join(
+            left, right, keys=["k"], left_ts="ts", right_ts="rts",
+            value_cols=["val"], tolerance_s=1800,
+        ).collect()
+    }
+    assert out == {1: 9.0, 2: None}  # 4910s > 1800s tolerance
+    with pytest.raises(ValueError, match="collides"):
+        temporal.asof_join(
+            left, right, keys=["k"], left_ts="ts", right_ts="rts",
+            value_cols=["k"],
+        )
