@@ -47,9 +47,11 @@ def contract_road_graph(
     refs_col: str = "refs",
 ) -> DataFrame:
     """→ undirected weighted edge list ``(src, dst, w_m)`` of the contracted
-    road graph: vertices are way ENDPOINTS and INTERSECTIONS (refs shared by
-    >= 2 input ways); every degree-2 chain between two vertices collapses to
-    one edge whose weight is the summed haversine length of its segments.
+    road graph: vertices are way ENDPOINTS and JUNCTIONS (refs occurring
+    >= 2 times across all exploded way positions — shared BETWEEN ways or
+    repeated WITHIN a self-intersecting way); every degree-2 chain between
+    two vertices collapses to one edge whose weight is the summed haversine
+    length of its segments.
 
     Normalization: ``src < dst`` (both directions collapse), parallel edges
     (two ways joining the same vertex pair, or the two arcs of a closed ring)
@@ -66,7 +68,11 @@ def contract_road_graph(
     e = ways.select(
         F.col(id_col).alias("way_id"), F.posexplode(refs_col).alias("pos", "ref")
     )
-    deg = e.groupBy("ref").agg(F.count_distinct("way_id").alias("n_ways"))
+    # TOTAL occurrence count, not distinct-way count: a ref repeated WITHIN
+    # one way (self-intersecting / lollipop way) is a junction too — counting
+    # ways would contract straight through the loop, inflating the a-b edge
+    # by the loop length and dropping the loop's interior from the graph
+    deg = e.groupBy("ref").agg(F.count("*").alias("n_occ"))
     pts = e.join(
         nodes.select(F.col("id").alias("ref"), "lat", "lon"), "ref"
     ).join(deg, "ref")
@@ -85,7 +91,7 @@ def contract_road_graph(
         (
             (F.col("pos") == F.min("pos").over(wall))
             | (F.col("pos") == F.max("pos").over(wall))
-            | (F.col("n_ways") >= 2)
+            | (F.col("n_occ") >= 2)
         ).alias("is_v"),
     )
     # running INCLUSIVE vertex count: the rows of chain segment g run from
@@ -110,15 +116,30 @@ def contract_road_graph(
     )
 
 
+def _already_materialized(df: DataFrame) -> bool:
+    """True when the frame IS a checkpoint scan (``LogicalRDD`` root) — a
+    caller-side ``localCheckpoint`` we must not copy a second time."""
+    try:
+        return (
+            df._jdf.queryExecution().analyzed().getClass().getSimpleName()
+            == "LogicalRDD"
+        )
+    except Exception:
+        return False
+
+
 def _bidirectional(edges: DataFrame, handles: list | None) -> DataFrame:
     # checkpoint the EDGE LIST, not the doubled union: Catalyst computes each
     # branch of a union independently (no common-subplan reuse), so unioning
     # the raw plan would run the whole contraction pipeline twice — and
     # checkpointing the union would store the edge data twice. One
     # materialized copy; the per-round join scans it twice, which is cheap.
-    edges = edges.localCheckpoint(eager=True)
-    if handles is not None:
-        handles.append(CheckpointHandle(edges))
+    # A caller that already checkpointed (to share the materialized edges
+    # with its own seed build) is not copied again.
+    if not _already_materialized(edges):
+        edges = edges.localCheckpoint(eager=True)
+        if handles is not None:
+            handles.append(CheckpointHandle(edges))
     return edges.select(
         F.col("src").alias("u"), F.col("dst").alias("v"), "w_m"
     ).unionByName(

@@ -142,12 +142,23 @@ def asof_join(
     for c in value_cols:
         if c in left.columns:
             raise ValueError(f"value column {c!r} collides with a left column")
+    for k in keys:
+        # unionByName(allowMissingColumns) would silently fill a key absent
+        # from one side with NULLs -> all left rows land in the NULL
+        # partition and every value comes back NULL with no error
+        if k not in left.columns:
+            raise ValueError(f"key {k!r} is not a column of left")
+        if k not in right.columns:
+            raise ValueError(f"key {k!r} is not a column of right")
     r = right.select(
         *keys,
         F.col(right_ts).alias("_ats"),
         F.lit(0).alias("_side"),
         *value_cols,
-    )
+        # NULL right timestamps sort FIRST ascending, i.e. inside EVERY left
+        # row's frame — they would "match" any left row with no real prior
+        # row. merge_asof/ASOF JOIN never match NULL keys; drop them.
+    ).filter(F.col("_ats").isNotNull())
     l = left.select(
         "*", F.col(left_ts).alias("_ats"), F.lit(1).alias("_side")
     )

@@ -1510,6 +1510,18 @@ group by w.cls
 """
 
 
+def _road_graph(spark, sf_dir):
+    """(hw, edges): the highway ways (id, refs, cls) and the contracted road
+    graph — ONE definition shared by both routing queries and
+    tools/explain_audit.py, so the audited plan cannot drift from the benched
+    query."""
+    b, _ = _osm(spark, sf_dir)
+    hw = b.ways.filter(F.col("tags")["highway"].isNotNull()).select(
+        "id", "refs", F.col("tags")["highway"].alias("cls")
+    )
+    return hw, routing.contract_road_graph(hw, b.nodes)
+
+
 def q_osm_road_sssp(spark, sf_dir):
     """Shortest-path distances over the highway graph: degree-2 chains
     contract to intersection-to-intersection edges (haversine-weighted), then
@@ -1521,9 +1533,7 @@ def q_osm_road_sssp(spark, sf_dir):
     8-round hop diameter — Bellman-Ford is idempotent after convergence, so
     any bound ≥ the true round count yields the identical fixpoint), while
     the Spark side iterates to convergence under a fail-loud cap."""
-    b, _ = _osm(spark, sf_dir)
-    hw = b.ways.filter(F.col("tags")["highway"].isNotNull()).select("id", "refs")
-    edges = routing.contract_road_graph(hw, b.nodes)
+    _hw, edges = _road_graph(spark, sf_dir)
     d = routing.sssp_distances(edges, max_rounds=64)
     return d.select(
         F.col("node").alias("ref"),
@@ -1567,9 +1577,11 @@ with hw as (
          unnest(generate_series(0, len(refs) - 1)) as pos
   from hw
 ), deg as (
-  select ref, count(distinct way_id) as n_ways from e group by ref
+  -- TOTAL occurrences (mirrors routing.contract_road_graph): a ref repeated
+  -- within one self-intersecting way is a junction too
+  select ref, count(*) as n_occ from e group by ref
 ), pts as (
-  select e.way_id, e.pos, e.ref, n.lat, n.lon, deg.n_ways
+  select e.way_id, e.pos, e.ref, n.lat, n.lon, deg.n_occ
   from e
   join read_parquet('{_ofx("truth/nodes.parquet")}') n on n.id = e.ref
   join deg on deg.ref = e.ref
@@ -1577,7 +1589,7 @@ with hw as (
   select way_id, pos, ref,
     lead(lat) over wsec as lat2, lead(lon) over wsec as lon2,
     lat, lon,
-    (pos = min(pos) over wall or pos = max(pos) over wall or n_ways >= 2) as is_v
+    (pos = min(pos) over wall or pos = max(pos) over wall or n_occ >= 2) as is_v
   from pts
   window wsec as (partition by way_id order by pos),
          wall as (partition by way_id)
@@ -1623,14 +1635,12 @@ def q_osm_network_dist(spark, sf_dir):
     (``routing.network_distances``). Same
     determinism/oracle framing as ``q_osm_road_sssp``; multi-source seeding
     only shrinks the hop bound, so the fixed-24-round oracle stays valid."""
-    b, _ = _osm(spark, sf_dir)
-    hw = b.ways.filter(F.col("tags")["highway"].isNotNull()).select(
-        "id", "refs", F.col("tags")["highway"].alias("cls")
-    )
+    hw, edges = _road_graph(spark, sf_dir)
     # materialize the contracted graph once: the seeds build (vertex set +
     # semi-join) and the relaxation's direction doubling would otherwise each
-    # recompute the whole contraction pipeline (unions don't share subplans)
-    edges = routing.contract_road_graph(hw, b.nodes).localCheckpoint(eager=True)
+    # recompute the whole contraction pipeline (unions don't share subplans);
+    # network_distances detects the checkpoint and does not copy it again
+    edges = edges.localCheckpoint(eager=True)
     verts = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))

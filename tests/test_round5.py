@@ -1335,3 +1335,95 @@ def test_asof_join_timestamp_columns_and_collision_guard(spark):
             left, right, keys=["k"], left_ts="ts", right_ts="rts",
             value_cols=["k"],
         )
+
+
+def test_contract_road_graph_self_intersecting_way_junction(spark):
+    """A ref repeated WITHIN one way (lollipop: a-x-b-c-d-b) is a junction:
+    the stick contracts to a-b with the stick length only (never inflated by
+    the loop), and the loop's arc survives as a distinct b-edge set."""
+    import numpy as np
+
+    from openstreetmapio_jl_spark.functions import geo
+    from openstreetmapio_jl_spark.operators import routing
+
+    lat0, lon0, d = 54.0, 9.0, 0.001
+    # a(1) - x(2) - b(3) stick, then loop b(3) - c(4) - d(5) - b(3)
+    nodes = spark.createDataFrame(
+        [
+            (1, lat0, lon0),
+            (2, lat0, lon0 + d),
+            (3, lat0, lon0 + 2 * d),
+            (4, lat0 + d, lon0 + 2 * d),
+            (5, lat0 + d, lon0 + 3 * d),
+        ],
+        "id long, lat double, lon double",
+    )
+    ways = spark.createDataFrame(
+        [(10, [1, 2, 3, 4, 5, 3])], "id long, refs array<long>"
+    )
+    edges = {
+        (r.src, r.dst): r.w_m
+        for r in routing.contract_road_graph(ways, nodes).collect()
+    }
+    step = float(geo.haversine_m(lat0, lon0, lat0, lon0 + d))
+    # stick a-b: exactly two E-W steps — NOT stick + loop (the pre-fix
+    # count_distinct(way_id) degree contracted straight through b and
+    # emitted one a-b edge carrying the loop length too)
+    assert np.isclose(edges[(1, 3)], 2 * step, rtol=1e-6)
+    # the loop 3-4-5-3 (c, d interior) contracts to a self-loop at b and
+    # is dropped; only the stick edge remains
+    assert set(edges) == {(1, 3)}
+    # distances: b reachable at stick length, loop interior contracted away
+    got = {r.node: r.dist_m for r in routing.sssp_distances(
+        routing.contract_road_graph(ways, nodes)).collect()}
+    assert np.isclose(got[3], 2 * step, rtol=1e-6)
+
+
+def test_asof_join_null_right_ts_never_matches_and_missing_key_raises(spark):
+    """NULL right timestamps sort first ascending and would 'match' every
+    left row with no real prior row — they must be dropped; a key column
+    absent from either side must fail loud instead of NULL-filling."""
+    from openstreetmapio_jl_spark.operators import temporal
+
+    left = spark.createDataFrame([(1, "a", 50.0)], "id long, k string, ts double")
+    right = spark.createDataFrame(
+        [("a", None, 9.0), ("a", 100.0, 2.0)],
+        "k string, rts double, val double",
+    )
+    row = temporal.asof_join(
+        left, right, keys=["k"], left_ts="ts", right_ts="rts", value_cols=["val"]
+    ).collect()[0]
+    assert row.val is None  # no right row at-or-before 50; NULL rts ignored
+    with pytest.raises(ValueError, match="not a column of left"):
+        temporal.asof_join(
+            left.drop("k"), right, keys=["k"], left_ts="ts", right_ts="rts",
+            value_cols=["val"],
+        )
+    with pytest.raises(ValueError, match="not a column of right"):
+        temporal.asof_join(
+            left, right.drop("k"), keys=["k"], left_ts="ts", right_ts="rts",
+            value_cols=["val"],
+        )
+
+
+def test_bidirectional_skips_recheckpointing_materialized_edges(spark):
+    """A caller-side localCheckpoint (q_osm_network_dist shares the
+    materialized edges with its seed build) must not be copied a second time
+    by the relaxation wrappers."""
+    from openstreetmapio_jl_spark.operators import routing
+
+    base = spark.createDataFrame([(1, 2, 5.0)], "src long, dst long, w_m double")
+    # a createDataFrame frame is ALREADY a LogicalRDD (its data lives as an
+    # RDD — nothing to recompute), so it is correctly detected as
+    # materialized; a derived plan on top of it is not
+    assert routing._already_materialized(base)
+    derived = base.filter(F.col("w_m") > 0)
+    assert not routing._already_materialized(derived)
+    ck = derived.localCheckpoint(eager=True)
+    assert routing._already_materialized(ck)
+    handles: list = []
+    routing._bidirectional(ck, handles)
+    assert handles == []  # no second copy pinned
+    handles2: list = []
+    routing._bidirectional(derived, handles2)
+    assert len(handles2) == 1  # unmaterialized input still gets pinned once
