@@ -117,13 +117,19 @@ def contract_road_graph(
 
 
 def _already_materialized(df: DataFrame) -> bool:
-    """True when the frame IS a checkpoint scan (``LogicalRDD`` root) — a
-    caller-side ``localCheckpoint`` we must not copy a second time."""
+    """True when the frame IS a scan of a checkpointed-or-persisted RDD — a
+    caller-side ``localCheckpoint`` (or cache) we must not copy a second
+    time. A bare ``LogicalRDD`` root is NOT enough: frames built from
+    arbitrary RDD lineage also root there, and skipping their checkpoint
+    would reintroduce the per-round double-recompute the checkpoint
+    prevents."""
     try:
-        return (
-            df._jdf.queryExecution().analyzed().getClass().getSimpleName()
-            == "LogicalRDD"
-        )
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() != "LogicalRDD":
+            return False
+        rdd = plan.rdd()
+        lvl = rdd.getStorageLevel()
+        return bool(rdd.isCheckpointed() or lvl.useMemory() or lvl.useDisk())
     except Exception:
         return False
 

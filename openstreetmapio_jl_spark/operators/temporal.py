@@ -150,15 +150,21 @@ def asof_join(
             raise ValueError(f"key {k!r} is not a column of left")
         if k not in right.columns:
             raise ValueError(f"key {k!r} is not a column of right")
+    # merge_asof / DuckDB ASOF never match on NULLs: a NULL right timestamp
+    # sorts FIRST ascending (inside EVERY left row's frame — it would "match"
+    # any left row with no real prior row), and a NULL key would meet
+    # NULL-keyed LEFT rows in the NULL window partition even though NULL =
+    # NULL is never true in a join. Drop both from the right side; NULL-keyed
+    # left rows then simply stay unmatched (left-outer), same as the oracle.
+    not_null = F.col("_ats").isNotNull()
+    for k in keys:
+        not_null = not_null & F.col(k).isNotNull()
     r = right.select(
         *keys,
         F.col(right_ts).alias("_ats"),
         F.lit(0).alias("_side"),
         *value_cols,
-        # NULL right timestamps sort FIRST ascending, i.e. inside EVERY left
-        # row's frame — they would "match" any left row with no real prior
-        # row. merge_asof/ASOF JOIN never match NULL keys; drop them.
-    ).filter(F.col("_ats").isNotNull())
+    ).filter(not_null)
     l = left.select(
         "*", F.col(left_ts).alias("_ats"), F.lit(1).alias("_side")
     )

@@ -568,15 +568,13 @@ def q_events_asof(spark, sf_dir):
     = DuckDB's NATIVE ``ASOF LEFT JOIN`` — an independent implementation of
     the same semantics, so inclusive-boundary or tie-direction drift breaks
     equality."""
-    from pyspark.sql import Window as W
-
     from openstreetmapio_jl_spark.operators import temporal
 
     e = _load(spark, sf_dir, "events")
     p = e.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("p_id"), "user_id", "ts"
     )
-    dw = W.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    dw = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
     v = (
         e.filter(F.col("event_type") == "view")
         .withColumn("_rn", F.row_number().over(dw))

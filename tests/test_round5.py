@@ -1413,10 +1413,11 @@ def test_bidirectional_skips_recheckpointing_materialized_edges(spark):
     from openstreetmapio_jl_spark.operators import routing
 
     base = spark.createDataFrame([(1, 2, 5.0)], "src long, dst long, w_m double")
-    # a createDataFrame frame is ALREADY a LogicalRDD (its data lives as an
-    # RDD — nothing to recompute), so it is correctly detected as
-    # materialized; a derived plan on top of it is not
-    assert routing._already_materialized(base)
+    # a createDataFrame frame roots at LogicalRDD but its RDD is neither
+    # checkpointed nor persisted — a bare LogicalRDD root must NOT count
+    # (frames over arbitrary un-cached RDD lineage root there too, and
+    # skipping their checkpoint would recompute that lineage every round)
+    assert not routing._already_materialized(base)
     derived = base.filter(F.col("w_m") > 0)
     assert not routing._already_materialized(derived)
     ck = derived.localCheckpoint(eager=True)
@@ -1427,3 +1428,25 @@ def test_bidirectional_skips_recheckpointing_materialized_edges(spark):
     handles2: list = []
     routing._bidirectional(derived, handles2)
     assert len(handles2) == 1  # unmaterialized input still gets pinned once
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """NULL = NULL is never true in a join: a NULL-keyed right row must not
+    enrich a NULL-keyed left row through the shared NULL window partition
+    (merge_asof raises on NULL keys; DuckDB ASOF returns no match — the
+    differential oracle demands the DuckDB behavior)."""
+    from openstreetmapio_jl_spark.operators import temporal
+
+    left = spark.createDataFrame(
+        [(1, None, 100.0), (2, "a", 100.0)], "id long, k string, ts double"
+    )
+    right = spark.createDataFrame(
+        [(None, 50.0, 9.0), ("a", 50.0, 2.0)], "k string, rts double, val double"
+    )
+    out = {
+        r.id: r.val
+        for r in temporal.asof_join(
+            left, right, keys=["k"], left_ts="ts", right_ts="rts", value_cols=["val"]
+        ).collect()
+    }
+    assert out == {1: None, 2: 2.0}  # NULL-keyed left row kept, unmatched
