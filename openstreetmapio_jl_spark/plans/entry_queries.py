@@ -3037,7 +3037,11 @@ def registry() -> dict[str, tuple]:
     15-char percent-encode inside the URL builder, and its oracle pins the
     encode order byte-for-byte); window_top_orders (er_customer_mentions runs
     the identical rank-per-partition row_number window as its top-1
-    resolver). Pre-submit routine: `python
+    resolver); doc_lang_pivot (its language classifier is identical to
+    in-window doc_langid and the pivot reshape is Catalyst-native
+    conditional aggregation over the same grouped values — rotated out for
+    events_asof, the new backward as-of join certified against DuckDB's
+    native ASOF JOIN). Pre-submit routine: `python
     tools/check_oracle.py` runs ALL entries including the tail, so
     past-window twins cannot silently regress."""
     return {
@@ -3092,7 +3096,13 @@ def registry() -> dict[str, tuple]:
         "sim_ivf_topk": (q_sim_ivf_topk, _sql_ivf_topk()),
         "emb_lsh_neardup": (q_emb_lsh_neardup, _sql_lsh_neardup()),
         "doc_winnow_fps": (q_doc_winnow_fps, _sql_winnow()),
-        "doc_lang_pivot": (q_doc_lang_pivot, _sql_lang_pivot()),
+        # events_asof rotated IN for round 5 (new operator category: backward
+        # as-of join vs DuckDB's NATIVE ASOF JOIN as an independent oracle);
+        # doc_lang_pivot rotated to the certified-twin tail — its language
+        # classifier is IDENTICAL to in-window doc_langid, and the pivot
+        # reshape is Catalyst-native conditional aggregation whose cells
+        # equal the unpivoted groupBy twin, still oracle-pinned in the tail
+        "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
         "mm_media_stats": (q_mm_media_stats, _sql_mm_stats()),
         # --- past the driver's 50-entry correctness window: certified twins
         # (events_band_join: r04-green; the binned band-join path stays
@@ -3162,10 +3172,9 @@ def registry() -> dict[str, tuple]:
         "pages_stream_pip": (q_pages_stream_pip, _sql_pip()),
         "quadkey_rollup": (q_quadkey_rollup, _sql_quadkey_rollup()),
         "sim_lsh_topk": (q_sim_lsh_topk, _sql_lsh_topk()),
-        # tail by design (not rotation): backward as-of join — the windowed
-        # union shape vs DuckDB's NATIVE ASOF JOIN as an independent oracle;
-        # the keyed-temporal path is certified in-window by events_band_join_outer
-        "events_asof": (q_events_asof, SQL_EVENTS_ASOF),
+        # doc_lang_pivot: rotated out for events_asof (see the in-window
+        # comment); lang-ID certified in-window by doc_langid
+        "doc_lang_pivot": (q_doc_lang_pivot, _sql_lang_pivot()),
         # tail by design (not rotation): multi-source network distance rides
         # the SAME contraction + relaxation path osm_road_sssp certifies
         # in-window; only the seeding differs (vertex set vs min vertex)
