@@ -350,9 +350,12 @@ def test_extract_geocodes_multi_keeps_every_mention(spark):
 def test_no_rdd_partition_probes_in_query_paths():
     """Grep pin: no `.rdd` on a potentially AQE-planned DataFrame anywhere in
     source — touching .rdd materializes AQE query stages (executes the
-    upstream plan) just to read a partition count. The only allowed use is
-    members.py's JVM-side persist-handle identity, which operates on the
-    analyzed logical plan, not a planned DataFrame."""
+    upstream plan) just to read a partition count. The dangerous surface is
+    the PySpark ``DataFrame.rdd`` PROPERTY (never parenthesized); the JVM
+    ``LogicalRDD.rdd()`` accessor (always a parenthesized Py4J call, used by
+    members.py's persist-handle identity and routing.py's
+    _already_materialized) reads the plan node's existing RDD reference
+    without planning anything, so parenthesized calls are exempt."""
     import pathlib
     import re
 
@@ -361,12 +364,12 @@ def test_no_rdd_partition_probes_in_query_paths():
     for py in (root / "openstreetmapio_jl_spark").rglob("*.py"):
         for i, line in enumerate(py.read_text().splitlines(), 1):
             code = line.split("#", 1)[0]
-            if re.search(r"\.rdd\b", code) and "._jdf" not in code:
+            if re.search(r"\.rdd\b(?!\()", code) and "._jdf" not in code:
                 offenders.append(f"{py.name}:{i}: {line.strip()}")
     for py in (root / "jobs").glob("*.py"):
         for i, line in enumerate(py.read_text().splitlines(), 1):
             code = line.split("#", 1)[0]
-            if re.search(r"\.rdd\b", code):
+            if re.search(r"\.rdd\b(?!\()", code):
                 offenders.append(f"{py.name}:{i}: {line.strip()}")
     assert not offenders, "\n".join(offenders)
 
