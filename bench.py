@@ -58,6 +58,9 @@ HEADLINE = [
                              # bounded-round shortest paths (NEW in r05 — the
                              # iterative-analytic pillar; per-pass time is
                              # dominated by the synchronous relaxation rounds)
+    "osm_simplify_ways",     # r5: zoom-driven effective-area line
+                             # generalization (NEW in r05 — pure array-expr
+                             # vector-tile simplification over way assembly)
 ]
 
 FLAGSHIP = "pip_hits_per_polygon"

@@ -20,9 +20,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from openstreetmapio_jl_spark.functions.cells import MERCATOR_LAT_LIMIT, tile_bounds
+from openstreetmapio_jl_spark.functions.geo import M2_PER_DEG2
 from openstreetmapio_jl_spark.operators.spatial_join import _tile_of, _tile_row_of
 
 TILE_PX = 256
+
+# Web-Mercator ground resolution at z0 for a 256px tile: 2*pi*R_earth / 256.
+WEBMERC_M_PER_PX_Z0 = 156543.03392804097
+
+
+def tile_tolerance_m2(z: int, *, px_tol: float = 1.0, ref_lat: float = 0.0) -> float:
+    """Zoom-derived simplification tolerance (m²) for :func:`simplify_lines`:
+    the area of a triangle whose height is ``px_tol`` rendered pixels at zoom
+    ``z`` — vertices whose removal moves the line by less than a pixel are
+    invisible at that zoom. ``ref_lat`` scales the Web-Mercator ground
+    resolution (cos shrink toward the poles)."""
+    m_per_px = WEBMERC_M_PER_PX_Z0 * math.cos(math.radians(ref_lat)) / (1 << z)
+    return (px_tol * m_per_px) ** 2
 
 
 def rasterize_points(
@@ -119,6 +133,73 @@ def vectorize_tiles(tile_df: DataFrame) -> DataFrame:
         F.struct(south.alias("lat"), west.alias("lon")),
     )
     return tile_df.withColumn("ring", ring)
+
+
+def simplify_lines(
+    df: DataFrame,
+    *,
+    tolerance_m2: float,
+    ref_lat: float,
+    lats_col: str = "lats",
+    lons_col: str = "lons",
+) -> DataFrame:
+    """Single-pass effective-area line simplification (the Visvalingam–Whyatt
+    criterion applied once, not iterated): an interior vertex survives iff the
+    triangle it forms with its two ORIGINAL neighbors has area ≥
+    ``tolerance_m2``; endpoints always survive. The zoom-driven generalization
+    step of a vector-tile pipeline — pair with :func:`tile_tolerance_m2` so
+    vertices invisible at the target zoom drop before tile encoding. One pass
+    (vs iterating to a fixpoint) keeps the operator a pure per-row array
+    expression: whole-stage codegen, zero shuffle, zero Python — at planet
+    scale it composes with the way-assembly join without adding a stage.
+
+    Adds ``s_lats``/``s_lons`` (the simplified polyline), ``n_pts`` and
+    ``n_kept``. Rows with < 3 vertices pass through unchanged.
+
+    DETERMINISM ACROSS ENGINES: the keep/drop comparison is a discrete
+    decision, so it must not involve per-row libm calls (JVM ``cos`` and a SQL
+    oracle's libm can differ in the last ulp). The triangle area is therefore
+    computed in degree² space — multiplies and subtracts of parquet-exact
+    doubles, bit-identical in any IEEE-754 engine — and compared against a
+    threshold constant derived ONCE in Python from ``tolerance_m2`` via the
+    equal-area scaling at ``ref_lat`` (the same small-extent approximation as
+    :func:`functions.geo.polygon_area_m2_col`, with the bbox-center latitude
+    frozen to a constant; a planet-scale caller bands ways by latitude and
+    calls once per band)."""
+    # |cross|/2 * M2_PER_DEG2 * cos(ref_lat) >= tol  ⇔  |cross| >= tol_cross
+    tol_cross = 2.0 * tolerance_m2 / (M2_PER_DEG2 * math.cos(math.radians(ref_lat)))
+    la, lo = F.col(lats_col), F.col(lons_col)
+    n = F.size(la)
+
+    def _cross(i):
+        return (
+            (F.element_at(lo, i) - F.element_at(lo, i - 1))
+            * (F.element_at(la, i + 1) - F.element_at(la, i - 1))
+            - (F.element_at(lo, i + 1) - F.element_at(lo, i - 1))
+            * (F.element_at(la, i) - F.element_at(la, i - 1))
+        )
+
+    keep = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: (i == 1) | (i == n) | (F.abs(_cross(i)) >= F.lit(tol_cross)),
+    )
+    # sequence(1, 0) would DESCEND (Spark defaults the step to -1): guard
+    # empty arrays before the sequence is ever built
+    keep = F.when(n >= 1, keep).otherwise(F.lit(None).cast("array<int>"))
+    return (
+        df.withColumn("_keep", keep)
+        .withColumn("n_pts", n)
+        .withColumn(
+            "s_lats",
+            F.when(n >= 3, F.transform("_keep", lambda i: F.element_at(la, i))).otherwise(la),
+        )
+        .withColumn(
+            "s_lons",
+            F.when(n >= 3, F.transform("_keep", lambda i: F.element_at(lo, i))).otherwise(lo),
+        )
+        .withColumn("n_kept", F.size("s_lats"))
+        .drop("_keep")
+    )
 
 
 def tile_bounds_py(x: int, y: int, z: int):

@@ -1508,6 +1508,140 @@ group by w.cls
 """
 
 
+# zoom-driven line-generalization constants (osm_simplify_ways): z12 one-pixel
+# tolerance; ref_lat 45° is the fixture's mid-band (at planet scale the caller
+# bands ways by latitude — see simplify_lines' determinism note). BOTH the Spark
+# plan and the oracle SQL derive their keep/drop threshold from these two
+# numbers through the same Python expression, so the discrete decision is
+# bit-identical across engines.
+_SIMPLIFY_Z = 12
+_SIMPLIFY_REF_LAT = 45.0
+
+
+def q_osm_simplify_ways(spark, sf_dir):
+    """Zoom-driven vector-tile line generalization over decoded highway ways —
+    single-pass effective-area simplification
+    (:func:`operators.tiler.simplify_lines`) at the z12 one-pixel tolerance,
+    reported per highway class as vertex retention + length drift. The
+    generalization step a vector-tile pipeline runs between way assembly and
+    tile encoding (the reference decodes per-way coordinate sequences at
+    load_pbf.jl:454-476; rendering-oriented consumers simplify them per zoom).
+    ``positions`` is nulled so every way resolves through the refs→nodes join
+    path — the assembly semantics the oracle mirrors."""
+    b, _ = _osm(spark, sf_dir)
+    hw = b.ways.filter(F.col("tags")["highway"].isNotNull()).select(
+        "id",
+        F.col("tags")["highway"].alias("highway"),
+        "refs",
+        F.lit(None).cast("array<struct<lat:double,lon:double>>").alias("positions"),
+    )
+    lines = SJ.assemble_way_lines(hw, b.nodes).join(hw.select("id", "highway"), "id")
+    tol = tiler.tile_tolerance_m2(_SIMPLIFY_Z, px_tol=1.0, ref_lat=_SIMPLIFY_REF_LAT)
+    simp = tiler.simplify_lines(
+        lines, tolerance_m2=tol, ref_lat=_SIMPLIFY_REF_LAT
+    )
+
+    def _len_m(lats, lons):
+        seg = F.transform(
+            F.sequence(F.lit(1), F.size(lats) - 1),
+            lambda i: geo.haversine_m_col(
+                F.element_at(lats, i),
+                F.element_at(lons, i),
+                F.element_at(lats, i + 1),
+                F.element_at(lons, i + 1),
+            ),
+        )
+        total = F.aggregate(seg, F.lit(0.0), lambda a, x: a + x)
+        # sequence(1, 0) would DESCEND (step defaults to -1) — guard n < 2
+        return F.when(F.size(lats) >= 2, total).otherwise(F.lit(0.0))
+
+    return (
+        simp.select(
+            "highway",
+            "n_pts",
+            "n_kept",
+            _len_m(F.col("lats"), F.col("lons")).alias("orig_m"),
+            _len_m(F.col("s_lats"), F.col("s_lons")).alias("simp_m"),
+        )
+        .groupBy("highway")
+        .agg(
+            F.count("*").alias("n_ways"),
+            F.sum("n_pts").cast("bigint").alias("orig_pts"),
+            F.sum("n_kept").cast("bigint").alias("kept_pts"),
+            F.round(F.sum("orig_m"), 2).cast(_DEC2).alias("orig_m"),
+            F.round(F.sum("simp_m"), 2).cast(_DEC2).alias("simp_m"),
+        )
+    )
+
+
+def _sql_osm_simplify_ways() -> str:
+    import math
+
+    # the SAME Python expressions simplify_lines evaluates — embedding repr()
+    # round-trips the exact double, so the SQL comparison constant is
+    # bit-identical to the Spark literal
+    tol = tiler.tile_tolerance_m2(_SIMPLIFY_Z, px_tol=1.0, ref_lat=_SIMPLIFY_REF_LAT)
+    tol_cross = 2.0 * tol / (
+        geo.M2_PER_DEG2 * math.cos(math.radians(_SIMPLIFY_REF_LAT))
+    )
+    hav = geo.haversine_m_sql("lat", "lon", "lat2", "lon2")
+    return f"""
+with hw as (
+  select id, element_at(tags, 'highway')[1] as highway, refs, len(refs) as n_refs
+  from read_parquet('{_ofx("truth/ways.parquet")}')
+  where len(element_at(tags, 'highway')) > 0
+    and not (len(refs) >= 4 and refs[1] = refs[len(refs)])
+), e as (
+  select id, highway, n_refs, unnest(refs) as ref,
+         unnest(generate_series(1, len(refs))) as seq
+  from hw
+), j as (
+  select e.id, e.highway, e.n_refs, e.seq, n.lat, n.lon
+  from e join read_parquet('{_ofx("truth/nodes.parquet")}') n on n.id = e.ref
+), fullres as (
+  select id from j group by id, n_refs having count(*) = n_refs
+), v as (
+  select j.* from j where id in (select id from fullres)
+), w as (
+  select id, highway, n_refs, seq, lat, lon,
+         lag(lat)  over win as plat, lag(lon)  over win as plon,
+         lead(lat) over win as nlat, lead(lon) over win as nlon
+  from v window win as (partition by id order by seq)
+), k as (
+  select *,
+         (seq = 1 or seq = n_refs
+          or abs((lon - plon) * (nlat - plat) - (nlon - plon) * (lat - plat))
+             >= {tol_cross!r}) as keep
+  from w
+), so as (
+  select id, highway, lat, lon,
+         lead(lat) over (partition by id order by seq) as lat2,
+         lead(lon) over (partition by id order by seq) as lon2
+  from v
+), ss as (
+  select id, highway, lat, lon,
+         lead(lat) over (partition by id order by seq) as lat2,
+         lead(lon) over (partition by id order by seq) as lon2
+  from k where keep
+)
+select p.highway, p.n_ways, p.orig_pts, p.kept_pts,
+       cast(round(coalesce(lo.m, 0), 2) as decimal(18,2)) as orig_m,
+       cast(round(coalesce(ls.m, 0), 2) as decimal(18,2)) as simp_m
+from (
+  select highway, count(distinct id) as n_ways,
+         count(*) as orig_pts,
+         cast(sum(case when keep then 1 else 0 end) as bigint) as kept_pts
+  from k group by highway
+) p
+left join (
+  select highway, sum({hav}) as m from so where lat2 is not null group by highway
+) lo using (highway)
+left join (
+  select highway, sum({hav}) as m from ss where lat2 is not null group by highway
+) ls using (highway)
+"""
+
+
 def _road_graph(spark, sf_dir):
     """(hw, edges): the highway ways (id, refs, cls) and the contracted road
     graph — ONE definition shared by both routing queries and
@@ -3024,7 +3158,10 @@ def registry() -> dict[str, tuple]:
     osm_polygon_areas (equal-area shoelace per landuse/natural class over the
     assembled way-polygon dimension, new surface) and osm_road_sssp
     (intersection-contracted highway graph + bounded-round shortest-path
-    distances, new surface).
+    distances, new surface) and osm_simplify_ways (zoom-driven single-pass
+    effective-area line generalization — the vector-tile simplification step
+    — new surface; sim_cosine_topk rotated out for it, its exact-cosine
+    scoring/tie-break path being identical to in-window sim_ivf_topk's).
     Rotated to the tail to make room (each
     r04-green with an in-window sibling covering its certified path):
     events_band_join
@@ -3092,7 +3229,15 @@ def registry() -> dict[str, tuple]:
         "pages_text_invariant": (q_pages_text_invariant, _sql_text_invariant()),
         "s2_cells_pages": (q_s2_cells_pages, _sql_s2_cells()),
         "hex_cells_pages_r7": (q_hex_cells_pages_r7, _sql_hex_cells_r7()),
-        "sim_cosine_topk": (q_sim_cosine_topk, _sql_cosine_topk()),
+        # osm_simplify_ways rotated IN (new surface: single-pass effective-area
+        # line generalization — the zoom-driven vector-tile simplification
+        # step); sim_cosine_topk rotated to the certified-twin tail — its
+        # exact-cosine scoring, round(6) and row_number tie-break are
+        # line-for-line the same code path ivf_cosine_topk runs in-window
+        # (similarity.py: both call cosine_col + the identical window); the
+        # only part IVF does NOT cover is brute-force crossJoin enumeration,
+        # which is candidate generation, not a scored-result semantic
+        "osm_simplify_ways": (q_osm_simplify_ways, _sql_osm_simplify_ways()),
         "sim_ivf_topk": (q_sim_ivf_topk, _sql_ivf_topk()),
         "emb_lsh_neardup": (q_emb_lsh_neardup, _sql_lsh_neardup()),
         "doc_winnow_fps": (q_doc_winnow_fps, _sql_winnow()),
@@ -3175,6 +3320,11 @@ def registry() -> dict[str, tuple]:
         # doc_lang_pivot: rotated out for events_asof (see the in-window
         # comment); lang-ID certified in-window by doc_langid
         "doc_lang_pivot": (q_doc_lang_pivot, _sql_lang_pivot()),
+        # sim_cosine_topk: r04-green; rotated out for osm_simplify_ways (see
+        # the in-window comment) — exact-cosine scoring + tie-break certified
+        # in-window by sim_ivf_topk, which runs the identical cosine_col /
+        # round(6) / row_number window code path over its probed candidates
+        "sim_cosine_topk": (q_sim_cosine_topk, _sql_cosine_topk()),
         # tail by design (not rotation): multi-source network distance rides
         # the SAME contraction + relaxation path osm_road_sssp certifies
         # in-window; only the seeding differs (vertex set vs min vertex)

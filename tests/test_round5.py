@@ -1453,3 +1453,112 @@ def test_asof_join_null_keys_never_match(spark):
         ).collect()
     }
     assert out == {1: None, 2: 2.0}  # NULL-keyed left row kept, unmatched
+
+
+# ---------------------------------------------------------------------------
+# single-pass effective-area line simplification (round-5 tiler surface)
+# ---------------------------------------------------------------------------
+
+
+def _simplify(spark, pts_rows, tolerance_m2, ref_lat=0.0):
+    from openstreetmapio_jl_spark.operators import tiler
+
+    df = spark.createDataFrame(
+        pts_rows, "id long, lats array<double>, lons array<double>"
+    )
+    out = tiler.simplify_lines(
+        df, tolerance_m2=tolerance_m2, ref_lat=ref_lat
+    ).collect()
+    return {r.id: r for r in out}
+
+
+def test_simplify_lines_keeps_large_drops_small_triangles(spark):
+    """An interior vertex survives iff its neighbor-triangle area clears the
+    tolerance; endpoints always survive. Triangle (0,0)-(d,h)-(2d,0) has
+    area d*h deg² = d*h*M2_PER_DEG2 m² at ref_lat 0 — pick h around the
+    exactly-known threshold."""
+    from openstreetmapio_jl_spark.functions.geo import M2_PER_DEG2
+
+    tol = 1000.0
+    d = 0.001
+    h_keep = 2.0 * tol / (d * M2_PER_DEG2)  # area = 2*tol ≥ tol → kept
+    h_drop = 0.5 * tol / (d * M2_PER_DEG2)  # area = tol/2 < tol → dropped
+    rows = [
+        (1, [0.0, h_keep, 0.0], [0.0, d, 2 * d]),
+        (2, [0.0, h_drop, 0.0], [0.0, d, 2 * d]),
+    ]
+    got = _simplify(spark, rows, tol)
+    assert got[1].n_pts == 3 and got[1].n_kept == 3
+    assert got[2].n_kept == 2 and got[2].s_lats == [0.0, 0.0]
+    assert got[2].s_lons == [0.0, 2 * d]  # endpoints survive verbatim
+
+
+def test_simplify_lines_short_lines_pass_through(spark):
+    """Rows with < 3 vertices (including empty) are unchanged."""
+    rows = [
+        (1, [], []),
+        (2, [1.0], [2.0]),
+        (3, [1.0, 1.5], [2.0, 2.5]),
+    ]
+    got = _simplify(spark, rows, 1000.0)
+    for rid, lats in ((1, []), (2, [1.0]), (3, [1.0, 1.5])):
+        assert got[rid].s_lats == lats
+        assert got[rid].n_kept == len(lats) == got[rid].n_pts
+
+
+def test_simplify_lines_zigzag_mask_and_monotone_tolerance(spark):
+    """A 5-vertex zigzag with two interior amplitudes: the small-amplitude
+    vertices drop first; raising the tolerance only ever drops MORE (the
+    single-pass criterion is monotone in the threshold)."""
+    from openstreetmapio_jl_spark.functions.geo import M2_PER_DEG2
+
+    d = 0.001
+    big, small = 5e-4, 5e-6
+    lats = [0.0, big, 0.0, small, 0.0]
+    lons = [0.0, d, 2 * d, 3 * d, 4 * d]
+    row = [(1, lats, lons)]
+    # interior neighbor-triangle areas (deg²): vertex1 d*big = 5e-7,
+    # vertex2 d*(big+small)/2 = 2.525e-7, vertex3 d*small = 5e-9 — a 1e-7
+    # threshold drops ONLY vertex3 (decisions use ORIGINAL neighbors: the
+    # single pass never re-evaluates vertex2 against a post-drop chain)
+    mid_tol = 1e-7 * M2_PER_DEG2
+    got = _simplify(spark, row, mid_tol)
+    assert got[1].n_kept == 4 and got[1].s_lats == [0.0, big, 0.0, 0.0]
+    # tolerance above both: only endpoints survive
+    hi_tol = 1.0 * M2_PER_DEG2
+    got_hi = _simplify(spark, row, hi_tol)
+    assert got_hi[1].n_kept == 2
+    # tolerance below both: everything survives
+    got_lo = _simplify(spark, row, 1e-12 * M2_PER_DEG2)
+    assert got_lo[1].n_kept == 5
+
+
+def test_simplify_lines_plan_is_jvm_only(spark):
+    """Pure array expression — no Python stage, no shuffle in the plan."""
+    from openstreetmapio_jl_spark.operators import tiler
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0, 0.0], [0.0, 1.0, 2.0])],
+        "id long, lats array<double>, lons array<double>",
+    )
+    plan = (
+        tiler.simplify_lines(df, tolerance_m2=10.0, ref_lat=0.0)
+        ._jdf.queryExecution()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "Exchange" not in plan
+
+
+def test_tile_tolerance_m2_zoom_scaling():
+    """One zoom level finer quarters the pixel-area tolerance; cos(ref_lat)
+    enters squared."""
+    import math
+
+    from openstreetmapio_jl_spark.operators import tiler
+
+    t12 = tiler.tile_tolerance_m2(12)
+    t13 = tiler.tile_tolerance_m2(13)
+    assert abs(t12 / t13 - 4.0) < 1e-9
+    t45 = tiler.tile_tolerance_m2(12, ref_lat=45.0)
+    assert abs(t45 / t12 - math.cos(math.radians(45.0)) ** 2) < 1e-12
