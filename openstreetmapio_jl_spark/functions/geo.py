@@ -50,6 +50,25 @@ def haversine_m_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
     )
 
 
+def polyline_length_m_col(lats: Column, lons: Column) -> Column:
+    """Geodesic polyline length (meters): consecutive vertices connected by
+    haversine segments, folded left-to-right in array order. Pure array
+    expression — whole-stage codegen, no window, no Python. Arrays with < 2
+    vertices report 0.0 (the guard also keeps ``sequence(1, 0)`` from being
+    built — Spark defaults the step to -1, so that range would DESCEND)."""
+    seg = F.transform(
+        F.sequence(F.lit(1), F.size(lats) - 1),
+        lambda i: haversine_m_col(
+            F.element_at(lats, i),
+            F.element_at(lons, i),
+            F.element_at(lats, i + 1),
+            F.element_at(lons, i + 1),
+        ),
+    )
+    total = F.aggregate(seg, F.lit(0.0), lambda acc, x: acc + x)
+    return F.when(F.size(lats) >= 2, total).otherwise(F.lit(0.0))
+
+
 def radius_bbox(lat: float, lon: float, radius_m: float) -> tuple[float, float, float, float]:
     """(bottom, left, top, right) bbox covering a radius around a point — the
     reference-test trig (``test/test_load_overpass.jl:54-62``)."""

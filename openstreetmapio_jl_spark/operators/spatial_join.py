@@ -178,21 +178,6 @@ def way_lengths_m(ways: DataFrame, nodes: DataFrame) -> DataFrame:
     extra = [c for c in carry if c != "id"]
     has_pos = "positions" in ways.columns
 
-    def _length(lats: Column, lons: Column) -> Column:
-        seg = F.transform(
-            F.sequence(F.lit(1), F.size(lats) - 1),
-            lambda i: geo.haversine_m_col(
-                F.element_at(lats, i),
-                F.element_at(lons, i),
-                F.element_at(lats, i + 1),
-                F.element_at(lons, i + 1),
-            ),
-        )
-        total = F.aggregate(seg, F.lit(0.0), lambda acc, x: acc + x)
-        # sequence(1, 0) would DESCEND (Spark defaults step to -1) — guard
-        # single-vertex ways before the transform ever builds that range
-        return F.when(F.size(lats) >= 2, total).otherwise(F.lit(0.0))
-
     if has_pos:
         with_pos = ways.filter(F.col("positions").isNotNull())
         lats = F.transform("positions", lambda p: p["lat"])
@@ -200,7 +185,7 @@ def way_lengths_m(ways: DataFrame, nodes: DataFrame) -> DataFrame:
         embedded = with_pos.select(
             *carry,
             F.size("positions").alias("n_pts"),
-            _length(lats, lons).alias("length_m"),
+            geo.polyline_length_m_col(lats, lons).alias("length_m"),
         )
         without = ways.filter(F.col("positions").isNull())
     else:
@@ -223,7 +208,7 @@ def way_lengths_m(ways: DataFrame, nodes: DataFrame) -> DataFrame:
         .select(
             *carry,
             F.size("pts").alias("n_pts"),
-            _length(
+            geo.polyline_length_m_col(
                 F.transform("pts", lambda p: p["n_lat"]),
                 F.transform("pts", lambda p: p["n_lon"]),
             ).alias("length_m"),

@@ -31,10 +31,12 @@ WEBMERC_M_PER_PX_Z0 = 156543.03392804097
 
 def tile_tolerance_m2(z: int, *, px_tol: float = 1.0, ref_lat: float = 0.0) -> float:
     """Zoom-derived simplification tolerance (m²) for :func:`simplify_lines`:
-    the area of a triangle whose height is ``px_tol`` rendered pixels at zoom
-    ``z`` — vertices whose removal moves the line by less than a pixel are
-    invisible at that zoom. ``ref_lat`` scales the Web-Mercator ground
-    resolution (cos shrink toward the poles)."""
+    the area of a ``px_tol``-sided SQUARE of rendered pixels at zoom ``z``
+    (equivalently a triangle of base ``2·px_tol`` and height ``px_tol``) —
+    vertices whose neighbor triangle fits inside roughly a pixel cell move
+    the line by less than a pixel and are invisible at that zoom. ``ref_lat``
+    scales the Web-Mercator ground resolution (cos shrink toward the
+    poles)."""
     m_per_px = WEBMERC_M_PER_PX_Z0 * math.cos(math.radians(ref_lat)) / (1 << z)
     return (px_tol * m_per_px) ** 2
 

@@ -1541,27 +1541,20 @@ def q_osm_simplify_ways(spark, sf_dir):
         lines, tolerance_m2=tol, ref_lat=_SIMPLIFY_REF_LAT
     )
 
-    def _len_m(lats, lons):
-        seg = F.transform(
-            F.sequence(F.lit(1), F.size(lats) - 1),
-            lambda i: geo.haversine_m_col(
-                F.element_at(lats, i),
-                F.element_at(lons, i),
-                F.element_at(lats, i + 1),
-                F.element_at(lons, i + 1),
-            ),
-        )
-        total = F.aggregate(seg, F.lit(0.0), lambda a, x: a + x)
-        # sequence(1, 0) would DESCEND (step defaults to -1) — guard n < 2
-        return F.when(F.size(lats) >= 2, total).otherwise(F.lit(0.0))
-
+    # per-way lengths round(6)→DECIMAL before the class sum (the module's
+    # metric-aggregate convention: the class-level addition is exact, so
+    # cross-engine summation ORDER cannot move the rounded total)
     return (
         simp.select(
             "highway",
             "n_pts",
             "n_kept",
-            _len_m(F.col("lats"), F.col("lons")).alias("orig_m"),
-            _len_m(F.col("s_lats"), F.col("s_lons")).alias("simp_m"),
+            F.round(geo.polyline_length_m_col(F.col("lats"), F.col("lons")), 6)
+            .cast(_DEC6)
+            .alias("orig_m"),
+            F.round(geo.polyline_length_m_col(F.col("s_lats"), F.col("s_lons")), 6)
+            .cast(_DEC6)
+            .alias("simp_m"),
         )
         .groupBy("highway")
         .agg(
@@ -1634,10 +1627,17 @@ from (
   from k group by highway
 ) p
 left join (
-  select highway, sum({hav}) as m from so where lat2 is not null group by highway
+  -- per-way round(6)->DECIMAL before the class sum, mirroring the Spark plan
+  select highway, sum(m6) as m from (
+    select id, highway, cast(round(sum({hav}), 6) as decimal(18,6)) as m6
+    from so where lat2 is not null group by id, highway
+  ) group by highway
 ) lo using (highway)
 left join (
-  select highway, sum({hav}) as m from ss where lat2 is not null group by highway
+  select highway, sum(m6) as m from (
+    select id, highway, cast(round(sum({hav}), 6) as decimal(18,6)) as m6
+    from ss where lat2 is not null group by id, highway
+  ) group by highway
 ) ls using (highway)
 """
 
