@@ -204,6 +204,47 @@ def simplify_lines(
     )
 
 
+def simplify_rings(
+    df: DataFrame,
+    *,
+    tolerance_m2: float,
+    ref_lat: float,
+    lats_col: str = "lats",
+    lons_col: str = "lons",
+    min_ring_pts: int = 4,
+) -> DataFrame:
+    """Closed-ring variant of :func:`simplify_lines` for polygon
+    generalization: the input arrays carry the CLOSED vertex sequence (first
+    == last); the shared keep/drop expression runs unchanged — the duplicated
+    anchor vertex occupies both endpoint slots, so closure is preserved by
+    construction and every other vertex is interior. Rings where fewer than
+    ``min_ring_pts`` vertices survive (3 distinct + closure by default) fall
+    back to their ORIGINAL vertex sequence — a ring below that floor is
+    degenerate for both rendering and point-in-polygon, and dropping
+    geometry silently is worse than under-simplifying it. Same execution
+    shape as the line variant: one array expression, codegen, zero shuffle,
+    zero Python. The anchor is wherever the way happened to start — the
+    standard single-anchor simplification quirk; decisions elsewhere are
+    anchor-independent because original neighbors are used."""
+    out = simplify_lines(
+        df,
+        tolerance_m2=tolerance_m2,
+        ref_lat=ref_lat,
+        lats_col=lats_col,
+        lons_col=lons_col,
+    )
+    degenerate = F.col("n_kept") < min_ring_pts
+    return (
+        out.withColumn(
+            "s_lats", F.when(degenerate, F.col(lats_col)).otherwise(F.col("s_lats"))
+        )
+        .withColumn(
+            "s_lons", F.when(degenerate, F.col(lons_col)).otherwise(F.col("s_lons"))
+        )
+        .withColumn("n_kept", F.size("s_lats"))
+    )
+
+
 def tile_bounds_py(x: int, y: int, z: int):
     """Python twin (tests): (south, west, north, east)."""
     return tile_bounds(x, y, z)

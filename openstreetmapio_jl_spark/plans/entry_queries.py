@@ -1642,6 +1642,171 @@ left join (
 """
 
 
+def q_osm_simplify_rings(spark, sf_dir):
+    """Polygon-ring generalization at the z12 one-pixel tolerance — the
+    closed-geometry sibling of osm_simplify_ways: per landuse/natural class,
+    vertex retention plus equal-area shoelace drift of the simplified rings
+    (same persisted polygon dimension the PIP joins reuse). Rings are the
+    closed vertex sequence derived from the polygon edge arrays (vertex i =
+    edge i's start, plus the last edge's end — the duplicated anchor), so the
+    oracle can derive the IDENTICAL sequence from the truth parquet. The
+    keep/drop threshold is the shared Python constant (bit-identical
+    cross-engine decision); areas are continuous outputs, so per-row cos is
+    fine there (rounded per ring to DECIMAL before the exact class sum)."""
+    polys = _way_polygons(spark, sf_dir)
+    b, _ = _osm(spark, sf_dir)
+    cls = b.ways.select(
+        "id",
+        F.coalesce(F.col("tags")["landuse"], F.col("tags")["natural"]).alias("cls"),
+    )
+    lats = F.concat(
+        F.transform("edges", lambda e: e["y1"]),
+        F.array(F.element_at("edges", -1)["y2"]),
+    )
+    lons = F.concat(
+        F.transform("edges", lambda e: e["x1"]),
+        F.array(F.element_at("edges", -1)["x2"]),
+    )
+    base = polys.select(
+        "id", "min_lat", "max_lat", "min_lon",
+        lats.alias("lats"), lons.alias("lons"),
+    )
+    tol = tiler.tile_tolerance_m2(_SIMPLIFY_Z, px_tol=1.0, ref_lat=_SIMPLIFY_REF_LAT)
+    simp = tiler.simplify_rings(base, tolerance_m2=tol, ref_lat=_SIMPLIFY_REF_LAT)
+
+    def _area_m2(lats_c, lons_c):
+        # vertex-form shoelace, shifted to the polygon's bbox corner (same
+        # float discipline as geo.polygon_area_m2_col) over the CLOSED
+        # sequence — the duplicated anchor closes the wrap-around pair
+        s2 = F.aggregate(
+            F.sequence(F.lit(1), F.size(lats_c) - 1),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + (
+                (F.element_at(lons_c, i) - F.col("min_lon"))
+                * (F.element_at(lats_c, i + 1) - F.col("min_lat"))
+                - (F.element_at(lons_c, i + 1) - F.col("min_lon"))
+                * (F.element_at(lats_c, i) - F.col("min_lat"))
+            ),
+        )
+        return (
+            F.abs(s2)
+            / 2.0
+            * F.lit(geo.M2_PER_DEG2)
+            * F.cos(F.radians((F.col("min_lat") + F.col("max_lat")) / 2.0))
+        )
+
+    per_ring = simp.select(
+        "id",
+        "n_pts",
+        "n_kept",
+        F.round(_area_m2(F.col("lats"), F.col("lons")) / 1e6, 6)
+        .cast(_DEC6)
+        .alias("orig_km2"),
+        F.round(_area_m2(F.col("s_lats"), F.col("s_lons")) / 1e6, 6)
+        .cast(_DEC6)
+        .alias("simp_km2"),
+    ).join(cls, "id").filter(F.col("cls").isNotNull())
+    return per_ring.groupBy("cls").agg(
+        F.count("*").alias("n_rings"),
+        F.sum("n_pts").cast("bigint").alias("orig_pts"),
+        F.sum("n_kept").cast("bigint").alias("kept_pts"),
+        F.round(F.sum("orig_km2"), 4).cast(_DEC).alias("orig_km2"),
+        F.round(F.sum("simp_km2"), 4).cast(_DEC).alias("simp_km2"),
+    )
+
+
+def _sql_osm_simplify_rings() -> str:
+    import math
+
+    tol = tiler.tile_tolerance_m2(_SIMPLIFY_Z, px_tol=1.0, ref_lat=_SIMPLIFY_REF_LAT)
+    tol_cross = 2.0 * tol / (
+        geo.M2_PER_DEG2 * math.cos(math.radians(_SIMPLIFY_REF_LAT))
+    )
+    return f"""
+with p as (
+  select id, edges, min_lat, max_lat, min_lon
+  from read_parquet('{_ofx("truth/polygons.parquet")}')
+), w as (
+  select id, coalesce(element_at(tags, 'landuse')[1],
+                      element_at(tags, 'natural')[1]) as cls
+  from read_parquet('{_ofx("truth/ways.parquet")}')
+), vx as (
+  select id, seq, ed.x1 as lon, ed.y1 as lat
+  from (select id, unnest(edges) as ed,
+               unnest(generate_series(1, len(edges))) as seq from p)
+  union all
+  select id, len(edges) + 1 as seq,
+         edges[len(edges)].x2 as lon, edges[len(edges)].y2 as lat
+  from p
+), t as (
+  select vx.*, ne.n from vx
+  join (select id, len(edges) + 1 as n from p) ne using (id)
+), wnd as (
+  select id, seq, n, lat, lon,
+         lag(lat)  over win as plat, lag(lon)  over win as plon,
+         lead(lat) over win as nlat, lead(lon) over win as nlon
+  from t window win as (partition by id order by seq)
+), k as (
+  select *,
+         (seq = 1 or seq = n
+          or abs((lon - plon) * (nlat - plat) - (nlon - plon) * (lat - plat))
+             >= {tol_cross!r}) as keep
+  from wnd
+), kc as (
+  select id, sum(case when keep then 1 else 0 end) as n_kept from k group by id
+), sel as (
+  -- degenerate fallback mirrors simplify_rings: < 4 survivors keeps ALL
+  select k.id, k.seq, k.lat, k.lon
+  from k join kc using (id) where k.keep or kc.n_kept < 4
+), seg as (
+  select s.id, s.lat, s.lon, p.min_lat, p.min_lon, p.max_lat,
+         lead(s.lat) over (partition by s.id order by s.seq) as lat2,
+         lead(s.lon) over (partition by s.id order by s.seq) as lon2
+  from sel s join p using (id)
+), sego as (
+  select t.id, t.lat, t.lon, p.min_lat, p.min_lon, p.max_lat,
+         lead(t.lat) over (partition by t.id order by t.seq) as lat2,
+         lead(t.lon) over (partition by t.id order by t.seq) as lon2
+  from t join p using (id)
+), area_s as (
+  select id,
+         cast(round(abs(sum((lon - min_lon) * (lat2 - min_lat)
+                            - (lon2 - min_lon) * (lat - min_lat))) / 2
+           * {geo.M2_PER_DEG2!r}
+           * cos(radians((min_lat + max_lat) / 2)) / 1e6, 6)
+           as decimal(18,6)) as km2
+  from seg where lat2 is not null
+  group by id, min_lat, max_lat
+), area_o as (
+  select id,
+         cast(round(abs(sum((lon - min_lon) * (lat2 - min_lat)
+                            - (lon2 - min_lon) * (lat - min_lat))) / 2
+           * {geo.M2_PER_DEG2!r}
+           * cos(radians((min_lat + max_lat) / 2)) / 1e6, 6)
+           as decimal(18,6)) as km2
+  from sego where lat2 is not null
+  group by id, min_lat, max_lat
+), cnts as (
+  select k.id, count(*) as n_pts,
+         cast(sum(case when keep or kc.n_kept < 4 then 1 else 0 end) as bigint)
+           as n_kept
+  from k join kc using (id) group by k.id
+)
+select w.cls, count(*) as n_rings,
+       cast(sum(c.n_pts) as bigint) as orig_pts,
+       cast(sum(c.n_kept) as bigint) as kept_pts,
+       cast(round(sum(ao.km2), 4) as decimal(18,4)) as orig_km2,
+       cast(round(sum(asx.km2), 4) as decimal(18,4)) as simp_km2
+from cnts c
+join area_o ao using (id)
+join area_s asx using (id)
+join w using (id)
+where w.cls is not null
+group by w.cls
+"""
+
+
 def _road_graph(spark, sf_dir):
     """(hw, edges): the highway ways (id, refs, cls) and the contracted road
     graph — ONE definition shared by both routing queries and
@@ -3329,4 +3494,10 @@ def registry() -> dict[str, tuple]:
         # the SAME contraction + relaxation path osm_road_sssp certifies
         # in-window; only the seeding differs (vertex set vs min vertex)
         "osm_network_dist": (q_osm_network_dist, _sql_osm_network_dist()),
+        # tail by design: ring generalization runs the IDENTICAL simplify_lines
+        # keep/drop expression (same shared threshold constant) that
+        # osm_simplify_ways certifies in-window; only the closed-geometry
+        # wrapper (anchored closure + degenerate fallback) and the shoelace
+        # reporting differ — both oracle-pinned here
+        "osm_simplify_rings": (q_osm_simplify_rings, _sql_osm_simplify_rings()),
     }

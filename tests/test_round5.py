@@ -1562,3 +1562,35 @@ def test_tile_tolerance_m2_zoom_scaling():
     assert abs(t12 / t13 - 4.0) < 1e-9
     t45 = tiler.tile_tolerance_m2(12, ref_lat=45.0)
     assert abs(t45 / t12 - math.cos(math.radians(45.0)) ** 2) < 1e-12
+
+
+def test_simplify_rings_drops_collinear_keeps_corners_preserves_closure(spark):
+    """A square ring with a collinear midpoint inserted on one side: the
+    midpoint (zero-area triangle) drops, all four corners and the duplicated
+    anchor survive, and closure (first == last) is preserved."""
+    from openstreetmapio_jl_spark.operators import tiler
+
+    lats = [0.0, 0.0, 0.0, 0.01, 0.01, 0.0]
+    lons = [0.0, 0.005, 0.01, 0.01, 0.0, 0.0]
+    df = spark.createDataFrame(
+        [(1, lats, lons)], "id long, lats array<double>, lons array<double>"
+    )
+    r = tiler.simplify_rings(df, tolerance_m2=10.0, ref_lat=0.0).collect()[0]
+    assert r.n_pts == 6 and r.n_kept == 5
+    assert r.s_lats[0] == r.s_lats[-1] and r.s_lons[0] == r.s_lons[-1]
+    assert 0.005 not in r.s_lons  # the collinear midpoint dropped
+
+
+def test_simplify_rings_degenerate_falls_back_to_original(spark):
+    """When fewer than min_ring_pts vertices would survive, the ORIGINAL ring
+    comes back untouched (under-simplify rather than emit broken geometry)."""
+    from openstreetmapio_jl_spark.operators import tiler
+
+    # a thin sliver: every interior vertex has near-zero area
+    lats = [0.0, 0.005, 0.01, 0.005, 0.0]
+    lons = [0.0, 1e-9, 0.0, -1e-9, 0.0]
+    df = spark.createDataFrame(
+        [(1, lats, lons)], "id long, lats array<double>, lons array<double>"
+    )
+    r = tiler.simplify_rings(df, tolerance_m2=1e6, ref_lat=0.0).collect()[0]
+    assert r.n_kept == 5 and r.s_lats == lats and r.s_lons == lons
