@@ -1516,6 +1516,8 @@ group by w.cls
 # bit-identical across engines.
 _SIMPLIFY_Z = 12
 _SIMPLIFY_REF_LAT = 45.0
+# shared degenerate-ring floor (Spark call + oracle SQL embed the same value)
+_SIMPLIFY_MIN_RING_PTS = 4
 
 
 def q_osm_simplify_ways(spark, sf_dir):
@@ -1647,32 +1649,31 @@ def q_osm_simplify_rings(spark, sf_dir):
     closed-geometry sibling of osm_simplify_ways: per landuse/natural class,
     vertex retention plus equal-area shoelace drift of the simplified rings
     (same persisted polygon dimension the PIP joins reuse). Rings are the
-    closed vertex sequence derived from the polygon edge arrays (vertex i =
-    edge i's start, plus the last edge's end — the duplicated anchor), so the
-    oracle can derive the IDENTICAL sequence from the truth parquet. The
+    closed vertex sequence read straight off the edge arrays' START points:
+    ring_to_edges_col builds edges over the ALREADY-CLOSED ring with a
+    modular wrap edge, so edge i's start for i = 1..n IS the full closed
+    sequence (the last start is the duplicated anchor; appending the wrap
+    edge's end would add a phantom third anchor copy that inflates the
+    vertex stats — a review-caught defect the oracle mirrored). The class
+    column rides the polygon dimension's own tags — no ways re-read,
+    mirroring q_osm_polygon_areas. The
     keep/drop threshold is the shared Python constant (bit-identical
     cross-engine decision); areas are continuous outputs, so per-row cos is
     fine there (rounded per ring to DECIMAL before the exact class sum)."""
     polys = _way_polygons(spark, sf_dir)
-    b, _ = _osm(spark, sf_dir)
-    cls = b.ways.select(
-        "id",
-        F.coalesce(F.col("tags")["landuse"], F.col("tags")["natural"]).alias("cls"),
-    )
-    lats = F.concat(
-        F.transform("edges", lambda e: e["y1"]),
-        F.array(F.element_at("edges", -1)["y2"]),
-    )
-    lons = F.concat(
-        F.transform("edges", lambda e: e["x1"]),
-        F.array(F.element_at("edges", -1)["x2"]),
-    )
     base = polys.select(
         "id", "min_lat", "max_lat", "min_lon",
-        lats.alias("lats"), lons.alias("lons"),
-    )
+        F.coalesce(F.col("tags")["landuse"], F.col("tags")["natural"]).alias("cls"),
+        F.transform("edges", lambda e: e["y1"]).alias("lats"),
+        F.transform("edges", lambda e: e["x1"]).alias("lons"),
+    ).filter(F.col("cls").isNotNull())
     tol = tiler.tile_tolerance_m2(_SIMPLIFY_Z, px_tol=1.0, ref_lat=_SIMPLIFY_REF_LAT)
-    simp = tiler.simplify_rings(base, tolerance_m2=tol, ref_lat=_SIMPLIFY_REF_LAT)
+    simp = tiler.simplify_rings(
+        base,
+        tolerance_m2=tol,
+        ref_lat=_SIMPLIFY_REF_LAT,
+        min_ring_pts=_SIMPLIFY_MIN_RING_PTS,
+    )
 
     def _area_m2(lats_c, lons_c):
         # vertex-form shoelace, shifted to the polygon's bbox corner (same
@@ -1697,7 +1698,7 @@ def q_osm_simplify_rings(spark, sf_dir):
         )
 
     per_ring = simp.select(
-        "id",
+        "cls",
         "n_pts",
         "n_kept",
         F.round(_area_m2(F.col("lats"), F.col("lons")) / 1e6, 6)
@@ -1706,7 +1707,7 @@ def q_osm_simplify_rings(spark, sf_dir):
         F.round(_area_m2(F.col("s_lats"), F.col("s_lons")) / 1e6, 6)
         .cast(_DEC6)
         .alias("simp_km2"),
-    ).join(cls, "id").filter(F.col("cls").isNotNull())
+    )
     return per_ring.groupBy("cls").agg(
         F.count("*").alias("n_rings"),
         F.sum("n_pts").cast("bigint").alias("orig_pts"),
@@ -1732,16 +1733,15 @@ with p as (
                       element_at(tags, 'natural')[1]) as cls
   from read_parquet('{_ofx("truth/ways.parquet")}')
 ), vx as (
+  -- edge STARTS alone are the closed vertex sequence (ring_to_edges_col
+  -- includes the modular wrap edge; appending its end would add a phantom
+  -- third anchor copy)
   select id, seq, ed.x1 as lon, ed.y1 as lat
   from (select id, unnest(edges) as ed,
                unnest(generate_series(1, len(edges))) as seq from p)
-  union all
-  select id, len(edges) + 1 as seq,
-         edges[len(edges)].x2 as lon, edges[len(edges)].y2 as lat
-  from p
 ), t as (
   select vx.*, ne.n from vx
-  join (select id, len(edges) + 1 as n from p) ne using (id)
+  join (select id, len(edges) as n from p) ne using (id)
 ), wnd as (
   select id, seq, n, lat, lon,
          lag(lat)  over win as plat, lag(lon)  over win as plon,
@@ -1756,9 +1756,10 @@ with p as (
 ), kc as (
   select id, sum(case when keep then 1 else 0 end) as n_kept from k group by id
 ), sel as (
-  -- degenerate fallback mirrors simplify_rings: < 4 survivors keeps ALL
+  -- degenerate fallback mirrors simplify_rings' min_ring_pts (shared
+  -- Python constant): fewer survivors keeps ALL
   select k.id, k.seq, k.lat, k.lon
-  from k join kc using (id) where k.keep or kc.n_kept < 4
+  from k join kc using (id) where k.keep or kc.n_kept < {_SIMPLIFY_MIN_RING_PTS}
 ), seg as (
   select s.id, s.lat, s.lon, p.min_lat, p.min_lon, p.max_lat,
          lead(s.lat) over (partition by s.id order by s.seq) as lat2,
@@ -1789,7 +1790,8 @@ with p as (
   group by id, min_lat, max_lat
 ), cnts as (
   select k.id, count(*) as n_pts,
-         cast(sum(case when keep or kc.n_kept < 4 then 1 else 0 end) as bigint)
+         cast(sum(case when keep or kc.n_kept < {_SIMPLIFY_MIN_RING_PTS}
+                   then 1 else 0 end) as bigint)
            as n_kept
   from k join kc using (id) group by k.id
 )
