@@ -61,6 +61,9 @@ HEADLINE = [
     "osm_simplify_ways",     # r5: zoom-driven effective-area line
                              # generalization (NEW in r05 — pure array-expr
                              # vector-tile simplification over way assembly)
+    "osm_tile_road_density", # r5: Liang-Barsky tile clipping -> road length
+                             # per z12 tile (NEW in r05 — the tile-cut
+                             # analytic; explode-bounded, zero Python)
 ]
 
 FLAGSHIP = "pip_hits_per_polygon"

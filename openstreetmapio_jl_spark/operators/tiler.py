@@ -19,6 +19,7 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from openstreetmapio_jl_spark.functions import geo
 from openstreetmapio_jl_spark.functions.cells import MERCATOR_LAT_LIMIT, tile_bounds
 from openstreetmapio_jl_spark.functions.geo import M2_PER_DEG2
 from openstreetmapio_jl_spark.operators.spatial_join import _tile_of, _tile_row_of
@@ -242,6 +243,125 @@ def simplify_rings(
             "s_lons", F.when(degenerate, F.col(lons_col)).otherwise(F.col("s_lons"))
         )
         .withColumn("n_kept", F.size("s_lats"))
+    )
+
+
+def clip_lines_to_tiles(
+    df: DataFrame,
+    z: int,
+    *,
+    lats_col: str = "lats",
+    lons_col: str = "lons",
+    eps: float = 1e-9,
+) -> DataFrame:
+    """Clip polylines to XYZ tile boundaries — the tile-cut step between
+    generalization (:func:`simplify_lines`) and per-tile encoding/analytics.
+    Each consecutive-vertex segment is exploded into the tiles its bbox spans
+    (tile-index ranges in Web-Mercator tile units — usually 1-2 per axis) and
+    clipped against each tile's unit square with the Liang–Barsky parametric
+    test: pure +,-,*,/ and comparisons, whole-stage codegen, no Python, no
+    shuffle. Output: one row per (input row, segment, tile) with ``seg``,
+    ``x``, ``y``, ``seg_m`` (full geodesic segment length) and ``clip_frac``
+    (the parametric in-tile fraction, > ``eps``); in-tile length is
+    ``seg_m * clip_frac`` — the parametric fraction of the geodesic length,
+    the standard planar approximation for tile-local analytics (segments are
+    short relative to tile extent at rendering zooms). Axis-parallel
+    segments use ±1e18 sentinels instead of dividing by zero — safe because
+    a zero-extent axis's candidate tiles all contain the segment on that
+    axis by construction. Rows with < 2 vertices contribute nothing."""
+    n = float(1 << z)
+    nmax = (1 << z) - 1
+    la, lo = F.col(lats_col), F.col(lons_col)
+    segs = (
+        df.filter(F.size(la) >= 2)
+        .select(
+            "*", F.explode(F.sequence(F.lit(1), F.size(la) - 1)).alias("_seg")
+        )
+        .select(
+            "*",
+            F.element_at(la, F.col("_seg")).alias("_lat1"),
+            F.element_at(lo, F.col("_seg")).alias("_lon1"),
+            F.element_at(la, F.col("_seg") + 1).alias("_lat2"),
+            F.element_at(lo, F.col("_seg") + 1).alias("_lon2"),
+        )
+        .drop(lats_col, lons_col)
+    )
+
+    def _u(lon):
+        return (lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n)
+
+    def _m(lat):
+        lat_c = F.greatest(
+            F.least(lat, F.lit(MERCATOR_LAT_LIMIT)), F.lit(-MERCATOR_LAT_LIMIT)
+        )
+        rad = F.radians(lat_c)
+        return (
+            (F.lit(1.0) - F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad)) / F.lit(math.pi))
+            / F.lit(2.0)
+            * F.lit(n)
+        )
+
+    segs = segs.select(
+        "*",
+        _u(F.col("_lon1")).alias("_u1"),
+        _u(F.col("_lon2")).alias("_u2"),
+        _m(F.col("_lat1")).alias("_m1"),
+        _m(F.col("_lat2")).alias("_m2"),
+    )
+
+    def _lo_tile(a, b):
+        return F.greatest(
+            F.least(F.floor(F.least(a, b)).cast("long"), F.lit(nmax)), F.lit(0)
+        )
+
+    def _hi_tile(a, b):
+        return F.greatest(
+            F.least(F.floor(F.greatest(a, b)).cast("long"), F.lit(nmax)), F.lit(0)
+        )
+
+    segs = segs.select(
+        "*",
+        F.explode(
+            F.sequence(
+                _lo_tile(F.col("_u1"), F.col("_u2")),
+                _hi_tile(F.col("_u1"), F.col("_u2")),
+            )
+        ).alias("x"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(
+                _lo_tile(F.col("_m1"), F.col("_m2")),
+                _hi_tile(F.col("_m1"), F.col("_m2")),
+            )
+        ).alias("y"),
+    )
+    du = F.col("_u2") - F.col("_u1")
+    dm = F.col("_m2") - F.col("_m1")
+    x0 = F.col("x").cast("double")
+    y0 = F.col("y").cast("double")
+    big = 1e18
+    txa = (x0 - F.col("_u1")) / du
+    txb = (x0 + F.lit(1.0) - F.col("_u1")) / du
+    txmin = F.when(du == 0, F.lit(-big)).otherwise(F.least(txa, txb))
+    txmax = F.when(du == 0, F.lit(big)).otherwise(F.greatest(txa, txb))
+    tya = (y0 - F.col("_m1")) / dm
+    tyb = (y0 + F.lit(1.0) - F.col("_m1")) / dm
+    tymin = F.when(dm == 0, F.lit(-big)).otherwise(F.least(tya, tyb))
+    tymax = F.when(dm == 0, F.lit(big)).otherwise(F.greatest(tya, tyb))
+    t0 = F.greatest(F.lit(0.0), txmin, tymin)
+    t1 = F.least(F.lit(1.0), txmax, tymax)
+    return (
+        segs.select(
+            "*",
+            geo.haversine_m_col(
+                F.col("_lat1"), F.col("_lon1"), F.col("_lat2"), F.col("_lon2")
+            ).alias("seg_m"),
+            (t1 - t0).alias("clip_frac"),
+        )
+        .filter(F.col("clip_frac") > eps)
+        .drop("_u1", "_u2", "_m1", "_m2", "_lat1", "_lon1", "_lat2", "_lon2")
+        .withColumnRenamed("_seg", "seg")
     )
 
 

@@ -1809,6 +1809,125 @@ group by w.cls
 """
 
 
+def q_osm_tile_road_density(spark, sf_dir):
+    """Road length per z12 tile — the tile-cut analytic completing the tiler
+    pipeline (assemble → simplify → CLIP → per-tile aggregate): every highway
+    segment is Liang–Barsky-clipped against the tiles its bbox spans
+    (:func:`operators.tiler.clip_lines_to_tiles`) and contributes its
+    parametric in-tile fraction of the geodesic segment length. The classic
+    road-density raster a rendering/routing stack derives per zoom.
+    ``positions`` is nulled so every way resolves through the refs→nodes
+    join path (the assembly semantics the oracle mirrors); the clip
+    parameters are pure +,-,*,/ of shared-shape expressions, so both engines
+    make the same keep decisions away from measure-zero tile-corner
+    grazes (the > eps guard is the shared constant)."""
+    b, _ = _osm(spark, sf_dir)
+    hw = b.ways.filter(F.col("tags")["highway"].isNotNull()).select(
+        "id",
+        "refs",
+        F.lit(None).cast("array<struct<lat:double,lon:double>>").alias("positions"),
+    )
+    lines = SJ.assemble_way_lines(hw, b.nodes).select("id", "lats", "lons")
+    clipped = tiler.clip_lines_to_tiles(lines, _SIMPLIFY_Z)
+    return (
+        clipped.select(
+            "x",
+            "y",
+            F.round(F.col("seg_m") * F.col("clip_frac"), 6)
+            .cast(_DEC6)
+            .alias("road6"),
+        )
+        .groupBy("x", "y")
+        .agg(
+            F.count("*").alias("n_segs"),
+            F.round(F.sum("road6"), 2).cast(_DEC2).alias("road_m"),
+        )
+        .select(
+            F.lit(_SIMPLIFY_Z).cast("int").alias("z"), "x", "y", "n_segs", "road_m"
+        )
+    )
+
+
+def _sql_osm_tile_road_density() -> str:
+    n = float(1 << _SIMPLIFY_Z)
+    nmax = (1 << _SIMPLIFY_Z) - 1
+    lim = cells.MERCATOR_LAT_LIMIT
+    hav = geo.haversine_m_sql("lat", "lon", "lat2", "lon2")
+
+    def _merc(lat: str) -> str:
+        latc = f"greatest(least({lat}, {lim!r}), -{lim!r})"
+        return (
+            f"(1.0 - ln(tan(radians({latc})) + 1.0/cos(radians({latc}))) / pi())"
+            f" / 2.0 * {n!r}"
+        )
+
+    def _lo(a: str, b: str) -> str:
+        return f"greatest(least(cast(floor(least({a}, {b})) as bigint), {nmax}), 0)"
+
+    def _hi(a: str, b: str) -> str:
+        return f"greatest(least(cast(floor(greatest({a}, {b})) as bigint), {nmax}), 0)"
+
+    return f"""
+with hw as (
+  select id, refs, len(refs) as n_refs
+  from read_parquet('{_ofx("truth/ways.parquet")}')
+  where len(element_at(tags, 'highway')) > 0
+    and not (len(refs) >= 4 and refs[1] = refs[len(refs)])
+), e as (
+  select id, n_refs, unnest(refs) as ref,
+         unnest(generate_series(1, len(refs))) as seq
+  from hw
+), j as (
+  select e.id, e.n_refs, e.seq, n.lat, n.lon
+  from e join read_parquet('{_ofx("truth/nodes.parquet")}') n on n.id = e.ref
+), fullres as (
+  select id from j group by id, n_refs having count(*) = n_refs
+), v as (
+  select j.* from j where id in (select id from fullres)
+), sg as (
+  select id, lat, lon,
+         lead(lat) over win as lat2, lead(lon) over win as lon2
+  from v window win as (partition by id order by seq)
+), s as (
+  select id, lat, lon, lat2, lon2,
+         (lon + 180.0) / 360.0 * {n!r} as u1,
+         (lon2 + 180.0) / 360.0 * {n!r} as u2,
+         {_merc('lat')} as m1,
+         {_merc('lat2')} as m2
+  from sg where lat2 is not null
+), ex as (
+  select s.*, unnest(generate_series({_lo('u1', 'u2')}, {_hi('u1', 'u2')})) as x
+  from s
+), ey as (
+  select ex.*, unnest(generate_series({_lo('m1', 'm2')}, {_hi('m1', 'm2')})) as y
+  from ex
+), t as (
+  select id, lat, lon, lat2, lon2, x, y,
+         greatest(0.0,
+           case when u2 - u1 = 0 then -1e18
+                else least((x - u1) / (u2 - u1), (x + 1.0 - u1) / (u2 - u1)) end,
+           case when m2 - m1 = 0 then -1e18
+                else least((y - m1) / (m2 - m1), (y + 1.0 - m1) / (m2 - m1)) end
+         ) as t0,
+         least(1.0,
+           case when u2 - u1 = 0 then 1e18
+                else greatest((x - u1) / (u2 - u1), (x + 1.0 - u1) / (u2 - u1)) end,
+           case when m2 - m1 = 0 then 1e18
+                else greatest((y - m1) / (m2 - m1), (y + 1.0 - m1) / (m2 - m1)) end
+         ) as t1
+  from ey
+), kept as (
+  select x, y,
+         cast(round(({hav}) * (t1 - t0), 6) as decimal(18,6)) as road6
+  from t where t1 - t0 > 1e-9
+)
+select cast({_SIMPLIFY_Z} as int) as z, x, y,
+       count(*) as n_segs,
+       cast(round(sum(road6), 2) as decimal(18,2)) as road_m
+from kept group by x, y
+"""
+
+
 def _road_graph(spark, sf_dir):
     """(hw, edges): the highway ways (id, refs, cls) and the contracted road
     graph — ONE definition shared by both routing queries and
@@ -3328,7 +3447,10 @@ def registry() -> dict[str, tuple]:
     distances, new surface) and osm_simplify_ways (zoom-driven single-pass
     effective-area line generalization — the vector-tile simplification step
     — new surface; sim_cosine_topk rotated out for it, its exact-cosine
-    scoring/tie-break path being identical to in-window sim_ivf_topk's).
+    scoring/tie-break path being identical to in-window sim_ivf_topk's) and
+    osm_tile_road_density (Liang-Barsky parametric tile clipping, the
+    tile-cut analytic — new surface; osm_around_radius rotated out for it,
+    its haversine/bbox/URL paths each having an in-window certifier).
     Rotated to the tail to make room (each
     r04-green with an in-window sibling covering its certified path):
     events_band_join
@@ -3383,7 +3505,15 @@ def registry() -> dict[str, tuple]:
         "osm_multipolygon_assembly": (q_osm_multipolygon_assembly, _sql_multipolygon()),
         "osm_xml_differential": (q_osm_xml_differential, _sql_xml_differential()),
         "overpass_url_build": (q_overpass_url_build, _sql_overpass_url()),
-        "osm_around_radius": (q_osm_around_radius, _sql_around_radius()),
+        # osm_tile_road_density rotated IN (new surface: Liang-Barsky
+        # parametric tile clipping — the tile-cut step of the tiler
+        # pipeline); osm_around_radius rotated to the certified-twin tail —
+        # its exact-haversine predicate is the identical
+        # haversine_m_col/haversine_m_sql pair in-window knn_pages_to_poi
+        # scores with, its sargable bbox prefilter is the same range-filter
+        # shape the in-window PIP queries apply before the exact test, and
+        # its Overpass URL surface stays in-window via overpass_url_build
+        "osm_tile_road_density": (q_osm_tile_road_density, _sql_osm_tile_road_density()),
         "pages_tile_counts": (q_pages_tile_counts, _sql_pages_tiles()),
         "pip_hits_per_polygon": (q_pip_hits_per_polygon, _sql_pip()),
         "pip_hits_multipolygon": (
@@ -3484,6 +3614,11 @@ def registry() -> dict[str, tuple]:
         "pages_stream_pip": (q_pages_stream_pip, _sql_pip()),
         "quadkey_rollup": (q_quadkey_rollup, _sql_quadkey_rollup()),
         "sim_lsh_topk": (q_sim_lsh_topk, _sql_lsh_topk()),
+        # osm_around_radius: r04-green; rotated out for osm_tile_road_density
+        # (see the in-window comment) — haversine predicate certified by
+        # knn_pages_to_poi, bbox prefilter by the PIP queries, Overpass URL
+        # surface by overpass_url_build
+        "osm_around_radius": (q_osm_around_radius, _sql_around_radius()),
         # doc_lang_pivot: rotated out for events_asof (see the in-window
         # comment); lang-ID certified in-window by doc_langid
         "doc_lang_pivot": (q_doc_lang_pivot, _sql_lang_pivot()),

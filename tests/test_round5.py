@@ -1594,3 +1594,78 @@ def test_simplify_rings_degenerate_falls_back_to_original(spark):
     )
     r = tiler.simplify_rings(df, tolerance_m2=1e6, ref_lat=0.0).collect()[0]
     assert r.n_kept == 5 and r.s_lats == lats and r.s_lons == lons
+
+
+# ---------------------------------------------------------------------------
+# Liang-Barsky tile clipping (round-5 tiler surface)
+# ---------------------------------------------------------------------------
+
+
+def test_clip_lines_to_tiles_known_fractions_across_columns(spark):
+    """A horizontal equator segment spanning u=0.5..2.5 at z3 (45-degree
+    tiles) clips into columns 0/1/2 with exact dyadic fractions
+    0.25/0.5/0.25; the parametric fractions sum to 1."""
+    from openstreetmapio_jl_spark.operators import tiler
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0], [-157.5, -67.5])],
+        "id long, lats array<double>, lons array<double>",
+    )
+    rows = tiler.clip_lines_to_tiles(df, 3).collect()
+    got = {r.x: r.clip_frac for r in rows}
+    assert got == {0: 0.25, 1: 0.5, 2: 0.25}
+    assert all(r.y == rows[0].y for r in rows)  # same row of tiles
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+
+
+def test_clip_lines_to_tiles_vertical_segment_sentinel_path(spark):
+    """A meridian-aligned segment (du == 0) stays in one tile column and its
+    per-tile fractions still sum to 1 — the +/-1e18 sentinels never divide
+    by zero."""
+    from openstreetmapio_jl_spark.operators import tiler
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 40.0], [-157.5, -157.5])],
+        "id long, lats array<double>, lons array<double>",
+    )
+    rows = tiler.clip_lines_to_tiles(df, 3).collect()
+    assert len({r.x for r in rows}) == 1
+    assert abs(sum(r.clip_frac for r in rows) - 1.0) < 1e-12
+    assert all(0.0 < r.clip_frac <= 1.0 for r in rows)
+
+
+def test_clip_lines_to_tiles_conservation_and_short_lines(spark):
+    """Every segment's clip fractions sum to exactly 1 across its tiles
+    (tiles tile the plane); rows with < 2 vertices contribute nothing."""
+    from openstreetmapio_jl_spark.operators import tiler
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, [10.0, 52.3, -4.0, 33.3], [-170.0, 12.7, 44.1, 179.0]),
+            (2, [1.0], [2.0]),
+            (3, [], []),
+        ],
+        "id long, lats array<double>, lons array<double>",
+    )
+    out = tiler.clip_lines_to_tiles(df, 6)
+    assert out.filter(F.col("id") != 1).count() == 0
+    sums = (
+        out.groupBy("seg").agg(F.sum("clip_frac").alias("s")).collect()
+    )
+    assert len(sums) == 3  # three segments of row 1
+    assert all(abs(r.s - 1.0) < 1e-9 for r in sums)
+
+
+def test_clip_lines_to_tiles_plan_is_jvm_only(spark):
+    """Pure expression pipeline: segment + tile explodes, no Python stage,
+    no shuffle."""
+    from openstreetmapio_jl_spark.operators import tiler
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0], [0.0, 1.0])],
+        "id long, lats array<double>, lons array<double>",
+    )
+    plan = tiler.clip_lines_to_tiles(df, 8)._jdf.queryExecution().toString()
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    assert "Exchange" not in plan
