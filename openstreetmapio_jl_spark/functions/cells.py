@@ -265,22 +265,34 @@ def xyz_tile_key(lat, lon, z: int) -> np.ndarray:
     return (np.int64(z) << np.int64(58)) | (x << np.int64(29)) | y
 
 
-def _xyz_cols(lat: Column, lon: Column, z: int) -> tuple[Column, Column]:
-    """(x, y) tile index Columns at zoom z (clamped; pure Catalyst)."""
+def mercator_unit_cols(lat: Column, lon: Column, z: int) -> tuple[Column, Column]:
+    """CONTINUOUS Web-Mercator tile coordinates (u, m) at zoom z — the
+    un-floored quantities every tile-index derivation floors: u ∈ [0, n]
+    from lon, m ∈ [0, n] from (pole-clamped) lat. Shared by the discrete
+    index helpers below and by operators needing sub-tile positions
+    (``tiler.clip_lines_to_tiles``)."""
     n = float(1 << z)
     lat_c = F.greatest(
         F.least(lat, F.lit(MERCATOR_LAT_LIMIT)), F.lit(-MERCATOR_LAT_LIMIT)
     )
     lat_rad = F.radians(lat_c)
-    x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n)).cast("long")
-    y = F.floor(
+    u = (lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n)
+    m = (
         (
             F.lit(1.0)
             - F.log(F.tan(lat_rad) + F.lit(1.0) / F.cos(lat_rad)) / F.lit(math.pi)
         )
         / F.lit(2.0)
         * F.lit(n)
-    ).cast("long")
+    )
+    return u, m
+
+
+def _xyz_cols(lat: Column, lon: Column, z: int) -> tuple[Column, Column]:
+    """(x, y) tile index Columns at zoom z (clamped; pure Catalyst)."""
+    u, m = mercator_unit_cols(lat, lon, z)
+    x = F.floor(u).cast("long")
+    y = F.floor(m).cast("long")
     x = F.greatest(F.least(x, F.lit((1 << z) - 1)), F.lit(0))
     y = F.greatest(F.least(y, F.lit((1 << z) - 1)), F.lit(0))
     return x, y

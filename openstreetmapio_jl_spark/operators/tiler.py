@@ -20,7 +20,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from openstreetmapio_jl_spark.functions import geo
-from openstreetmapio_jl_spark.functions.cells import MERCATOR_LAT_LIMIT, tile_bounds
+from openstreetmapio_jl_spark.functions.cells import (
+    MERCATOR_LAT_LIMIT,
+    mercator_unit_cols,
+    tile_bounds,
+)
 from openstreetmapio_jl_spark.functions.geo import M2_PER_DEG2
 from openstreetmapio_jl_spark.operators.spatial_join import _tile_of, _tile_row_of
 
@@ -246,13 +250,17 @@ def simplify_rings(
     )
 
 
+CLIP_EPS = 1e-9  # shared keep guard: Spark filter + oracle SQL embed this value
+_CLIP_RESERVED = ("seg", "x", "y", "seg_m", "clip_frac", "_seg")
+
+
 def clip_lines_to_tiles(
     df: DataFrame,
     z: int,
     *,
     lats_col: str = "lats",
     lons_col: str = "lons",
-    eps: float = 1e-9,
+    eps: float = CLIP_EPS,
 ) -> DataFrame:
     """Clip polylines to XYZ tile boundaries — the tile-cut step between
     generalization (:func:`simplify_lines`) and per-tile encoding/analytics.
@@ -265,12 +273,32 @@ def clip_lines_to_tiles(
     (the parametric in-tile fraction, > ``eps``); in-tile length is
     ``seg_m * clip_frac`` — the parametric fraction of the geodesic length,
     the standard planar approximation for tile-local analytics (segments are
-    short relative to tile extent at rendering zooms). Axis-parallel
-    segments use ±1e18 sentinels instead of dividing by zero — safe because
-    a zero-extent axis's candidate tiles all contain the segment on that
-    axis by construction. Rows with < 2 vertices contribute nothing."""
+    short relative to tile extent at rendering zooms).
+
+    ANTIMERIDIAN: a segment whose endpoints sit more than half the world
+    apart in tile-u (|u2-u1| > n/2) crosses lon ±180 the short way; the
+    smaller endpoint is shifted by +n, the clip runs in the shifted frame,
+    and emitted columns wrap back via ``% n`` — without this the x-explode
+    would fan a 2 km border road into every tile column on the row and
+    smear its length world-wide. Axis-parallel segments use ±1e18 sentinels
+    instead of dividing by zero — safe because a zero-extent axis's
+    candidate tiles all contain the segment on that axis by construction.
+    Zero-length segments (consecutive duplicate vertices — common OSM
+    editing artifacts) are excluded: they carry no length and would inflate
+    per-tile segment counts. Rows with < 2 vertices contribute nothing.
+    Input columns named like the outputs (seg, x, y, seg_m, clip_frac) are
+    rejected up front — renaming them silently would corrupt downstream
+    references."""
+    clash = [c for c in df.columns if c in _CLIP_RESERVED]
+    if clash:
+        raise ValueError(
+            f"clip_lines_to_tiles: input columns {clash} collide with "
+            f"reserved output names {_CLIP_RESERVED}; rename them first"
+        )
     n = float(1 << z)
-    nmax = (1 << z) - 1
+    nint = 1 << z
+    nmax2 = 2 * nint - 1  # shifted-frame x indices live in [0, 2n)
+    nmax = nint - 1
     la, lo = F.col(lats_col), F.col(lons_col)
     segs = (
         df.filter(F.size(la) >= 2)
@@ -286,59 +314,53 @@ def clip_lines_to_tiles(
         )
         .drop(lats_col, lons_col)
     )
-
-    def _u(lon):
-        return (lon + F.lit(180.0)) / F.lit(360.0) * F.lit(n)
-
-    def _m(lat):
-        lat_c = F.greatest(
-            F.least(lat, F.lit(MERCATOR_LAT_LIMIT)), F.lit(-MERCATOR_LAT_LIMIT)
-        )
-        rad = F.radians(lat_c)
-        return (
-            (F.lit(1.0) - F.log(F.tan(rad) + F.lit(1.0) / F.cos(rad)) / F.lit(math.pi))
-            / F.lit(2.0)
-            * F.lit(n)
-        )
-
+    u1r, m1 = mercator_unit_cols(F.col("_lat1"), F.col("_lon1"), z)
+    u2r, m2 = mercator_unit_cols(F.col("_lat2"), F.col("_lon2"), z)
+    # antimeridian: shift the smaller u endpoint up a world when the raw gap
+    # exceeds half the row — the segment then clips in a continuous frame
+    u1 = F.when(u2r - u1r > F.lit(n / 2.0), u1r + F.lit(n)).otherwise(u1r)
+    u2 = F.when(u1r - u2r > F.lit(n / 2.0), u2r + F.lit(n)).otherwise(u2r)
     segs = segs.select(
         "*",
-        _u(F.col("_lon1")).alias("_u1"),
-        _u(F.col("_lon2")).alias("_u2"),
-        _m(F.col("_lat1")).alias("_m1"),
-        _m(F.col("_lat2")).alias("_m2"),
+        u1.alias("_u1"),
+        u2.alias("_u2"),
+        m1.alias("_m1"),
+        m2.alias("_m2"),
+        geo.haversine_m_col(
+            F.col("_lat1"), F.col("_lon1"), F.col("_lat2"), F.col("_lon2")
+        ).alias("seg_m"),  # once per SEGMENT — before the tile explodes copy it
     )
 
-    def _lo_tile(a, b):
+    def _lo_tile(a, b, hi):
         return F.greatest(
-            F.least(F.floor(F.least(a, b)).cast("long"), F.lit(nmax)), F.lit(0)
+            F.least(F.floor(F.least(a, b)).cast("long"), F.lit(hi)), F.lit(0)
         )
 
-    def _hi_tile(a, b):
+    def _hi_tile(a, b, hi):
         return F.greatest(
-            F.least(F.floor(F.greatest(a, b)).cast("long"), F.lit(nmax)), F.lit(0)
+            F.least(F.floor(F.greatest(a, b)).cast("long"), F.lit(hi)), F.lit(0)
         )
 
     segs = segs.select(
         "*",
         F.explode(
             F.sequence(
-                _lo_tile(F.col("_u1"), F.col("_u2")),
-                _hi_tile(F.col("_u1"), F.col("_u2")),
+                _lo_tile(F.col("_u1"), F.col("_u2"), nmax2),
+                _hi_tile(F.col("_u1"), F.col("_u2"), nmax2),
             )
-        ).alias("x"),
+        ).alias("_xi"),
     ).select(
         "*",
         F.explode(
             F.sequence(
-                _lo_tile(F.col("_m1"), F.col("_m2")),
-                _hi_tile(F.col("_m1"), F.col("_m2")),
+                _lo_tile(F.col("_m1"), F.col("_m2"), nmax),
+                _hi_tile(F.col("_m1"), F.col("_m2"), nmax),
             )
         ).alias("y"),
     )
     du = F.col("_u2") - F.col("_u1")
     dm = F.col("_m2") - F.col("_m1")
-    x0 = F.col("x").cast("double")
+    x0 = F.col("_xi").cast("double")
     y0 = F.col("y").cast("double")
     big = 1e18
     txa = (x0 - F.col("_u1")) / du
@@ -352,15 +374,13 @@ def clip_lines_to_tiles(
     t0 = F.greatest(F.lit(0.0), txmin, tymin)
     t1 = F.least(F.lit(1.0), txmax, tymax)
     return (
-        segs.select(
-            "*",
-            geo.haversine_m_col(
-                F.col("_lat1"), F.col("_lon1"), F.col("_lat2"), F.col("_lon2")
-            ).alias("seg_m"),
-            (t1 - t0).alias("clip_frac"),
+        segs.select("*", (t1 - t0).alias("clip_frac"))
+        .filter(
+            (F.col("clip_frac") > eps)
+            & ((du != 0) | (dm != 0))  # drop zero-length editing artifacts
         )
-        .filter(F.col("clip_frac") > eps)
-        .drop("_u1", "_u2", "_m1", "_m2", "_lat1", "_lon1", "_lat2", "_lon2")
+        .select("*", (F.col("_xi") % F.lit(nint)).alias("x"))
+        .drop("_xi", "_u1", "_u2", "_m1", "_m2", "_lat1", "_lon1", "_lat2", "_lon2")
         .withColumnRenamed("_seg", "seg")
     )
 

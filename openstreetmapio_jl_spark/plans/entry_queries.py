@@ -1850,7 +1850,11 @@ def q_osm_tile_road_density(spark, sf_dir):
 
 def _sql_osm_tile_road_density() -> str:
     n = float(1 << _SIMPLIFY_Z)
-    nmax = (1 << _SIMPLIFY_Z) - 1
+    half_n = n / 2.0
+    nint = 1 << _SIMPLIFY_Z
+    nmax = nint - 1
+    nmax2 = 2 * nint - 1  # shifted-frame x indices live in [0, 2n)
+    eps = tiler.CLIP_EPS
     lim = cells.MERCATOR_LAT_LIMIT
     hav = geo.haversine_m_sql("lat", "lon", "lat2", "lon2")
 
@@ -1861,11 +1865,11 @@ def _sql_osm_tile_road_density() -> str:
             f" / 2.0 * {n!r}"
         )
 
-    def _lo(a: str, b: str) -> str:
-        return f"greatest(least(cast(floor(least({a}, {b})) as bigint), {nmax}), 0)"
+    def _lo(a: str, b: str, hi: int) -> str:
+        return f"greatest(least(cast(floor(least({a}, {b})) as bigint), {hi}), 0)"
 
-    def _hi(a: str, b: str) -> str:
-        return f"greatest(least(cast(floor(greatest({a}, {b})) as bigint), {nmax}), 0)"
+    def _hi(a: str, b: str, hi: int) -> str:
+        return f"greatest(least(cast(floor(greatest({a}, {b})) as bigint), {hi}), 0)"
 
     return f"""
 with hw as (
@@ -1888,38 +1892,46 @@ with hw as (
   select id, lat, lon,
          lead(lat) over win as lat2, lead(lon) over win as lon2
   from v window win as (partition by id order by seq)
-), s as (
+), s0 as (
   select id, lat, lon, lat2, lon2,
-         (lon + 180.0) / 360.0 * {n!r} as u1,
-         (lon2 + 180.0) / 360.0 * {n!r} as u2,
+         (lon + 180.0) / 360.0 * {n!r} as u1r,
+         (lon2 + 180.0) / 360.0 * {n!r} as u2r,
          {_merc('lat')} as m1,
          {_merc('lat2')} as m2
   from sg where lat2 is not null
+), s as (
+  -- antimeridian: shift the smaller u endpoint up a world when the raw gap
+  -- exceeds half the row (mirrors clip_lines_to_tiles)
+  select id, lat, lon, lat2, lon2, m1, m2,
+         case when u2r - u1r > {half_n!r} then u1r + {n!r} else u1r end as u1,
+         case when u1r - u2r > {half_n!r} then u2r + {n!r} else u2r end as u2
+  from s0
 ), ex as (
-  select s.*, unnest(generate_series({_lo('u1', 'u2')}, {_hi('u1', 'u2')})) as x
+  select s.*, unnest(generate_series({_lo('u1', 'u2', nmax2)}, {_hi('u1', 'u2', nmax2)})) as xi
   from s
 ), ey as (
-  select ex.*, unnest(generate_series({_lo('m1', 'm2')}, {_hi('m1', 'm2')})) as y
+  select ex.*, unnest(generate_series({_lo('m1', 'm2', nmax)}, {_hi('m1', 'm2', nmax)})) as y
   from ex
 ), t as (
-  select id, lat, lon, lat2, lon2, x, y,
+  select id, lat, lon, lat2, lon2, u1, u2, m1, m2, xi, y,
          greatest(0.0,
            case when u2 - u1 = 0 then -1e18
-                else least((x - u1) / (u2 - u1), (x + 1.0 - u1) / (u2 - u1)) end,
+                else least((xi - u1) / (u2 - u1), (xi + 1.0 - u1) / (u2 - u1)) end,
            case when m2 - m1 = 0 then -1e18
                 else least((y - m1) / (m2 - m1), (y + 1.0 - m1) / (m2 - m1)) end
          ) as t0,
          least(1.0,
            case when u2 - u1 = 0 then 1e18
-                else greatest((x - u1) / (u2 - u1), (x + 1.0 - u1) / (u2 - u1)) end,
+                else greatest((xi - u1) / (u2 - u1), (xi + 1.0 - u1) / (u2 - u1)) end,
            case when m2 - m1 = 0 then 1e18
                 else greatest((y - m1) / (m2 - m1), (y + 1.0 - m1) / (m2 - m1)) end
          ) as t1
   from ey
 ), kept as (
-  select x, y,
+  select xi % {nint} as x, y,
          cast(round(({hav}) * (t1 - t0), 6) as decimal(18,6)) as road6
-  from t where t1 - t0 > 1e-9
+  from t where t1 - t0 > {eps!r}
+    and (u2 - u1 != 0 or m2 - m1 != 0)
 )
 select cast({_SIMPLIFY_Z} as int) as z, x, y,
        count(*) as n_segs,

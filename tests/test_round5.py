@@ -1669,3 +1669,46 @@ def test_clip_lines_to_tiles_plan_is_jvm_only(spark):
     plan = tiler.clip_lines_to_tiles(df, 8)._jdf.queryExecution().toString()
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
     assert "Exchange" not in plan
+
+
+def test_clip_lines_to_tiles_antimeridian_short_way(spark):
+    """A segment from lon 179 to -179 crosses the antimeridian the SHORT way:
+    it lands in exactly the two border tile columns (last and first), not
+    smeared across the whole world row, and its fractions still sum to 1."""
+    from openstreetmapio_jl_spark.operators import tiler
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0], [179.0, -179.0])],
+        "id long, lats array<double>, lons array<double>",
+    )
+    rows = tiler.clip_lines_to_tiles(df, 3).collect()
+    xs = sorted(r.x for r in rows)
+    assert xs == [0, 7], xs  # first and last columns at z3, nothing between
+    assert abs(sum(r.clip_frac for r in rows) - 1.0) < 1e-12
+
+
+def test_clip_lines_to_tiles_rejects_reserved_columns(spark):
+    """Inputs already carrying an output-named column fail loudly up front."""
+    import pytest
+
+    from openstreetmapio_jl_spark.operators import tiler
+
+    df = spark.createDataFrame(
+        [(1, 5, [0.0, 1.0], [0.0, 1.0])],
+        "id long, x long, lats array<double>, lons array<double>",
+    )
+    with pytest.raises(ValueError, match="reserved"):
+        tiler.clip_lines_to_tiles(df, 3)
+
+
+def test_clip_lines_to_tiles_drops_zero_length_segments(spark):
+    """Consecutive duplicate vertices (OSM editing artifacts) contribute no
+    rows — they carry no length and would inflate per-tile segment counts."""
+    from openstreetmapio_jl_spark.operators import tiler
+
+    df = spark.createDataFrame(
+        [(1, [10.0, 10.0, 20.0], [30.0, 30.0, 30.0])],
+        "id long, lats array<double>, lons array<double>",
+    )
+    rows = tiler.clip_lines_to_tiles(df, 3).collect()
+    assert {r.seg for r in rows} == {2}  # only the real second segment
