@@ -251,7 +251,10 @@ def simplify_rings(
 
 
 CLIP_EPS = 1e-9  # shared keep guard: Spark filter + oracle SQL embed this value
-_CLIP_RESERVED = ("seg", "x", "y", "seg_m", "clip_frac", "_seg")
+_CLIP_RESERVED = (
+    "seg", "x", "y", "seg_m", "clip_frac", "_seg",
+    "t0", "t1", "in_ax", "in_ay", "in_bx", "in_by",
+)
 
 
 def clip_lines_to_tiles(
@@ -261,6 +264,7 @@ def clip_lines_to_tiles(
     lats_col: str = "lats",
     lons_col: str = "lons",
     eps: float = CLIP_EPS,
+    keep_params: bool = False,
 ) -> DataFrame:
     """Clip polylines to XYZ tile boundaries — the tile-cut step between
     generalization (:func:`simplify_lines`) and per-tile encoding/analytics.
@@ -288,7 +292,11 @@ def clip_lines_to_tiles(
     per-tile segment counts. Rows with < 2 vertices contribute nothing.
     Input columns named like the outputs (seg, x, y, seg_m, clip_frac) are
     rejected up front — renaming them silently would corrupt downstream
-    references."""
+    references. With ``keep_params=True`` the output additionally carries
+    the clip parameters ``t0``/``t1`` and the unit-square in-tile endpoint
+    coordinates ``in_ax``/``in_ay``/``in_bx``/``in_by`` (shifted-frame u/m
+    minus the tile index, each in [0, 1]) for downstream encoding
+    (:func:`encode_tile_lines`)."""
     clash = [c for c in df.columns if c in _CLIP_RESERVED]
     if clash:
         raise ValueError(
@@ -373,8 +381,18 @@ def clip_lines_to_tiles(
     tymax = F.when(dm == 0, F.lit(big)).otherwise(F.greatest(tya, tyb))
     t0 = F.greatest(F.lit(0.0), txmin, tymin)
     t1 = F.least(F.lit(1.0), txmax, tymax)
+    extra = []
+    if keep_params:
+        extra = [
+            t0.alias("t0"),
+            t1.alias("t1"),
+            (F.col("_u1") + t0 * du - x0).alias("in_ax"),
+            (F.col("_m1") + t0 * dm - y0).alias("in_ay"),
+            (F.col("_u1") + t1 * du - x0).alias("in_bx"),
+            (F.col("_m1") + t1 * dm - y0).alias("in_by"),
+        ]
     return (
-        segs.select("*", (t1 - t0).alias("clip_frac"))
+        segs.select("*", (t1 - t0).alias("clip_frac"), *extra)
         .filter(
             (F.col("clip_frac") > eps)
             & ((du != 0) | (dm != 0))  # drop zero-length editing artifacts
@@ -382,6 +400,42 @@ def clip_lines_to_tiles(
         .select("*", (F.col("_xi") % F.lit(nint)).alias("x"))
         .drop("_xi", "_u1", "_u2", "_m1", "_m2", "_lat1", "_lon1", "_lat2", "_lon2")
         .withColumnRenamed("_seg", "seg")
+    )
+
+
+def encode_tile_lines(clipped: DataFrame, *, extent: int = 4096) -> DataFrame:
+    """Quantize clipped in-tile segment endpoints to integer tile-local
+    coordinates — the final encoding step of the tiler pipeline (assemble →
+    simplify → clip → ENCODE), the Mapbox-Vector-Tile-style grid snap.
+    Input is :func:`clip_lines_to_tiles` output with ``keep_params=True``;
+    adds ``qax``/``qay``/``qbx``/``qby`` in [0, extent-1] (floor of the
+    unit-square coordinate times extent, clamped — an endpoint at exactly
+    the far tile edge lands on the last cell). Pure arithmetic + floor:
+    codegen, no Python, no shuffle."""
+    missing = [
+        c for c in ("in_ax", "in_ay", "in_bx", "in_by") if c not in clipped.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"encode_tile_lines: missing {missing} "
+            "(pass keep_params=True to clip_lines_to_tiles)"
+        )
+
+    def _q(c: str):
+        return F.greatest(
+            F.least(
+                F.floor(F.col(c) * F.lit(float(extent))).cast("long"),
+                F.lit(extent - 1),
+            ),
+            F.lit(0),
+        )
+
+    return clipped.select(
+        "*",
+        _q("in_ax").alias("qax"),
+        _q("in_ay").alias("qay"),
+        _q("in_bx").alias("qbx"),
+        _q("in_by").alias("qby"),
     )
 
 

@@ -1848,15 +1848,19 @@ def q_osm_tile_road_density(spark, sf_dir):
     )
 
 
-def _sql_osm_tile_road_density() -> str:
+def _sql_tile_clip_prefix() -> str:
+    """The shared WITH-prefix of the tile-clip oracles: highway way assembly
+    (drop-partial, open-way), segments, Web-Mercator (u, m), antimeridian
+    shift, per-tile explodes, and the Liang-Barsky t0/t1 — everything up to
+    (and including) the ``t`` CTE. Both osm_tile_road_density and
+    osm_tile_line_encoding append their own reporting tails, so the
+    parametric math cannot drift between the two oracles."""
     n = float(1 << _SIMPLIFY_Z)
     half_n = n / 2.0
     nint = 1 << _SIMPLIFY_Z
     nmax = nint - 1
     nmax2 = 2 * nint - 1  # shifted-frame x indices live in [0, 2n)
-    eps = tiler.CLIP_EPS
     lim = cells.MERCATOR_LAT_LIMIT
-    hav = geo.haversine_m_sql("lat", "lon", "lat2", "lon2")
 
     def _merc(lat: str) -> str:
         latc = f"greatest(least({lat}, {lim!r}), -{lim!r})"
@@ -1927,7 +1931,15 @@ with hw as (
                 else greatest((y - m1) / (m2 - m1), (y + 1.0 - m1) / (m2 - m1)) end
          ) as t1
   from ey
-), kept as (
+)"""
+
+
+def _sql_osm_tile_road_density() -> str:
+    nint = 1 << _SIMPLIFY_Z
+    eps = tiler.CLIP_EPS
+    hav = geo.haversine_m_sql("lat", "lon", "lat2", "lon2")
+    return f"""
+{_sql_tile_clip_prefix()}, kept as (
   select xi % {nint} as x, y,
          cast(round(({hav}) * (t1 - t0), 6) as decimal(18,6)) as road6
   from t where t1 - t0 > {eps!r}
@@ -1938,6 +1950,62 @@ select cast({_SIMPLIFY_Z} as int) as z, x, y,
        cast(round(sum(road6), 2) as decimal(18,2)) as road_m
 from kept group by x, y
 """
+
+
+def _sql_osm_tile_line_encoding() -> str:
+    nint = 1 << _SIMPLIFY_Z
+    eps = tiler.CLIP_EPS
+    ext = 4096
+    def _q(c: str) -> str:
+        return f"greatest(least(cast(floor({c} * {float(ext)!r}) as bigint), {ext - 1}), 0)"
+    return f"""
+{_sql_tile_clip_prefix()}, kept as (
+  select xi % {nint} as x, y,
+         u1 + t0 * (u2 - u1) - xi as in_ax,
+         m1 + t0 * (m2 - m1) - y as in_ay,
+         u1 + t1 * (u2 - u1) - xi as in_bx,
+         m1 + t1 * (m2 - m1) - y as in_by
+  from t where t1 - t0 > {eps!r}
+    and (u2 - u1 != 0 or m2 - m1 != 0)
+)
+select cast({_SIMPLIFY_Z} as int) as z, x, y,
+       count(*) as n_segs,
+       cast(sum({_q('in_ax')} + {_q('in_ay')} + {_q('in_bx')} + {_q('in_by')}) as bigint)
+         as sum_q
+from kept group by x, y
+"""
+
+
+def q_osm_tile_line_encoding(spark, sf_dir):
+    """MVT-style quantized tile encoding of the clipped highway segments —
+    the final step of the tiler pipeline (assemble → simplify → clip →
+    ENCODE): per z12 tile, the segment count and the exact integer sum of
+    all quantized endpoint coordinates (extent 4096). The quantized
+    coordinates are integers, so sum_q is an exact cross-engine hash of the
+    entire encoded geometry set."""
+    b, _ = _osm(spark, sf_dir)
+    hw = b.ways.filter(F.col("tags")["highway"].isNotNull()).select(
+        "id",
+        "refs",
+        F.lit(None).cast("array<struct<lat:double,lon:double>>").alias("positions"),
+    )
+    lines = SJ.assemble_way_lines(hw, b.nodes).select("id", "lats", "lons")
+    enc = tiler.encode_tile_lines(
+        tiler.clip_lines_to_tiles(lines, _SIMPLIFY_Z, keep_params=True),
+        extent=4096,
+    )
+    return (
+        enc.groupBy("x", "y")
+        .agg(
+            F.count("*").alias("n_segs"),
+            F.sum(
+                F.col("qax") + F.col("qay") + F.col("qbx") + F.col("qby")
+            ).cast("bigint").alias("sum_q"),
+        )
+        .select(
+            F.lit(_SIMPLIFY_Z).cast("int").alias("z"), "x", "y", "n_segs", "sum_q"
+        )
+    )
 
 
 def _road_graph(spark, sf_dir):
@@ -3643,6 +3711,14 @@ def registry() -> dict[str, tuple]:
         # the SAME contraction + relaxation path osm_road_sssp certifies
         # in-window; only the seeding differs (vertex set vs min vertex)
         "osm_network_dist": (q_osm_network_dist, _sql_osm_network_dist()),
+        # tail by design: tile encoding rides the IDENTICAL clip prefix (one
+        # shared SQL builder, one shared Spark clip call) that
+        # osm_tile_road_density certifies in-window; only the quantization
+        # tail differs, and its integer sum is exact cross-engine
+        "osm_tile_line_encoding": (
+            q_osm_tile_line_encoding,
+            _sql_osm_tile_line_encoding(),
+        ),
         # tail by design: ring generalization runs the IDENTICAL simplify_lines
         # keep/drop expression (same shared threshold constant) that
         # osm_simplify_ways certifies in-window; only the closed-geometry

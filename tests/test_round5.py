@@ -1712,3 +1712,45 @@ def test_clip_lines_to_tiles_drops_zero_length_segments(spark):
     )
     rows = tiler.clip_lines_to_tiles(df, 3).collect()
     assert {r.seg for r in rows} == {2}  # only the real second segment
+
+
+def test_encode_tile_lines_known_quantization_and_missing_params(spark):
+    """A segment inside the single z0 tile quantizes to exactly known grid
+    cells (u=0.25 -> 1024 at extent 4096, m=0.5 -> 2048); feeding a clip
+    result without keep_params fails loudly."""
+    import pytest
+
+    from openstreetmapio_jl_spark.operators import tiler
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0], [-90.0, 0.0])],
+        "id long, lats array<double>, lons array<double>",
+    )
+    clipped = tiler.clip_lines_to_tiles(df, 0, keep_params=True)
+    r = tiler.encode_tile_lines(clipped, extent=4096).collect()[0]
+    assert (r.x, r.y) == (0, 0)
+    assert (r.qax, r.qay) == (1024, 2048)  # (-90E, 0N) start point
+    assert (r.qbx, r.qby) == (2048, 2048)  # (0E, 0N) end point
+
+    bare = tiler.clip_lines_to_tiles(df, 0)
+    with pytest.raises(ValueError, match="keep_params"):
+        tiler.encode_tile_lines(bare)
+
+
+def test_encode_tile_lines_endpoints_clamped_to_extent(spark):
+    """An endpoint exactly on the far tile edge (in-tile coordinate 1.0)
+    lands on the last grid cell, not outside the tile."""
+    from openstreetmapio_jl_spark.operators import tiler
+    from pyspark.sql import functions as F
+
+    # z1: two columns; a segment ending exactly at lon 0 = the right edge
+    # of tile x=0 (and the left edge of x=1)
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0], [-90.0, 0.0])],
+        "id long, lats array<double>, lons array<double>",
+    )
+    enc = tiler.encode_tile_lines(
+        tiler.clip_lines_to_tiles(df, 1, keep_params=True), extent=4096
+    )
+    row = enc.filter(F.col("x") == 0).collect()[0]
+    assert row.qbx == 4095  # clamped to the last cell, never == extent
