@@ -251,10 +251,10 @@ def simplify_rings(
 
 
 CLIP_EPS = 1e-9  # shared keep guard: Spark filter + oracle SQL embed this value
-_CLIP_RESERVED = (
-    "seg", "x", "y", "seg_m", "clip_frac", "_seg",
-    "t0", "t1", "in_ax", "in_ay", "in_bx", "in_by",
-)
+_CLIP_RESERVED = ("seg", "x", "y", "seg_m", "clip_frac", "_seg")
+_CLIP_PARAM_COLS = ("t0", "t1", "in_ax", "in_ay", "in_bx", "in_by")
+_ENCODE_COLS = ("qax", "qay", "qbx", "qby")
+ENCODE_EXTENT = 4096  # shared MVT grid extent: encoder default + oracle SQL
 
 
 def clip_lines_to_tiles(
@@ -297,11 +297,12 @@ def clip_lines_to_tiles(
     coordinates ``in_ax``/``in_ay``/``in_bx``/``in_by`` (shifted-frame u/m
     minus the tile index, each in [0, 1]) for downstream encoding
     (:func:`encode_tile_lines`)."""
-    clash = [c for c in df.columns if c in _CLIP_RESERVED]
+    reserved = _CLIP_RESERVED + (_CLIP_PARAM_COLS if keep_params else ())
+    clash = [c for c in df.columns if c in reserved]
     if clash:
         raise ValueError(
             f"clip_lines_to_tiles: input columns {clash} collide with "
-            f"reserved output names {_CLIP_RESERVED}; rename them first"
+            f"reserved output names {reserved}; rename them first"
         )
     n = float(1 << z)
     nint = 1 << z
@@ -403,7 +404,7 @@ def clip_lines_to_tiles(
     )
 
 
-def encode_tile_lines(clipped: DataFrame, *, extent: int = 4096) -> DataFrame:
+def encode_tile_lines(clipped: DataFrame, *, extent: int = ENCODE_EXTENT) -> DataFrame:
     """Quantize clipped in-tile segment endpoints to integer tile-local
     coordinates — the final encoding step of the tiler pipeline (assemble →
     simplify → clip → ENCODE), the Mapbox-Vector-Tile-style grid snap.
@@ -412,13 +413,17 @@ def encode_tile_lines(clipped: DataFrame, *, extent: int = 4096) -> DataFrame:
     unit-square coordinate times extent, clamped — an endpoint at exactly
     the far tile edge lands on the last cell). Pure arithmetic + floor:
     codegen, no Python, no shuffle."""
-    missing = [
-        c for c in ("in_ax", "in_ay", "in_bx", "in_by") if c not in clipped.columns
-    ]
+    missing = [c for c in _CLIP_PARAM_COLS[2:] if c not in clipped.columns]
     if missing:
         raise ValueError(
             f"encode_tile_lines: missing {missing} "
             "(pass keep_params=True to clip_lines_to_tiles)"
+        )
+    clash = [c for c in clipped.columns if c in _ENCODE_COLS]
+    if clash:
+        raise ValueError(
+            f"encode_tile_lines: input columns {clash} collide with "
+            f"reserved output names {_ENCODE_COLS}; rename them first"
         )
 
     def _q(c: str):

@@ -1955,7 +1955,7 @@ from kept group by x, y
 def _sql_osm_tile_line_encoding() -> str:
     nint = 1 << _SIMPLIFY_Z
     eps = tiler.CLIP_EPS
-    ext = 4096
+    ext = tiler.ENCODE_EXTENT
     def _q(c: str) -> str:
         return f"greatest(least(cast(floor({c} * {float(ext)!r}) as bigint), {ext - 1}), 0)"
     return f"""
@@ -1981,8 +1981,12 @@ def q_osm_tile_line_encoding(spark, sf_dir):
     the final step of the tiler pipeline (assemble → simplify → clip →
     ENCODE): per z12 tile, the segment count and the exact integer sum of
     all quantized endpoint coordinates (extent 4096). The quantized
-    coordinates are integers, so sum_q is an exact cross-engine hash of the
-    entire encoded geometry set."""
+    coordinates are integers, so sum_q compares with zero arithmetic
+    tolerance once quantized — the quantizing floor itself shares the
+    engine-libm caveat every tile-index comparison in this registry carries
+    (a mercator value within ~1 ulp of a 1/extent grid line could floor
+    differently across engines; measure-zero on fixture data, same accepted
+    precedent as pages_tile_counts)."""
     b, _ = _osm(spark, sf_dir)
     hw = b.ways.filter(F.col("tags")["highway"].isNotNull()).select(
         "id",
@@ -1992,7 +1996,7 @@ def q_osm_tile_line_encoding(spark, sf_dir):
     lines = SJ.assemble_way_lines(hw, b.nodes).select("id", "lats", "lons")
     enc = tiler.encode_tile_lines(
         tiler.clip_lines_to_tiles(lines, _SIMPLIFY_Z, keep_params=True),
-        extent=4096,
+        extent=tiler.ENCODE_EXTENT,
     )
     return (
         enc.groupBy("x", "y")
