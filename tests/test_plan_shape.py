@@ -48,6 +48,12 @@ HEADLINE_BATCH = [
     "er_customer_mentions",      # round-5 token-blocking entity resolution
     "knn_pages_to_poi",
     "tile_pyramid_z11",
+    "osm_way_lengths",           # round-5 geodesic length per class
+    "osm_polygon_areas",         # round-5 equal-area shoelace per class
+    "osm_simplify_ways",         # round-5 effective-area generalization
+    "osm_tile_road_density",     # round-5 Liang-Barsky tile clipping
+    "osm_simplify_rings",        # round-5 closed-ring generalization (tail)
+    "osm_tile_line_encoding",    # round-5 MVT grid-snap encoding (tail)
 ]
 
 
