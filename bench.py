@@ -64,6 +64,10 @@ HEADLINE = [
     "osm_tile_road_density", # r5: Liang-Barsky tile clipping -> road length
                              # per z12 tile (NEW in r05 — the tile-cut
                              # analytic; explode-bounded, zero Python)
+    "osm_road_pagerank",     # r5: fixed-round power iteration over the
+                             # contracted road graph (NEW in r05 — the
+                             # eigenvector-centrality pillar; 12 checkpointed
+                             # join+sum rounds)
 ]
 
 FLAGSHIP = "pip_hits_per_polygon"

@@ -2174,6 +2174,66 @@ select node as ref, cast(round(dist, 2) as decimal(18,2)) as dist_m from {prev}
 """
 
 
+# PageRank: fixed power-iteration count shared by the Spark loop and the
+# oracle's chained CTEs (damping-contractive: residual <= 0.85^iters)
+_PR_ITERS = 12
+
+
+def q_osm_road_pagerank(spark, sf_dir):
+    """Junction-importance centrality: PageRank over the contracted road
+    graph's topology (routing.pagerank — fixed 12 power iterations,
+    damping 0.85), top-20 vertices by rank. Ranks are scaled x1000 and
+    rounded to 6 dp BEFORE ordering, so the ordering key is the exact
+    DECIMAL both engines agree on (ties broken by node id); the oracle runs
+    the identical fixed-round iteration as chained materialized CTEs (the
+    osm_road_sssp pattern)."""
+    _, edges = _road_graph(spark, sf_dir)
+    pr = routing.pagerank(
+        edges.localCheckpoint(eager=True), iterations=_PR_ITERS
+    )
+    ranked = pr.select(
+        F.col("node").alias("ref"),
+        F.round(F.col("rank") * 1000.0, 6).cast(_DEC6).alias("rank_k"),
+    )
+    w = Window.orderBy(F.desc("rank_k"), F.asc("ref"))
+    return (
+        ranked.withColumn("pos", F.row_number().over(w).cast("int"))
+        .filter(F.col("pos") <= 20)
+        .select("pos", "ref", "rank_k")
+    )
+
+
+def _sql_osm_road_pagerank(iterations: int = _PR_ITERS) -> str:
+    rounds = ""
+    prev = "p0"
+    for i in range(1, iterations + 1):
+        rounds += f""",
+p{i} as materialized (
+  select u.v as node,
+         (1.0 - 0.85) / (select n from nv)
+           + 0.85 * sum({prev}.rank / degq.deg) as rank
+  from {prev} join degq using (node) join u on u.u = {prev}.node
+  group by u.v
+)"""
+        prev = f"p{i}"
+    return f"""{_sql_road_graph_ctes()}, degq as materialized (
+  select u as node, count(*) as deg from u group by u
+), nv as (
+  select count(*) as n from degq
+), p0 as (
+  select node, 1.0 / (select n from nv) as rank from degq
+){rounds}
+select cast(pos as int) as pos, ref, rank_k from (
+  select row_number() over (order by rank_k desc, node) as pos,
+         node as ref, rank_k
+  from (
+    select node, cast(round(rank * 1000.0, 6) as decimal(18,6)) as rank_k
+    from {prev}
+  )
+) where pos <= 20
+"""
+
+
 def q_osm_bbox_count(spark, sf_dir):
     b, _ = _osm(spark, sf_dir)
     bb = G.BBOX
@@ -3568,7 +3628,14 @@ def registry() -> dict[str, tuple]:
         "doc_exact_dups": (q_doc_exact_dups, SQL_DOC_EXACT),
         "doc_minhash_lsh": (q_doc_minhash_lsh, _sql_minhash_lsh()),
         "doc_ngram_jaccard": (q_doc_ngram_jaccard, SQL_DOC_JACCARD),
-        "doc_jaccard_via_lsh": (q_doc_jaccard_via_lsh, _sql_jaccard_via_lsh()),
+        # osm_road_pagerank rotated IN (new surface: damping-contractive
+        # power iteration — the eigenvector-centrality pillar next to
+        # SSSP/CC); doc_jaccard_via_lsh rotated to the certified-twin tail —
+        # it COMPOSES two surfaces that stay in-window (doc_minhash_lsh
+        # generates the same LSH buckets, doc_ngram_jaccard computes the
+        # same exact-Jaccard verify) and doc_incremental_dedup runs the
+        # full bucket->verify composition against the persisted index
+        "osm_road_pagerank": (q_osm_road_pagerank, _sql_osm_road_pagerank()),
         "doc_incremental_dedup": (q_doc_incremental_dedup, _sql_incremental_dedup()),
         "doc_dup_clusters": (q_doc_dup_clusters, _sql_dup_clusters()),
         "doc_simhash_neardup": (q_doc_simhash_neardup, _sql_simhash_neardup()),
@@ -3711,6 +3778,11 @@ def registry() -> dict[str, tuple]:
         # in-window by sim_ivf_topk, which runs the identical cosine_col /
         # round(6) / row_number window code path over its probed candidates
         "sim_cosine_topk": (q_sim_cosine_topk, _sql_cosine_topk()),
+        # doc_jaccard_via_lsh: r04-green; rotated out for osm_road_pagerank
+        # (see the in-window comment) — its bucket generator and exact
+        # verify each stay in-window, and the full composition is certified
+        # by doc_incremental_dedup
+        "doc_jaccard_via_lsh": (q_doc_jaccard_via_lsh, _sql_jaccard_via_lsh()),
         # tail by design (not rotation): multi-source network distance rides
         # the SAME contraction + relaxation path osm_road_sssp certifies
         # in-window; only the seeding differs (vertex set vs min vertex)

@@ -1754,3 +1754,61 @@ def test_encode_tile_lines_endpoints_clamped_to_extent(spark):
     )
     row = enc.filter(F.col("x") == 0).collect()[0]
     assert row.qbx == 4095  # clamped to the last cell, never == extent
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the road graph (round-5 routing surface)
+# ---------------------------------------------------------------------------
+
+
+def _numpy_pagerank(edge_list, damping=0.85, iterations=12):
+    nodes = sorted({a for e in edge_list for a in e[:2]})
+    idx = {v: i for i, v in enumerate(nodes)}
+    deg = {v: 0 for v in nodes}
+    adj = []
+    for a, b, *_ in edge_list:
+        adj += [(a, b), (b, a)]
+        deg[a] += 1
+        deg[b] += 1
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        share = {v: rank[v] / deg[v] for v in nodes}
+        nxt = {v: 0.0 for v in nodes}
+        for a, b in adj:
+            nxt[b] += share[a]
+        rank = {v: (1.0 - damping) / n + damping * s for v, s in nxt.items()}
+    return rank
+
+
+def test_pagerank_matches_reference_iteration_and_sums_to_one(spark):
+    """Fixed-iteration PageRank equals an independent per-edge Python
+    replica of the same formula (star + tail graph: the hub outranks
+    everything), and ranks sum to 1 every time (no dangling mass in the
+    doubled graph)."""
+    from openstreetmapio_jl_spark.operators import routing
+
+    edge_list = [(1, 2, 1.0), (1, 3, 1.0), (1, 4, 1.0), (4, 5, 1.0)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long, w_m double")
+    got = {r.node: r.rank for r in routing.pagerank(edges).collect()}
+    want = _numpy_pagerank(edge_list)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert max(got, key=got.get) == 1  # the hub
+
+
+def test_pagerank_symmetric_vertices_equal_and_empty_graph(spark):
+    """Structurally equivalent vertices get identical ranks; an empty edge
+    list yields an empty result instead of dividing by zero."""
+    from openstreetmapio_jl_spark.operators import routing
+
+    path = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0)], "src long, dst long, w_m double"
+    )
+    got = {r.node: r.rank for r in routing.pagerank(path).collect()}
+    assert got[1] == got[3] and got[2] > got[1]
+
+    empty = spark.createDataFrame([], "src long, dst long, w_m double")
+    assert routing.pagerank(empty).count() == 0
