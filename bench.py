@@ -66,8 +66,8 @@ HEADLINE = [
                              # analytic; explode-bounded, zero Python)
     "osm_road_pagerank",     # r5: fixed-round power iteration over the
                              # contracted road graph (NEW in r05 — the
-                             # eigenvector-centrality pillar; 12 checkpointed
-                             # join+sum rounds)
+                             # eigenvector-centrality pillar; 12 one-join
+                             # rounds, lineage cut every 4)
 ]
 
 FLAGSHIP = "pip_hits_per_polygon"
