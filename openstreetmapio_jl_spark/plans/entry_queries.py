@@ -24,7 +24,14 @@ from pyspark.sql import functions as F
 from openstreetmapio_jl_spark.fixtures import generator as G
 from openstreetmapio_jl_spark.functions import cells, geo
 from openstreetmapio_jl_spark.functions import text as textfn
-from openstreetmapio_jl_spark.operators import dedup, geocode, knn, routing, similarity
+from openstreetmapio_jl_spark.operators import (
+    dedup,
+    geocode,
+    ir,
+    knn,
+    routing,
+    similarity,
+)
 from openstreetmapio_jl_spark.operators import spatial_join as SJ
 from openstreetmapio_jl_spark.operators import tiler
 
@@ -284,6 +291,70 @@ select lang, count(*) as n,
 from documents
 where (('0x' || substr(md5(doc_id::varchar), 1, 8))::bigint) % 100 < 10
 group by lang
+"""
+
+
+def q_doc_bm25_terms(spark, sf_dir):
+    """BM25 characteristic terms — the IR pillar of the text stack: top-3
+    Okapi-BM25-scored terms per document (k1=1.2, b=0.75), the statistics
+    table an inverted-index build / topic-bucketing pass materializes. Three
+    natural-key shuffles (tf on (doc,term), df on term, top-k window on doc),
+    corpus totals as a one-row broadcast; scores rounded to 6 dp and CAST TO
+    DECIMAL before the ranking window so both engines sort identical keys."""
+    d = _load(spark, sf_dir, "documents")
+    return ir.ranked_terms(
+        d, top_k=3, scoring="bm25", round_dp=6
+    ).withColumnRenamed("id", "doc_id")
+
+
+def q_doc_tfidf_terms(spark, sf_dir):
+    """Smoothed-TF-IDF twin of q_doc_bm25_terms: the IDENTICAL tokenize →
+    tf → df → totals → window pipeline (one shared operator,
+    ir.ranked_terms), only the final scoring arithmetic differs — sklearn's
+    smoothed idf instead of Okapi saturation."""
+    d = _load(spark, sf_dir, "documents")
+    return ir.ranked_terms(
+        d, top_k=3, scoring="tfidf", round_dp=6
+    ).withColumnRenamed("id", "doc_id")
+
+
+def _sql_ranked_terms(scoring: str) -> str:
+    """DuckDB mirror of ir.ranked_terms: same tokenizer regex, same (tf, df,
+    N, dl, avgdl) aggregates, same scoring arithmetic in the same operation
+    order, same round(6)→DECIMAL(18,6) before the ranking window."""
+    if scoring == "tfidf":
+        score = "tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)"
+    else:
+        score = (
+            "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
+            " * (tf * (1.2 + 1.0)"
+            " / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))"
+        )
+    return f"""
+with toks as (
+  select doc_id as id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') as toks
+  from documents
+), totals as (
+  select count(*) as n_docs, avg(len(toks)) as avgdl from toks
+), tf as (
+  select id, term, count(*) as tf, min(dl) as dl
+  from (select id, len(toks) as dl, unnest(toks) as term from toks)
+  group by id, term
+), scored as (
+  select id, term,
+    cast(round({score}, 6) as decimal(18,6)) as score
+  from tf
+  join (select term, count(*) as df from tf group by term) using (term)
+  cross join totals
+)
+select id as doc_id, cast(pos as int) as pos, term, score
+from (select id, term, score,
+        row_number() over (partition by id
+                           order by score desc, term asc) as pos
+      from scored)
+where pos <= 3
 """
 
 
@@ -3588,7 +3659,11 @@ def registry() -> dict[str, tuple]:
     osm_polygon_areas (equal-area shoelace per landuse/natural class over the
     assembled way-polygon dimension, new surface) and osm_road_sssp
     (intersection-contracted highway graph + bounded-round shortest-path
-    distances, new surface) and osm_simplify_ways (zoom-driven single-pass
+    distances, new surface) and doc_bm25_terms (Okapi-BM25 characteristic
+    terms over corpus (tf, df, N, dl, avgdl) statistics — the IR surface,
+    new; doc_hash_sample rotated to the tail, its md5-bucket key being the
+    identical expression in-window doc_url_dedup/doc_minhash_lsh run) and
+    osm_simplify_ways (zoom-driven single-pass
     effective-area line generalization — the vector-tile simplification step
     — new surface; sim_cosine_topk rotated out for it, its exact-cosine
     scoring/tie-break path being identical to in-window sim_ivf_topk's) and
@@ -3618,7 +3693,15 @@ def registry() -> dict[str, tuple]:
         "agg_pricing_summary": (q_agg_pricing_summary, SQL_AGG_PRICING),
         "join_revenue_by_nation": (q_join_revenue_by_nation, SQL_JOIN_REVENUE),
         "setop_nations": (q_setop_nations, SQL_SETOP),
-        "doc_hash_sample": (q_doc_hash_sample, SQL_DOC_HASH_SAMPLE),
+        # doc_bm25_terms rotated IN (new surface: corpus-statistics term
+        # weighting — the (tf, df, N, dl, avgdl) aggregate stack of an
+        # inverted-index build, scored with Okapi BM25); doc_hash_sample
+        # rotated to the certified-twin tail — its md5-prefix→bigint bucket
+        # key is the IDENTICAL conv(substring(md5(x),1,8),16,10) expression
+        # in-window doc_url_dedup keys crawl records with and in-window
+        # doc_minhash_lsh computes per shingle, and its modulus-band filter +
+        # groupBy aggregate are thin certified shapes
+        "doc_bm25_terms": (q_doc_bm25_terms, _sql_ranked_terms("bm25")),
         "events_tumbling_5min": (q_events_tumbling, SQL_EVENTS_TUMBLING),
         "events_json_extract": (q_events_json, SQL_EVENTS_JSON),
         "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
@@ -3801,4 +3884,14 @@ def registry() -> dict[str, tuple]:
         # wrapper (anchored closure + degenerate fallback) and the shoelace
         # reporting differ — both oracle-pinned here
         "osm_simplify_rings": (q_osm_simplify_rings, _sql_osm_simplify_rings()),
+        # doc_hash_sample: r04-green; rotated out for doc_bm25_terms (see the
+        # in-window comment) — md5-bucket keying certified in-window by
+        # doc_url_dedup / doc_minhash_lsh
+        "doc_hash_sample": (q_doc_hash_sample, SQL_DOC_HASH_SAMPLE),
+        # tail by design: the TF-IDF scorer runs the IDENTICAL ranked_terms
+        # pipeline (one shared operator: tokenize → tf → df → one-row totals
+        # broadcast → round(6)→DECIMAL → ranking window) that doc_bm25_terms
+        # certifies in-window; only the final scoring arithmetic differs, and
+        # it is oracle-pinned here
+        "doc_tfidf_terms": (q_doc_tfidf_terms, _sql_ranked_terms("tfidf")),
     }
