@@ -68,6 +68,9 @@ HEADLINE = [
                              # contracted road graph (NEW in r05 — the
                              # eigenvector-centrality pillar; 12 one-join
                              # rounds, lineage cut every 4)
+    "doc_bm25_terms",        # r5: BM25 characteristic terms (NEW in r05 —
+                             # the IR pillar: tokenize + tf/df aggregates +
+                             # one-row totals broadcast + top-k window)
 ]
 
 FLAGSHIP = "pip_hits_per_polygon"

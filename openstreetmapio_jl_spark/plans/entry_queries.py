@@ -31,6 +31,7 @@ from openstreetmapio_jl_spark.operators import (
     knn,
     routing,
     similarity,
+    sketches,
 )
 from openstreetmapio_jl_spark.operators import spatial_join as SJ
 from openstreetmapio_jl_spark.operators import tiler
@@ -318,19 +319,9 @@ def q_doc_tfidf_terms(spark, sf_dir):
     ).withColumnRenamed("id", "doc_id")
 
 
-def _sql_ranked_terms(scoring: str) -> str:
-    """DuckDB mirror of ir.ranked_terms: same tokenizer regex, same (tf, df,
-    N, dl, avgdl) aggregates, same scoring arithmetic in the same operation
-    order, same round(6)→DECIMAL(18,6) before the ranking window."""
-    if scoring == "tfidf":
-        score = "tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)"
-    else:
-        score = (
-            "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
-            " * (tf * (1.2 + 1.0)"
-            " / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))"
-        )
-    return f"""
+# shared CTE prefix mirroring ir.term_stats — ONE text used by every IR
+# oracle so the tokenizer/aggregate mirror cannot drift between them
+_SQL_TERM_STATS = """
 with toks as (
   select doc_id as id,
          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
@@ -342,7 +333,24 @@ with toks as (
   select id, term, count(*) as tf, min(dl) as dl
   from (select id, len(toks) as dl, unnest(toks) as term from toks)
   group by id, term
-), scored as (
+)"""
+
+_SQL_BM25 = (
+    "ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
+    " * (tf * (1.2 + 1.0)"
+    " / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))"
+)
+
+
+def _sql_ranked_terms(scoring: str) -> str:
+    """DuckDB mirror of ir.ranked_terms: same tokenizer regex, same (tf, df,
+    N, dl, avgdl) aggregates, same scoring arithmetic in the same operation
+    order, same round(6)→DECIMAL(18,6) before the ranking window."""
+    if scoring == "tfidf":
+        score = "tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)"
+    else:
+        score = _SQL_BM25
+    return f"""{_SQL_TERM_STATS}, scored as (
   select id, term,
     cast(round({score}, 6) as decimal(18,6)) as score
   from tf
@@ -355,6 +363,93 @@ from (select id, term, score,
                            order by score desc, term asc) as pos
       from scored)
 where pos <= 3
+"""
+
+
+def q_doc_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-word estimate per language — the bounded-memory
+    COUNT DISTINCT: md5-hash buckets, bit-smear+popcount leading-zero ranks,
+    map-side-combined MAX registers (≤512 rows per lang ever shuffle,
+    regardless of cardinality), exact-BIGINT scaled harmonic sum. The
+    estimate is bit-identical cross-engine by construction (no float log2,
+    no order-dependent double sum) — see operators/sketches.py."""
+    d = _load(spark, sf_dir, "documents")
+    words = d.select(
+        "lang", F.explode(ir.ir_tokens(F.col("text"))).alias("v")
+    )
+    return sketches.hll_distinct(words, "v", ("lang",))
+
+
+def _sql_hll_distinct() -> str:
+    lit = repr(sketches._alpha_m2_scaled(9))
+    big = 1 << 52
+    return f"""
+with vals as (
+  select lang,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            t -> t <> '')) as v
+  from documents
+), parts as (
+  select lang, h >> 51 as bucket, h - ((h >> 51) << 51) as w
+  from (select lang, ('0x' || substr(md5(v), 1, 15))::bigint as h from vals)
+), regs as (
+  select lang, bucket, max(52 - bit_count(s)) as reg
+  from (select lang, bucket,
+          (w | (w>>1) | (w>>2) | (w>>4) | (w>>8) | (w>>16) | (w>>32)) as s
+        from parts)
+  group by 1, 2
+), agg as (
+  select lang, count(*) as nonempty,
+    sum(cast(pow(2.0, 52 - reg) as bigint)) as sum_scaled
+  from regs group by 1
+)
+select lang,
+  cast(round(case when e <= 1280.0 and v > 0
+                  then 512.0 * ln(512.0 / v) else e end, 2)
+       as decimal(18,2)) as est_distinct
+from (select lang, 512 - nonempty as v,
+        {lit} / cast(sum_scaled + (512 - nonempty) * {big}::bigint as double) as e
+      from agg)
+"""
+
+
+SEARCH_QUERY = "spark hash join dup"  # one rare term (dup) + three common
+
+
+def q_doc_search_bm25(spark, sf_dir):
+    """BM25 retrieval — the query half of the IR surface: top-10 documents
+    by summed per-term BM25 for a fixed query, per-term scores rounded to
+    DECIMAL before the sum (decimal addition is exact and order-independent,
+    so the per-doc total and the ranking are engine- and
+    partitioning-independent). The registry runs the direct one-pass form;
+    ir.build_term_index / search_bm25_indexed is the persisted-postings
+    100-TB path, result-equality pinned by test."""
+    d = _load(spark, sf_dir, "documents")
+    out = ir.search_bm25(d, SEARCH_QUERY, top_n=10, round_dp=6)
+    return out.select(
+        "rank",
+        F.col("id").alias("doc_id"),
+        F.col("score").cast(_DEC6).alias("score"),
+        "n_terms",
+    )
+
+
+def _sql_search_bm25() -> str:
+    terms = ", ".join(f"'{t}'" for t in ir.query_terms(SEARCH_QUERY))
+    return f"""{_SQL_TERM_STATS}, hits as (
+  select * from tf where term in ({terms})
+), scored as (
+  select id, cast(round({_SQL_BM25}, 6) as decimal(18,6)) as score
+  from hits
+  join (select term, count(*) as df from hits group by term) using (term)
+  cross join totals
+)
+select cast(rank as int) as rank, id as doc_id,
+       cast(score as decimal(18,6)) as score, cast(n_terms as int) as n_terms
+from (select id, sum(score) as score, count(*) as n_terms,
+        row_number() over (order by sum(score) desc, id asc) as rank
+      from scored group by id)
+where rank <= 10
 """
 
 
@@ -3663,6 +3758,13 @@ def registry() -> dict[str, tuple]:
     terms over corpus (tf, df, N, dl, avgdl) statistics — the IR surface,
     new; doc_hash_sample rotated to the tail, its md5-bucket key being the
     identical expression in-window doc_url_dedup/doc_minhash_lsh run) and
+    doc_search_bm25 (BM25 retrieval with decimal-exact score summation —
+    the query half of the IR stack, new; doc_exact_dups rotated to the
+    tail, its normalized-text key and min-survivor aggregate each having an
+    in-window certifier) and doc_hll_distinct (deterministic HyperLogLog
+    cardinality sketch, new; doc_token_quality rotated to the tail — its
+    extract-all tokenizer and per-lang sums each have in-window
+    certifiers) and
     osm_simplify_ways (zoom-driven single-pass
     effective-area line generalization — the vector-tile simplification step
     — new surface; sim_cosine_topk rotated out for it, its exact-cosine
@@ -3708,7 +3810,15 @@ def registry() -> dict[str, tuple]:
         "events_band_join_outer": (q_events_band_join_outer, SQL_EVENTS_BAND_OUTER),
         "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
         "doc_len_quantiles": (q_doc_len_quantiles, SQL_DOC_QUANTILES),
-        "doc_exact_dups": (q_doc_exact_dups, SQL_DOC_EXACT),
+        # doc_search_bm25 rotated IN (new surface: BM25 retrieval — summed
+        # per-term scores over decimal-exact addition, the query half of the
+        # IR stack); doc_exact_dups rotated to the certified-twin tail — its
+        # md5-of-normalized-text key composes two in-window-certified pieces
+        # (the identical normalized_text feeds doc_minhash_lsh's shingles;
+        # md5 hashing runs throughout the in-window dedup stack) and its
+        # groupBy-count + min-id-survivor aggregate is the identical shape
+        # doc_url_dedup certifies on canonical urls
+        "doc_search_bm25": (q_doc_search_bm25, _sql_search_bm25()),
         "doc_minhash_lsh": (q_doc_minhash_lsh, _sql_minhash_lsh()),
         "doc_ngram_jaccard": (q_doc_ngram_jaccard, SQL_DOC_JACCARD),
         # osm_road_pagerank rotated IN (new surface: damping-contractive
@@ -3727,7 +3837,14 @@ def registry() -> dict[str, tuple]:
         "doc_url_dedup": (q_doc_url_dedup, SQL_DOC_URL_DEDUP),
         "doc_decontaminate": (q_doc_decontaminate, SQL_DOC_DECONTAMINATE),
         "er_customer_mentions": (q_er_customer_mentions, SQL_ER_CUSTOMER_MENTIONS),
-        "doc_token_quality": (q_doc_token_quality, SQL_DOC_TOKEN_QUALITY),
+        # doc_hll_distinct rotated IN (new surface: deterministic HyperLogLog
+        # cardinality sketch — bounded-memory COUNT DISTINCT with exact-BIGINT
+        # scaled estimation, bit-identical cross-engine); doc_token_quality
+        # rotated to the certified-twin tail — its regexp_extract_all token
+        # counter is the same extract-all primitive in-window
+        # pip_hits_multi_mention explodes, and its per-lang sum rollup is the
+        # thin aggregate shape dozens of in-window queries certify
+        "doc_hll_distinct": (q_doc_hll_distinct, _sql_hll_distinct()),
         "doc_langid": (q_doc_langid, _sql_langid()),
         "osm_counts": (q_osm_counts, _sql_osm_counts()),
         "osm_poi_topk": (q_osm_poi_topk, _sql_osm_poi()),
@@ -3888,6 +4005,14 @@ def registry() -> dict[str, tuple]:
         # in-window comment) — md5-bucket keying certified in-window by
         # doc_url_dedup / doc_minhash_lsh
         "doc_hash_sample": (q_doc_hash_sample, SQL_DOC_HASH_SAMPLE),
+        # doc_exact_dups: r04-green; rotated out for doc_search_bm25 (see the
+        # in-window comment) — normalized-text key via doc_minhash_lsh,
+        # groupBy-min-survivor via doc_url_dedup
+        "doc_exact_dups": (q_doc_exact_dups, SQL_DOC_EXACT),
+        # doc_token_quality: r04-green; rotated out for doc_hll_distinct (see
+        # the in-window comment) — extract-all tokenizer via
+        # pip_hits_multi_mention, per-lang sums via the certified agg shapes
+        "doc_token_quality": (q_doc_token_quality, SQL_DOC_TOKEN_QUALITY),
         # tail by design: the TF-IDF scorer runs the IDENTICAL ranked_terms
         # pipeline (one shared operator: tokenize → tf → df → one-row totals
         # broadcast → round(6)→DECIMAL → ranking window) that doc_bm25_terms

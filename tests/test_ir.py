@@ -101,6 +101,62 @@ def test_unknown_scoring_raises(spark):
         ir.ranked_terms(_docs(spark, CORPUS), scoring="pagerank")
 
 
+def test_search_bm25_ranks_rare_term_doc_first(spark):
+    # "needle" appears only in doc 2; every doc shares "common". The doc
+    # holding the rare (high-idf) term must outrank pure-common docs.
+    rows = [
+        (1, "common words only here"),
+        (2, "common needle in the stack"),
+        (3, "common common common"),
+    ]
+    out = ir.search_bm25(
+        _docs(spark, rows), "needle common", top_n=3
+    ).collect()
+    assert out[0].rank == 1 and out[0].id == 2 and out[0].n_terms == 2
+    # every doc matches "common" → all three ranked
+    assert [r.id for r in sorted(out, key=lambda r: r.rank)][0] == 2
+    assert len(out) == 3
+
+
+def test_search_bm25_n_terms_and_top_n(spark):
+    rows = [(i, "alpha beta") if i % 2 else (i, "alpha") for i in range(1, 7)]
+    out = ir.search_bm25(_docs(spark, rows), "alpha beta gamma", top_n=2).collect()
+    assert len(out) == 2
+    assert all(r.n_terms == 2 for r in out)  # two-term docs outrank one-term
+
+
+def test_search_bm25_decimal_sum_dtype_and_tiebreak(spark):
+    rows = [(i, "same text here") for i in (5, 3, 9)]
+    out = ir.search_bm25(
+        _docs(spark, rows), "same here", top_n=3, round_dp=6
+    ).collect()
+    # identical docs → identical decimal scores → id-ascending ranks
+    assert [r.id for r in sorted(out, key=lambda r: r.rank)] == [3, 5, 9]
+    assert len({r.score for r in out}) == 1
+
+
+def test_search_bm25_empty_query_raises(spark):
+    with pytest.raises(ValueError, match="no tokens"):
+        ir.search_bm25(_docs(spark, CORPUS), "!!! ...")
+
+
+def test_indexed_search_equals_direct(spark):
+    rows = [(i, f"alpha beta gamma{'x' if i % 3 == 0 else ''} doc{i}") for i in range(1, 31)]
+    docs = _docs(spark, rows)
+    stats = ir.build_term_index(spark, docs, "t5_ir", n_buckets=2)
+    assert stats["n_docs"] == 30 and stats["n_postings"] > 0
+    q = "alpha gammax doc7"
+    direct = ir.search_bm25(docs, q, top_n=10, round_dp=6)
+    indexed = ir.search_bm25_indexed(spark, "t5_ir", q, top_n=10, round_dp=6)
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, indexed.collect())
+    )
+    # the probe is a pushed-down IN filter over the bucketed postings scan:
+    # no aggregate/tokenize work upstream of the first join
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "term IN" in plan or "term#" in plan
+
+
 def test_tokenizer_strips_punctuation_and_case(spark):
     # "The cat." and "the cat" must agree on both terms
     out = ir.ranked_terms(

@@ -54,6 +54,9 @@ HEADLINE_BATCH = [
     "osm_tile_road_density",     # round-5 Liang-Barsky tile clipping
     "osm_simplify_rings",        # round-5 closed-ring generalization (tail)
     "osm_tile_line_encoding",    # round-5 MVT grid-snap encoding (tail)
+    "doc_bm25_terms",            # round-5 IR term weighting
+    "doc_search_bm25",           # round-5 BM25 retrieval
+    "doc_hll_distinct",          # round-5 HyperLogLog sketch
 ]
 
 
