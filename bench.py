@@ -71,6 +71,9 @@ HEADLINE = [
     "doc_bm25_terms",        # r5: BM25 characteristic terms (NEW in r05 —
                              # the IR pillar: tokenize + tf/df aggregates +
                              # one-row totals broadcast + top-k window)
+    "geo_grid_clusters",     # r5: grid-density spatial clustering (NEW in
+                             # r05 — one points-sized binning groupBy, then
+                             # core-cell adjacency merged by two-phase CC)
 ]
 
 FLAGSHIP = "pip_hits_per_polygon"

@@ -1,0 +1,206 @@
+"""Grid-density spatial clustering of geocoded pages (cell-binned DBSCAN).
+
+The spatial-clustering pillar next to containment (point-in-polygon),
+proximity (kNN), and rasterization (tiler): "where are the dense regions of
+geo-mentioning pages?" answered WITHOUT any pairwise point comparison —
+at 10^12 documents an exact DBSCAN's eps-ball neighbor search is a
+self-join no cluster can pay, so this is the classic grid relaxation
+(Gunawan's cell-based DBSCAN family): bin points into an eps-sized lat/lon
+grid, call a cell CORE when it holds ≥ ``min_pts`` points, and merge
+8-adjacent core cells into clusters via connected components.
+
+Scale shape (everything after binning is core-cells-sized, never
+points-sized):
+
+1. binning = ONE map-side-combined groupBy on the integer cell key — the
+   only pass over the points;
+2. adjacency = each core cell explodes into its 8 neighbor keys and
+   equi-joins back against the core-cell set (≤ 8 edges per core cell, a
+   key join, never a distance cross-join);
+3. cluster labels = the existing :func:`operators.graph.connected_components`
+   (min-label propagation or two-phase large-star/small-star for
+   adversarial chain-shaped clusters);
+4. per-cluster stats re-aggregate the per-cell partial sums — the points
+   are never touched again.
+
+Determinism across engines (the registry/oracle framing): the cell index is
+``floor(coord / eps)`` — one IEEE division + floor on identical doubles,
+bit-equal in any engine; per-cell coordinate sums are kept as exact BIGINT
+(coordinates scaled by 1e7 and rounded once — fixture/web geo-URIs carry ≤7
+decimals, RFC 5870), so sums are order-independent integer addition and the
+centroid is one double division + round at the very end.
+
+Deliberate deviation from textbook DBSCAN, documented: clustering is at CELL
+granularity — no per-point eps-ball test, no border-point reassignment;
+points in non-core cells are noise. Deterministic by construction (no seed,
+no iteration order); cluster id = MIN cell key in the component.
+
+The reference has no clustering surface; its closest analog is the manual
+"dense region" bbox filters its callbacks hard-code
+(``/root/reference/src/load_pbf.jl`` tag/область filtering) — this derives
+the regions from the data instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from openstreetmapio_jl_spark.operators.graph import connected_components
+
+GRID_OFF = 1 << 21  # shifts floor indexes non-negative (|ix| ≤ 180/eps)
+GRID_SPAN = 1 << 22  # row stride of the composite key; key < 2^44 — bigint-safe
+
+# the 8-neighborhood as a literal array of (dx, dy) key deltas
+_NEIGHBOR_DELTAS = [
+    dx * GRID_SPAN + dy for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)
+]
+
+
+def cell_key_col(lat, lon, eps_deg: float):
+    """Composite BIGINT cell key for an eps-degree grid: one IEEE division +
+    floor per axis (engine-portable on equal doubles), offset non-negative,
+    packed as ``(ix+OFF)*SPAN + (iy+OFF)``."""
+    ix = F.floor(lon / F.lit(float(eps_deg))).cast("long")
+    iy = F.floor(lat / F.lit(float(eps_deg))).cast("long")
+    return (ix + GRID_OFF) * GRID_SPAN + (iy + GRID_OFF)
+
+
+def _check_eps(eps_deg: float) -> None:
+    if not 1e-4 <= eps_deg <= 90.0:
+        raise ValueError(f"eps_deg must be in [1e-4, 90], got {eps_deg}")
+
+
+def grid_core_cells(
+    points: DataFrame,
+    *,
+    eps_deg: float = 1.0,
+    min_pts: int = 3,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """→ ``(cell, n_pts, sum_lat7, sum_lon7)`` for CORE cells only (≥
+    ``min_pts`` points). The one points-sized pass: a map-side-combined
+    groupBy on the integer key; coordinate sums are exact BIGINT at 1e7
+    scaling so they are order-independent and cross-engine bit-equal.
+    NULL/out-of-range coordinates are dropped (not a location)."""
+    _check_eps(eps_deg)
+    if min_pts < 1:
+        raise ValueError(f"min_pts must be >= 1, got {min_pts}")
+    lat, lon = F.col(lat_col), F.col(lon_col)
+    pts = points.filter(
+        lat.isNotNull()
+        & lon.isNotNull()
+        & lat.between(-90.0, 90.0)
+        & lon.between(-180.0, 180.0)
+    )
+    return (
+        pts.select(
+            cell_key_col(lat, lon, eps_deg).alias("cell"),
+            F.round(lat * 1e7, 0).cast("long").alias("lat7"),
+            F.round(lon * 1e7, 0).cast("long").alias("lon7"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_pts"),
+            F.sum("lat7").alias("sum_lat7"),
+            F.sum("lon7").alias("sum_lon7"),
+        )
+        .filter(F.col("n_pts") >= min_pts)
+    )
+
+
+def core_cell_labels(
+    core: DataFrame, *, algorithm: str = "propagation", max_iter: int = 30
+) -> DataFrame:
+    """→ ``(cell, cluster)``: every core cell labeled with the MIN cell key
+    reachable through 8-adjacency. Adjacency is an 8-delta explode +
+    self-equi-join on the key (≤8 edges per core cell — candidate volume is
+    bounded by construction, no distance join anywhere); isolated core cells
+    (CC never sees them) come back as their own singleton clusters."""
+    cells = core.select("cell")
+    edges = (
+        cells.select(
+            F.col("cell").alias("cell_a"),
+            F.explode(F.array([F.lit(d) for d in _NEIGHBOR_DELTAS])).alias("d"),
+        )
+        .select("cell_a", (F.col("cell_a") + F.col("d")).alias("cell_b"))
+        .join(cells.select(F.col("cell").alias("cell_b")), "cell_b")
+    )
+    labeled = connected_components(
+        edges, src="cell_a", dst="cell_b", algorithm=algorithm, max_iter=max_iter
+    ).select(F.col("id").alias("cell"), F.col("component").alias("cluster"))
+    singletons = cells.join(labeled.select("cell"), "cell", "left_anti").select(
+        "cell", F.col("cell").alias("cluster")
+    )
+    return labeled.unionByName(singletons)
+
+
+def grid_clusters(
+    points: DataFrame,
+    *,
+    eps_deg: float = 1.0,
+    min_pts: int = 3,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    algorithm: str = "propagation",
+    max_iter: int = 30,
+) -> DataFrame:
+    """→ one row per cluster: ``(cluster_id, n_cells, n_points, avg_lat,
+    avg_lon)`` — dense regions of the input points, cluster id = min member
+    cell key. Centroids divide the exact BIGINT partial sums once at the end
+    (``round(sum/1e7/n, 6)`` — the only float ops after binning), so output
+    is deterministic under any partitioning and any engine."""
+    core = grid_core_cells(
+        points, eps_deg=eps_deg, min_pts=min_pts, lat_col=lat_col, lon_col=lon_col
+    )
+    labels = core_cell_labels(core, algorithm=algorithm, max_iter=max_iter)
+    return (
+        core.join(labels, "cell")
+        .groupBy(F.col("cluster").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum("n_pts").alias("n_points"),
+            F.sum("sum_lat7").alias("slat7"),
+            F.sum("sum_lon7").alias("slon7"),
+        )
+        .select(
+            "cluster_id",
+            F.col("n_cells").cast("int").alias("n_cells"),
+            F.col("n_points").cast("long").alias("n_points"),
+            F.round(
+                F.col("slat7").cast("double") / 1e7 / F.col("n_points"), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("avg_lat"),
+            F.round(
+                F.col("slon7").cast("double") / 1e7 / F.col("n_points"), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("avg_lon"),
+        )
+    )
+
+
+def cluster_points(
+    points: DataFrame,
+    *,
+    eps_deg: float = 1.0,
+    min_pts: int = 3,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    algorithm: str = "propagation",
+    max_iter: int = 30,
+) -> DataFrame:
+    """→ the input rows + a ``cluster`` column (min cell key of the dense
+    region, NULL = noise: the point's cell is not core). The per-point cost
+    is the cell-key expression + one key join against the (core-cells-sized)
+    label table — the points are scanned once."""
+    core = grid_core_cells(
+        points, eps_deg=eps_deg, min_pts=min_pts, lat_col=lat_col, lon_col=lon_col
+    )
+    labels = core_cell_labels(core, algorithm=algorithm, max_iter=max_iter)
+    keyed = points.withColumn(
+        "cell", cell_key_col(F.col(lat_col), F.col(lon_col), eps_deg)
+    )
+    return keyed.join(labels, "cell", "left").drop("cell")

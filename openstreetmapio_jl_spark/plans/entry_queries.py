@@ -25,6 +25,7 @@ from openstreetmapio_jl_spark.fixtures import generator as G
 from openstreetmapio_jl_spark.functions import cells, geo
 from openstreetmapio_jl_spark.functions import text as textfn
 from openstreetmapio_jl_spark.operators import (
+    clustering,
     dedup,
     geocode,
     ir,
@@ -3002,6 +3003,81 @@ group by id
 """
 
 
+def q_geo_grid_clusters(spark, sf_dir):
+    """Grid-density spatial clustering (cell-binned DBSCAN relaxation) of the
+    geocoded pages: 0.75°-cell binning (ONE map-side-combined groupBy over
+    the points — the only points-sized pass; 0.75 is binary-exact so the
+    floor-of-division cell index is bit-equal in any IEEE engine), core
+    cells ≥4 points, 8-adjacent core cells merged via two-phase connected
+    components (O(log²n) rounds — robust to chain-shaped components). The
+    parameters are chosen so the sf0.01 differential exercises every shape:
+    ~48 clusters — singletons, chains, and a 33-cell blob (a collapse-to-one
+    or split-everything defect breaks equality). Centroids divide exact
+    BIGINT 1e7-scaled coordinate sums once at the end, so the output is
+    deterministic under any partitioning and bit-equal cross-engine. The
+    oracle mirrors adjacency with a recursive-CTE reachability closure (the
+    osm_member_closure framing) — unbounded where the engine is
+    round-capped, equal whenever components converge (they do: labels only
+    decrease)."""
+    pages = _pages(spark, sf_dir)
+    pts = geocode.extract_geocodes(pages).select("lat", "lon")
+    return clustering.grid_clusters(
+        pts, eps_deg=0.75, min_pts=4, algorithm="two-phase"
+    )
+
+
+def _sql_geo_grid_clusters() -> str:
+    from openstreetmapio_jl_spark.operators.clustering import (
+        _NEIGHBOR_DELTAS,
+        GRID_OFF,
+        GRID_SPAN,
+    )
+
+    deltas = ", ".join(str(d) for d in _NEIGHBOR_DELTAS)
+    return f"""
+with recursive g as (
+  select
+    cast(regexp_extract(text, '{geocode.GEO_RE}', 1) as double) as plat,
+    cast(regexp_extract(text, '{geocode.GEO_RE}', 2) as double) as plon
+  from read_parquet('{_ofx("pages.parquet")}')
+  where regexp_extract(text, '{geocode.GEO_RE}', 1) != ''
+),
+core as (
+  select cell, count(*) as n_pts,
+    sum(cast(round(plat * 1e7, 0) as bigint)) as sum_lat7,
+    sum(cast(round(plon * 1e7, 0) as bigint)) as sum_lon7
+  from (
+    select plat, plon,
+      (cast(floor(plon / 0.75) as bigint) + {GRID_OFF}) * {GRID_SPAN}
+        + (cast(floor(plat / 0.75) as bigint) + {GRID_OFF}) as cell
+    from g
+    where plat between -90 and 90 and plon between -180 and 180
+  ) group by 1 having count(*) >= 4
+),
+e as (
+  select a.cell as src, b.cell as dst
+  from core a
+  cross join unnest([{deltas}]) as t(d)
+  join core b on b.cell = a.cell + t.d
+),
+reach(root, cell) as (
+  select cell, cell from core
+  union
+  select r.root, e.dst from reach r join e on e.src = r.cell
+),
+lbl as (select cell, min(root) as cluster from reach group by 1)
+select cluster as cluster_id,
+  cast(count(*) as int) as n_cells,
+  cast(sum(n_pts) as bigint) as n_points,
+  cast(round(cast(sum(sum_lat7) as double) / 1e7 / sum(n_pts), 6)
+       as decimal(18,6)) as avg_lat,
+  cast(round(cast(sum(sum_lon7) as double) / 1e7 / sum(n_pts), 6)
+       as decimal(18,6)) as avg_lon
+from core join lbl using (cell)
+group by 1
+"""
+
+
 def q_pip_hits_multipolygon(spark, sf_dir):
     """PIP against ASSEMBLED MULTIPOLYGONS (closed member rings + open-way
     stitched rings, even-odd hole semantics) — the flagship join fed by the full
@@ -3764,7 +3840,11 @@ def registry() -> dict[str, tuple]:
     in-window certifier) and doc_hll_distinct (deterministic HyperLogLog
     cardinality sketch, new; doc_token_quality rotated to the tail — its
     extract-all tokenizer and per-lang sums each have in-window
-    certifiers) and
+    certifiers) and geo_grid_clusters (grid-density spatial clustering —
+    cell-binned DBSCAN relaxation merged by connected components, new
+    operator category; pages_tile_counts rotated to the tail, its xyz
+    tile-key expression and per-tile count each having in-window
+    certifiers via pip_hits_per_polygon and tile_pyramid_z11) and
     osm_simplify_ways (zoom-driven single-pass
     effective-area line generalization — the vector-tile simplification step
     — new surface; sim_cosine_topk rotated out for it, its exact-cosine
@@ -3865,7 +3945,15 @@ def registry() -> dict[str, tuple]:
         # shape the in-window PIP queries apply before the exact test, and
         # its Overpass URL surface stays in-window via overpass_url_build
         "osm_tile_road_density": (q_osm_tile_road_density, _sql_osm_tile_road_density()),
-        "pages_tile_counts": (q_pages_tile_counts, _sql_pages_tiles()),
+        # geo_grid_clusters rotated IN (new operator category: grid-density
+        # spatial clustering — cell-binned DBSCAN relaxation, core-cell
+        # adjacency merged by connected components); pages_tile_counts
+        # rotated to the certified-twin tail — its xyz tile-key expression is
+        # the identical xyz_tile_key_col the in-window flagship
+        # pip_hits_per_polygon assigns via pages_with_cells and
+        # tile_pyramid_z11 re-aggregates level by level, and its per-tile
+        # count is the thin groupBy shape certified throughout the window
+        "geo_grid_clusters": (q_geo_grid_clusters, _sql_geo_grid_clusters()),
         "pip_hits_per_polygon": (q_pip_hits_per_polygon, _sql_pip()),
         "pip_hits_multipolygon": (
             q_pip_hits_multipolygon,
@@ -3943,6 +4031,11 @@ def registry() -> dict[str, tuple]:
         # resolver), doc_winnow_fps (sliding min windows) and
         # events_sessionize (lag windows) — rotated out for osm_road_sssp)
         "window_top_orders": (q_window_top_orders, SQL_WINDOW_TOP),
+        # pages_tile_counts: r04-green; its xyz tile-key expression is the
+        # identical xyz_tile_key_col the in-window pip_hits_per_polygon
+        # assigns (pages_with_cells) and tile_pyramid_z11 re-aggregates —
+        # rotated out for geo_grid_clusters
+        "pages_tile_counts": (q_pages_tile_counts, _sql_pages_tiles()),
         "events_band_join": (q_events_band_join, SQL_EVENTS_BAND),
         "osm_country_filter": (q_osm_country_filter, _sql_osm_country()),
         "osm_member_types": (q_osm_member_types, _sql_osm_members()),

@@ -57,6 +57,7 @@ HEADLINE_BATCH = [
     "doc_bm25_terms",            # round-5 IR term weighting
     "doc_search_bm25",           # round-5 BM25 retrieval
     "doc_hll_distinct",          # round-5 HyperLogLog sketch
+    "geo_grid_clusters",         # round-5 grid-density spatial clustering
 ]
 
 
