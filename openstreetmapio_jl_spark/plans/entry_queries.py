@@ -31,8 +31,10 @@ from openstreetmapio_jl_spark.operators import (
     ir,
     knn,
     routing,
+    sampling,
     similarity,
     sketches,
+    spatial_stats,
 )
 from openstreetmapio_jl_spark.operators import spatial_join as SJ
 from openstreetmapio_jl_spark.operators import tiler
@@ -451,6 +453,62 @@ from (select id, sum(score) as score, count(*) as n_terms,
         row_number() over (order by sum(score) desc, id asc) as rank
       from scored group by id)
 where rank <= 10
+"""
+
+
+REBALANCE_TARGETS = {"en": 0.3, "de": 0.25, "fr": 0.2, "es": 0.15, "zh": 0.1}
+
+
+def q_doc_lang_rebalance(spark, sf_dir):
+    """Deterministic downsample-only corpus rebalancing toward a target
+    language mix (CCNet/RedPajama-style): M = min(n_s/t_s), keep the
+    floor(t_s·M) docs with the smallest md5(doc_id) per language. The
+    differential pins the EXACT selected document set, not just sizes: the
+    per-lang digest is an order-independent BIGINT sum of md5-prefix keys
+    over the kept rows (any membership difference breaks it). On the sf0.01
+    mix the binding stratum is de (kept whole); en downsamples 218→84."""
+    d = _load(spark, sf_dir, "documents")
+    kept = sampling.rebalance(
+        d, REBALANCE_TARGETS, strata_col="lang", key_col="doc_id"
+    )
+    digest = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(digest).alias("sel_digest"),
+    )
+
+
+def _sql_doc_lang_rebalance() -> str:
+    vals = ", ".join(
+        f"('{k}', {v!r})" for k, v in sorted(REBALANCE_TARGETS.items())
+    )
+    return f"""
+with t(lang, target) as (values {vals}),
+counts as (
+  select lang, count(*) as n_in from documents group by 1
+),
+m as (
+  select min(cast(n_in as double) / target) as m
+  from t join counts using (lang)
+),
+plan as (
+  select lang, cast(floor(target * m.m) as bigint) as n_keep
+  from t cross join m
+),
+ranked as (
+  select d.lang, d.doc_id, p.n_keep,
+    row_number() over (
+      partition by d.lang
+      order by md5(cast(d.doc_id as varchar)), d.doc_id
+    ) as rk
+  from documents d join plan p using (lang)
+)
+select lang, count(*) as n_kept,
+  sum(('0x' || substr(md5(cast(doc_id as varchar)), 1, 8))::bigint) as sel_digest
+from ranked where rk <= n_keep
+group by 1
 """
 
 
@@ -3078,6 +3136,76 @@ group by 1
 """
 
 
+HOTSPOT_ZOOM = 6  # ~1350 observed tiles at sf0.01, hottest holds ~830 pages
+
+
+def q_geo_tile_hotspots(spark, sf_dir):
+    """Getis-Ord Gi* hotspot z-scores over the z6 page-count raster — the
+    spatial-statistics pillar: which tiles are statistically hot (3×3
+    neighborhood sum standardized against the global mean), not just big.
+    Tile counts are integers, so every aggregate feeding the statistic
+    (Σx, Σx², each neighborhood sum) is an EXACT BIGINT — the only float
+    math is one fixed per-row expression over those integers, identical in
+    both engines, rounded to DECIMAL at the end. Neighborhoods are 9
+    constant key deltas on the packed XYZ key (no spatial cross-join);
+    degenerate tiles (zero variance / whole-universe neighborhoods) carry
+    NULL, guarded on the pre-sqrt quantities so neither engine ever
+    compares a NaN."""
+    pages = _pages(spark, sf_dir)
+    pts = geocode.pages_with_cells(pages, zoom=HOTSPOT_ZOOM)
+    t = pts.groupBy("tile").agg(F.count("*").alias("n"))
+    return spatial_stats.gi_star(t)
+
+
+def _sql_geo_tile_hotspots() -> str:
+    from openstreetmapio_jl_spark.functions.cells import xyz_tile_key_sql
+    from openstreetmapio_jl_spark.operators.spatial_stats import GI_DELTAS
+
+    key = xyz_tile_key_sql("plat", "plon", HOTSPOT_ZOOM)
+    deltas = ", ".join(str(d) for d in GI_DELTAS)
+    return f"""
+with g as (
+  select
+    cast(regexp_extract(text, '{geocode.GEO_RE}', 1) as double) as plat,
+    cast(regexp_extract(text, '{geocode.GEO_RE}', 2) as double) as plon
+  from read_parquet('{_ofx("pages.parquet")}')
+  where regexp_extract(text, '{geocode.GEO_RE}', 1) != ''
+),
+t as (
+  select {key} as tile, count(*) as n
+  from g
+  where plat between -90 and 90 and plon between -180 and 180
+  group by 1
+),
+tot as (
+  select count(*) as n_tiles, sum(n) as sx, sum(n * n) as sxx from t
+),
+nb as (
+  select a.tile, count(*) as w, sum(b.n) as neigh_sum
+  from t a
+  cross join unnest([{deltas}]) as dd(d)
+  join t b on b.tile = a.tile - dd.d
+  group by 1
+),
+calc as (
+  select t.tile, t.n, nb.w, nb.neigh_sum, tot.n_tiles,
+    cast(tot.sx as double) / tot.n_tiles as xbar,
+    cast(tot.sxx as double) / tot.n_tiles
+      - (cast(tot.sx as double) / tot.n_tiles)
+        * (cast(tot.sx as double) / tot.n_tiles) as s2,
+    cast(tot.n_tiles as double) as nt,
+    cast(nb.w as double) as wd
+  from t join nb using (tile) cross join tot
+)
+select tile, n, w, neigh_sum,
+  cast(case when n_tiles > 1 and s2 > 0.0 and (nt * wd - wd * wd) > 0.0
+       then round((cast(neigh_sum as double) - xbar * wd)
+                  / (sqrt(s2) * sqrt((nt * wd - wd * wd) / (nt - 1.0))), 6)
+       end as decimal(18,6)) as gi_z
+from calc
+"""
+
+
 def q_pip_hits_multipolygon(spark, sf_dir):
     """PIP against ASSEMBLED MULTIPOLYGONS (closed member rings + open-way
     stitched rings, even-odd hole semantics) — the flagship join fed by the full
@@ -3845,6 +3973,14 @@ def registry() -> dict[str, tuple]:
     operator category; pages_tile_counts rotated to the tail, its xyz
     tile-key expression and per-tile count each having in-window
     certifiers via pip_hits_per_polygon and tile_pyramid_z11) and
+    geo_tile_hotspots (Getis-Ord Gi* local spatial statistics over the
+    tile raster, new operator category; osm_poi_topk rotated to the tail —
+    its tag access, node decode and top-k ordering each have in-window
+    certifiers) and doc_lang_rebalance (deterministic downsample-only
+    stratified corpus rebalancing, new operator category;
+    agg_pricing_summary rotated to the tail — its multi-aggregate groupBy
+    shape is certified in-window by events_rollup and
+    join_revenue_by_nation) and
     osm_simplify_ways (zoom-driven single-pass
     effective-area line generalization — the vector-tile simplification step
     — new surface; sim_cosine_topk rotated out for it, its exact-cosine
@@ -3872,7 +4008,15 @@ def registry() -> dict[str, tuple]:
     tools/check_oracle.py` runs ALL entries including the tail, so
     past-window twins cannot silently regress."""
     return {
-        "agg_pricing_summary": (q_agg_pricing_summary, SQL_AGG_PRICING),
+        # doc_lang_rebalance rotated IN (new operator category: deterministic
+        # downsample-only stratified corpus rebalancing toward a target
+        # language mix, exact-membership digest differential);
+        # agg_pricing_summary rotated to the certified-twin tail — its
+        # filter + groupBy + multi-aggregate (sum/avg/count) shape is the
+        # thin relational form certified in-window by events_rollup (same
+        # multi-aggregate groupBy plus rollup levels) and
+        # join_revenue_by_nation (sum-by-key over a join)
+        "doc_lang_rebalance": (q_doc_lang_rebalance, _sql_doc_lang_rebalance()),
         "join_revenue_by_nation": (q_join_revenue_by_nation, SQL_JOIN_REVENUE),
         "setop_nations": (q_setop_nations, SQL_SETOP),
         # doc_bm25_terms rotated IN (new surface: corpus-statistics term
@@ -3927,7 +4071,15 @@ def registry() -> dict[str, tuple]:
         "doc_hll_distinct": (q_doc_hll_distinct, _sql_hll_distinct()),
         "doc_langid": (q_doc_langid, _sql_langid()),
         "osm_counts": (q_osm_counts, _sql_osm_counts()),
-        "osm_poi_topk": (q_osm_poi_topk, _sql_osm_poi()),
+        # geo_tile_hotspots rotated IN (new operator category: local spatial
+        # statistics — Getis-Ord Gi* hotspot z-scores over the tile raster,
+        # exact-BIGINT moments + one fixed float expression); osm_poi_topk
+        # rotated to the certified-twin tail — its tags[...] map access is
+        # the identical predicate path in-window osm_way_lengths /
+        # osm_polygon_areas filter on, its node-decode inputs stay in-window
+        # via osm_counts, and its orderBy().limit() top-k ordering is the
+        # TakeOrderedAndProject shape in-window doc_search_bm25 pins
+        "geo_tile_hotspots": (q_geo_tile_hotspots, _sql_geo_tile_hotspots()),
         "osm_polygon_areas": (q_osm_polygon_areas, _sql_osm_polygon_areas()),
         "osm_way_lengths": (q_osm_way_lengths, _sql_osm_way_lengths()),
         "osm_road_sssp": (q_osm_road_sssp, _sql_osm_road_sssp()),
@@ -4036,6 +4188,16 @@ def registry() -> dict[str, tuple]:
         # assigns (pages_with_cells) and tile_pyramid_z11 re-aggregates —
         # rotated out for geo_grid_clusters
         "pages_tile_counts": (q_pages_tile_counts, _sql_pages_tiles()),
+        # osm_poi_topk: r04-green; tags[...] map-access predicates certified
+        # in-window by osm_way_lengths/osm_polygon_areas, node decode by
+        # osm_counts, orderBy().limit() top-k by doc_search_bm25 — rotated
+        # out for geo_tile_hotspots
+        "osm_poi_topk": (q_osm_poi_topk, _sql_osm_poi()),
+        # agg_pricing_summary: r04-green; filter + groupBy + multi-aggregate
+        # (sum/avg/count) is the thin relational shape certified in-window
+        # by events_rollup and join_revenue_by_nation — rotated out for
+        # doc_lang_rebalance
+        "agg_pricing_summary": (q_agg_pricing_summary, SQL_AGG_PRICING),
         "events_band_join": (q_events_band_join, SQL_EVENTS_BAND),
         "osm_country_filter": (q_osm_country_filter, _sql_osm_country()),
         "osm_member_types": (q_osm_member_types, _sql_osm_members()),

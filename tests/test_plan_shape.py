@@ -58,6 +58,8 @@ HEADLINE_BATCH = [
     "doc_search_bm25",           # round-5 BM25 retrieval
     "doc_hll_distinct",          # round-5 HyperLogLog sketch
     "geo_grid_clusters",         # round-5 grid-density spatial clustering
+    "geo_tile_hotspots",         # round-5 Getis-Ord Gi* hotspot statistics
+    "doc_lang_rebalance",        # round-5 stratified corpus rebalancing
 ]
 
 

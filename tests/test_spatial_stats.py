@@ -1,0 +1,123 @@
+"""Getis-Ord Gi* hotspot scores (operators/spatial_stats.py).
+
+Independent per-tile Python replica of the same formula over hand-built
+rasters; neighborhood-counting exactness, degeneracy NULLs, and the
+no-antimeridian-wrap convention.
+"""
+
+from __future__ import annotations
+
+import math
+
+from openstreetmapio_jl_spark.operators import spatial_stats as S
+
+
+def _key(x, y, z=6):
+    return z * (1 << 58) + x * (1 << 29) + y
+
+
+def _tiles(spark, rows, z=6):
+    return spark.createDataFrame(
+        [(_key(x, y, z), n) for x, y, n in rows], "tile long, n long"
+    )
+
+
+def _replica(rows):
+    """Per-tile Gi* computed independently (dict-based, no Spark)."""
+    counts = {(x, y): n for x, y, n in rows}
+    nt = len(counts)
+    sx = sum(counts.values())
+    sxx = sum(v * v for v in counts.values())
+    xbar = sx / nt
+    s2 = sxx / nt - xbar * xbar
+    out = {}
+    for (x, y), n in counts.items():
+        neigh = [
+            counts[(x + dx, y + dy)]
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+            if (x + dx, y + dy) in counts
+        ]
+        w = len(neigh)
+        ws = sum(neigh)
+        if nt > 1 and s2 > 0 and (nt * w - w * w) > 0:
+            z = (ws - xbar * w) / (
+                math.sqrt(s2) * math.sqrt((nt * w - w * w) / (nt - 1.0))
+            )
+            out[(x, y)] = (n, w, ws, round(z, 6))
+        else:
+            out[(x, y)] = (n, w, ws, None)
+    return out
+
+
+def _run(spark, rows):
+    got = {}
+    for r in S.gi_star(_tiles(spark, rows)).collect():
+        x = (r.tile >> 29) & ((1 << 29) - 1)
+        y = r.tile & ((1 << 29) - 1)
+        got[(x, y)] = (
+            r.n,
+            r.w,
+            r.neigh_sum,
+            None if r.gi_z is None else float(r.gi_z),
+        )
+    return got
+
+
+def test_matches_independent_replica(spark):
+    # a hot 2x2 block, a lukewarm neighbor, and far-away cold singles
+    rows = [
+        (10, 10, 50),
+        (10, 11, 40),
+        (11, 10, 45),
+        (11, 11, 60),
+        (12, 10, 5),
+        (30, 30, 1),
+        (40, 5, 2),
+        (45, 45, 1),
+    ]
+    got, want = _run(spark, rows), _replica(rows)
+    assert set(got) == set(want)
+    for k in want:
+        gn, gw, gws, gz = got[k]
+        wn, ww, wws, wz = want[k]
+        assert (gn, gw, gws) == (wn, ww, wws), k
+        assert gz == wz or abs(gz - wz) < 1e-6, (k, gz, wz)
+    # the hot block's interior tiles must score higher than the cold singles
+    assert got[(10, 10)][3] > got[(30, 30)][3]
+
+
+def test_neighborhood_includes_self_and_counts_only_observed(spark):
+    rows = [(10, 10, 3), (10, 11, 4), (20, 20, 5)]
+    got = _run(spark, rows)
+    assert got[(10, 10)][1] == 2 and got[(10, 10)][2] == 7  # self + (10,11)
+    assert got[(20, 20)][1] == 1 and got[(20, 20)][2] == 5  # self only
+
+
+def test_no_antimeridian_wrap(spark):
+    # x=0 and x=2^z-1 are geographic neighbors but NOT tile-space neighbors
+    z = 6
+    rows = [(0, 10, 5), ((1 << z) - 1, 10, 7)]
+    got = _run(spark, rows)
+    assert got[(0, 10)][1] == 1 and got[((1 << z) - 1, 10)][1] == 1
+
+
+def test_degenerate_cases_null(spark):
+    # zero variance (all equal counts) -> NULL z everywhere
+    rows = [(10, 10, 3), (20, 20, 3), (30, 30, 3)]
+    assert all(v[3] is None for v in _run(spark, rows).values())
+    # single tile -> n_tiles == 1 -> NULL
+    assert _run(spark, [(10, 10, 7)])[(10, 10)][3] is None
+    # whole universe in one neighborhood (w == n) -> NULL
+    rows = [(10, 10, 1), (10, 11, 9)]
+    assert all(v[3] is None for v in _run(spark, rows).values())
+
+
+def test_jvm_only_plan(spark):
+    plan = (
+        S.gi_star(_tiles(spark, [(10, 10, 3), (10, 11, 4)]))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
