@@ -3066,8 +3066,10 @@ def q_geo_grid_clusters(spark, sf_dir):
     geocoded pages: 0.75°-cell binning (ONE map-side-combined groupBy over
     the points — the only points-sized pass; 0.75 is binary-exact so the
     floor-of-division cell index is bit-equal in any IEEE engine), core
-    cells ≥4 points, 8-adjacent core cells merged via two-phase connected
-    components (O(log²n) rounds — robust to chain-shaped components). The
+    cells ≥4 points, 8-adjacent core cells merged by connected components
+    (auto mode: bounded-probe driver union-find — the core-cell graph is
+    microscopic next to the points — with distributed two-phase CC past
+    the threshold). The
     parameters are chosen so the sf0.01 differential exercises every shape:
     ~48 clusters — singletons, chains, and a 33-cell blob (a collapse-to-one
     or split-everything defect breaks equality). Centroids divide exact
@@ -3079,9 +3081,7 @@ def q_geo_grid_clusters(spark, sf_dir):
     decrease)."""
     pages = _pages(spark, sf_dir)
     pts = geocode.extract_geocodes(pages).select("lat", "lon")
-    return clustering.grid_clusters(
-        pts, eps_deg=0.75, min_pts=4, algorithm="two-phase"
-    )
+    return clustering.grid_clusters(pts, eps_deg=0.75, min_pts=4)
 
 
 def _sql_geo_grid_clusters() -> str:

@@ -105,25 +105,42 @@ def test_out_of_range_and_null_coords_dropped(spark):
     assert len(out) == 1 and out[0].n_points == 3
 
 
-def test_propagation_equals_two_phase(spark):
-    # a chain of 6 adjacent dense cells plus two singleton-core outliers
+def test_all_three_algorithms_agree(spark):
+    # a chain of 6 adjacent dense cells plus two singleton-core outliers:
+    # auto (driver union-find), propagation, and two-phase must return
+    # identical clusters
     rows = []
     for k in range(6):
         rows += _blob(f"c{k}_", 10.1 + k, 10.1, 3)
     rows += _blob("s1_", 40.1, 40.1, 3) + _blob("s2_", -40.9, -40.9, 3)
     df = _pts(spark, rows)
-    a = {
-        (r.cluster_id, r.n_cells, r.n_points, str(r.avg_lat), str(r.avg_lon))
-        for r in C.grid_clusters(df, eps_deg=1.0, min_pts=3).collect()
+    results = []
+    for alg in ("auto", "propagation", "two-phase"):
+        results.append({
+            (r.cluster_id, r.n_cells, r.n_points, str(r.avg_lat), str(r.avg_lon))
+            for r in C.grid_clusters(
+                df, eps_deg=1.0, min_pts=3, algorithm=alg
+            ).collect()
+        })
+    assert results[0] == results[1] == results[2]
+    assert sorted(x[1] for x in results[0]) == [1, 1, 6]
+
+
+def test_auto_overflow_falls_back_to_distributed(spark):
+    # local_threshold=1 forces the probe to overflow -> distributed path;
+    # labels must still equal the local path's
+    rows = _blob("a", 10.1, 10.1, 3) + _blob("b", 11.1, 11.1, 3) + _blob(
+        "c", 40.1, 40.1, 3
+    )
+    core = C.grid_core_cells(_pts(spark, rows), eps_deg=1.0, min_pts=3)
+    local = {
+        (r.cell, r.cluster) for r in C.core_cell_labels(core).collect()
     }
-    b = {
-        (r.cluster_id, r.n_cells, r.n_points, str(r.avg_lat), str(r.avg_lon))
-        for r in C.grid_clusters(
-            df, eps_deg=1.0, min_pts=3, algorithm="two-phase"
-        ).collect()
+    forced = {
+        (r.cell, r.cluster)
+        for r in C.core_cell_labels(core, local_threshold=1).collect()
     }
-    assert a == b
-    assert sorted(x[1] for x in a) == [1, 1, 6]
+    assert local == forced and len(local) == 3
 
 
 def test_param_validation(spark):
