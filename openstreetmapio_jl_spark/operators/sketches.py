@@ -139,3 +139,139 @@ def hll_distinct(
     """One-shot convenience: registers + estimate."""
     regs = hll_registers(df, value_col, group_cols, p=p)
     return hll_estimate(regs, group_cols, p=p, round_dp=round_dp)
+
+
+# ===========================================================================
+# HDR-histogram quantile sketch — the rank-statistics sibling of the HLL
+# cardinality sketch above. Exact per-group quantiles at 100 TB require a
+# full per-group sort (percentile() buffers every value); this keeps a
+# bounded histogram instead: non-negative integers bucket by (msb, next-k
+# bits) — Gil Tene's public High-Dynamic-Range histogram layout — giving
+# relative error ≤ 2^-k with at most (63-k)·2^k + 2^k buckets, counts merge
+# by SUM (per-partition/per-day sketches union for free), and EVERYTHING is
+# integer arithmetic: msb = length(bin(x))-1 (exact in any engine, no float
+# log2), sub-bucket and representative values via exact power-of-two
+# division (pow(2,e) is a dyadic IEEE exact), ranks by one double multiply
+# + ceil. The estimate is therefore bit-identical cross-engine and
+# DuckDB-oracle-checkable — the same portability bar as the HLL above.
+# ===========================================================================
+
+HDR_K_DEFAULT = 5  # 32 sub-buckets per octave → relative error ≤ 1/32 ≈ 3.1%
+
+
+def _hdr_bucket_col(x, k: int):
+    """HDR bucket id for non-negative BIGINT ``x``: values < 2^k map to
+    themselves (the exact region); above, id = (msb-k+1)·2^k + next-k-bits.
+    Pure integer ops — msb via length(bin(x)) (no float log)."""
+    b = 1 << k
+    m = (F.length(F.bin(x)) - 1).cast("int")
+    shift = (m - F.lit(k)).cast("double")
+    div = F.pow(F.lit(2.0), shift).cast("long")  # 2^(m-k), IEEE-exact dyadic
+    sub = (x / div).cast("long") - b  # x div 2^(m-k) is exact: div > 0
+    return F.when(x < b, x.cast("long")).otherwise(
+        ((m - k + 1) * b + sub).cast("long")
+    )
+
+
+def _hdr_rep_col(bucket, k: int):
+    """Representative value (bucket-range midpoint, floor) for a bucket id —
+    the inverse of :func:`_hdr_bucket_col` up to the guaranteed relative
+    error. Integer arithmetic only."""
+    b = 1 << k
+    e = (bucket / b).cast("long") - 1  # octave exponent m-k
+    width = F.pow(F.lit(2.0), e.cast("double")).cast("long")  # 2^e exact
+    lo = (b + (bucket % b)) * width
+    return F.when(bucket < b, bucket).otherwise(lo + ((width - 1) / 2).cast("long"))
+
+
+def hdr_buckets(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    *,
+    k: int = HDR_K_DEFAULT,
+) -> DataFrame:
+    """→ ``(*group_cols, bucket, cnt)``: the sketch — a map-side-combined
+    COUNT per (group, HDR bucket); at most a few thousand rows per group
+    ever shuffle regardless of value count or range. Input contract:
+    non-negative integers ≤ 2^52 (lengths, counts, latencies — the dyadic
+    divisions stay exact); NULLs are skipped."""
+    if not 0 <= k <= 16:
+        raise ValueError(f"k must be in [0, 16], got {k}")
+    x = F.col(value_col).cast("long")
+    d = df.filter(x.isNotNull())
+    return (
+        d.select(*group_cols, _hdr_bucket_col(x, k).alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hdr_merge(
+    a: DataFrame, b: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Union two bucket tables (same k!) into one sketch: per-bucket SUM.
+    sketch(A) ⊕ sketch(B) == sketch(A ⊎ B) exactly (counts are additive;
+    test-pinned)."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def hdr_quantiles(
+    buckets: DataFrame,
+    qs: tuple[float, ...],
+    group_cols: tuple[str, ...] = (),
+    *,
+    k: int = HDR_K_DEFAULT,
+) -> DataFrame:
+    """→ ``(*group_cols, q, est)``: per group and quantile, the
+    representative value of the first bucket whose cumulative count reaches
+    rank ceil(q·n) (the lower-quantile convention, pinned). The walk is a
+    cumulative-sum window ordered by the integer bucket id + a min over the
+    qualifying reps — reps increase with id, so min(rep) IS the first
+    qualifying bucket. One double multiply + ceil per (group, q); all else
+    integer."""
+    from pyspark.sql import Window
+
+    if not qs or any(not 0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"quantiles must be in (0, 1], got {qs}")
+    spark = buckets.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in sorted(qs)], "q double")
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = buckets.select(
+        *group_cols,
+        "bucket",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(
+            Window.partitionBy(*group_cols).orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    r = F.ceil(F.col("q") * F.col("total").cast("double")).cast("long")
+    return (
+        cum.crossJoin(F.broadcast(qdf))
+        .filter(F.col("cum") >= r)
+        .groupBy(*group_cols, "q")
+        .agg(F.min(_hdr_rep_col(F.col("bucket"), k)).alias("est"))
+    )
+
+
+def hdr_quantile_sketch(
+    df: DataFrame,
+    value_col: str,
+    qs: tuple[float, ...],
+    group_cols: tuple[str, ...] = (),
+    *,
+    k: int = HDR_K_DEFAULT,
+) -> DataFrame:
+    """One-shot convenience: buckets + quantile walk."""
+    b = hdr_buckets(df, value_col, group_cols, k=k)
+    return hdr_quantiles(b, qs, group_cols, k=k)

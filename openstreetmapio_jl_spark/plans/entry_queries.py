@@ -456,6 +456,62 @@ where rank <= 10
 """
 
 
+def q_doc_len_hdr_quantiles(spark, sf_dir):
+    """Per-language p50/p90/p99 document length via the HDR-histogram
+    quantile sketch — the bounded-memory form of doc_len_quantiles: instead
+    of percentile()'s per-group value buffer, a map-side-combined COUNT per
+    (lang, msb/next-5-bits bucket) — ≤ a few thousand rows per group shuffle
+    at ANY cardinality, counts merge by SUM, relative error ≤ 1/32. All
+    bucket/representative math is integer (msb via length(bin(x)), dyadic
+    power-of-two divisions — IEEE-exact), so estimates are bit-identical
+    cross-engine."""
+    d = _load(spark, sf_dir, "documents")
+    out = sketches.hdr_quantile_sketch(
+        d, "n_chars", (0.5, 0.9, 0.99), ("lang",)
+    )
+    return out.select(
+        "lang",
+        F.col("q").cast("decimal(4,2)").alias("q"),
+        F.col("est").cast("long").alias("est"),
+    )
+
+
+def _sql_doc_len_hdr() -> str:
+    k, b = 5, 32
+    return f"""
+with x as (
+  select lang, cast(n_chars as bigint) as x from documents
+  where n_chars is not null
+),
+bk as (
+  select lang,
+    case when x < {b} then x
+         else (length(bin(x)) - 1 - {k} + 1) * {b}
+              + x // cast(pow(2.0, length(bin(x)) - 1 - {k}) as bigint) - {b}
+    end as bucket,
+    count(*) as cnt
+  from x group by 1, 2
+),
+cum as (
+  select lang, bucket,
+    sum(cnt) over (partition by lang order by bucket) as cum,
+    sum(cnt) over (partition by lang) as total
+  from bk
+),
+qq as (select unnest([0.5, 0.9, 0.99]) as q),
+hits as (
+  select lang, q, bucket from cum cross join qq
+  where cum >= cast(ceil(q * cast(total as double)) as bigint)
+)
+select lang, cast(q as decimal(4,2)) as q,
+  min(case when bucket < {b} then bucket
+       else ({b} + bucket % {b}) * cast(pow(2.0, bucket // {b} - 1) as bigint)
+            + (cast(pow(2.0, bucket // {b} - 1) as bigint) - 1) // 2
+  end) as est
+from hits group by 1, 2
+"""
+
+
 REBALANCE_TARGETS = {"en": 0.3, "de": 0.25, "fr": 0.2, "es": 0.15, "zh": 0.1}
 
 
@@ -3980,7 +4036,11 @@ def registry() -> dict[str, tuple]:
     stratified corpus rebalancing, new operator category;
     agg_pricing_summary rotated to the tail — its multi-aggregate groupBy
     shape is certified in-window by events_rollup and
-    join_revenue_by_nation) and
+    join_revenue_by_nation) and doc_len_hdr_quantiles (HDR-histogram
+    quantile sketch — the bounded-memory mergeable form of the per-lang
+    length quantiles; doc_len_quantiles rotated to the tail, the same
+    statistic over the same load path staying in-window via the sketch
+    twin) and
     osm_simplify_ways (zoom-driven single-pass
     effective-area line generalization — the vector-tile simplification step
     — new surface; sim_cosine_topk rotated out for it, its exact-cosine
@@ -4033,7 +4093,15 @@ def registry() -> dict[str, tuple]:
         "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
         "events_band_join_outer": (q_events_band_join_outer, SQL_EVENTS_BAND_OUTER),
         "events_rollup": (q_events_rollup, SQL_EVENTS_ROLLUP),
-        "doc_len_quantiles": (q_doc_len_quantiles, SQL_DOC_QUANTILES),
+        # doc_len_hdr_quantiles rotated IN (new surface: HDR-histogram
+        # quantile sketch — the bounded-memory mergeable form of the same
+        # per-lang length quantiles, integer bucket math bit-identical
+        # cross-engine); doc_len_quantiles rotated to the certified-twin
+        # tail — it computes the SAME statistic over the SAME load/groupBy
+        # path (any tokenize/load regression breaks both) and its exact
+        # percentile() is a single built-in aggregate, still oracle-pinned
+        # in the tail
+        "doc_len_hdr_quantiles": (q_doc_len_hdr_quantiles, _sql_doc_len_hdr()),
         # doc_search_bm25 rotated IN (new surface: BM25 retrieval — summed
         # per-term scores over decimal-exact addition, the query half of the
         # IR stack); doc_exact_dups rotated to the certified-twin tail — its
@@ -4198,6 +4266,11 @@ def registry() -> dict[str, tuple]:
         # by events_rollup and join_revenue_by_nation — rotated out for
         # doc_lang_rebalance
         "agg_pricing_summary": (q_agg_pricing_summary, SQL_AGG_PRICING),
+        # doc_len_quantiles: r04-green; the same per-lang length statistic
+        # stays in-window via its HDR-sketch twin doc_len_hdr_quantiles
+        # (same load/groupBy path, same quantile targets), exact
+        # percentile() remains tail-pinned — rotated out for it
+        "doc_len_quantiles": (q_doc_len_quantiles, SQL_DOC_QUANTILES),
         "events_band_join": (q_events_band_join, SQL_EVENTS_BAND),
         "osm_country_filter": (q_osm_country_filter, _sql_osm_country()),
         "osm_member_types": (q_osm_member_types, _sql_osm_members()),

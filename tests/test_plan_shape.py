@@ -60,6 +60,7 @@ HEADLINE_BATCH = [
     "geo_grid_clusters",         # round-5 grid-density spatial clustering
     "geo_tile_hotspots",         # round-5 Getis-Ord Gi* hotspot statistics
     "doc_lang_rebalance",        # round-5 stratified corpus rebalancing
+    "doc_len_hdr_quantiles",     # round-5 HDR quantile sketch
 ]
 
 

@@ -69,3 +69,103 @@ def test_nulls_are_skipped(spark):
 def test_p_out_of_range_raises(spark):
     with pytest.raises(ValueError, match="p must be"):
         sketches.hll_registers(_vals(spark, 10), "v", p=2)
+
+
+# ---------------------------------------------------------------------------
+# HDR quantile sketch
+# ---------------------------------------------------------------------------
+import math
+
+from openstreetmapio_jl_spark.operators.sketches import (
+    hdr_buckets,
+    hdr_merge,
+    hdr_quantile_sketch,
+    hdr_quantiles,
+)
+
+
+def _hvals(spark, values, lang="en"):
+    return spark.createDataFrame(
+        [(lang, int(v)) for v in values], "lang string, x long"
+    )
+
+
+def test_hdr_small_region_is_exact(spark):
+    # values < 2^k bucket to themselves: quantiles are EXACT
+    vals = [0, 1, 2, 3, 5, 8, 13, 21, 31]
+    out = hdr_quantile_sketch(_hvals(spark, vals), "x", (0.5, 1.0))
+    got = {float(r.q): r.est for r in out.collect()}
+    # rank ceil(0.5*9)=5 -> 5th smallest = 5; rank 9 -> 31
+    assert got == {0.5: 5, 1.0: 31}
+
+
+def test_hdr_relative_error_bound(spark):
+    # deterministic pseudo-random integers over 5 octaves; every estimated
+    # quantile within 1/32 relative error of the true value
+    import hashlib
+
+    vals = [
+        int(hashlib.md5(str(i).encode()).hexdigest()[:6], 16) % 100_000 + 1
+        for i in range(2000)
+    ]
+    qs = (0.5, 0.9, 0.99)
+    out = hdr_quantile_sketch(_hvals(spark, vals), "x", qs)
+    got = {float(r.q): r.est for r in out.collect()}
+    sv = sorted(vals)
+    for q in qs:
+        true = sv[math.ceil(q * len(vals)) - 1]
+        assert abs(got[q] - true) / true <= 1 / 32 + 1e-9, (q, got[q], true)
+
+
+def test_hdr_merge_equals_union(spark):
+    a, b = [7, 70, 700, 7000], [13, 130, 1300, 13000, 31]
+    sa = hdr_buckets(_hvals(spark, a), "x")
+    sb = hdr_buckets(_hvals(spark, b), "x")
+    merged = hdr_merge(sa, sb)
+    union = hdr_buckets(_hvals(spark, a + b), "x")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, union.collect())
+    )
+
+
+def test_hdr_groupwise_and_rank_convention(spark):
+    df = _hvals(spark, [10, 20, 30], "en").unionByName(
+        _hvals(spark, [100, 200], "de")
+    )
+    out = hdr_quantiles(hdr_buckets(df, "x", ("lang",)), (0.5,), ("lang",))
+    got = {(r.lang, float(r.q)): r.est for r in out.collect()}
+    # en: ceil(0.5*3)=2nd smallest = 20; de: ceil(0.5*2)=1st = 100 -> both
+    # in the exact-or-rep region: 20 < 32 exact; 100 -> bucket rep
+    assert got[("en", 0.5)] == 20
+    assert abs(got[("de", 0.5)] - 100) / 100 <= 1 / 32
+
+
+def test_hdr_validation(spark):
+    df = _hvals(spark, [1, 2, 3])
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="quantiles"):
+        hdr_quantiles(hdr_buckets(df, "x"), ())
+    with _pt.raises(ValueError, match="quantiles"):
+        hdr_quantiles(hdr_buckets(df, "x"), (0.0,))
+    with _pt.raises(ValueError, match="k must"):
+        hdr_buckets(df, "x", k=20)
+
+
+def test_hdr_bucket_rep_roundtrip_error(spark):
+    # every power-of-two boundary and neighbors: rep within 1/32 relative
+    vals = []
+    for e in range(5, 40):
+        vals += [(1 << e) - 1, 1 << e, (1 << e) + 1]
+    df = _hvals(spark, vals)
+    from openstreetmapio_jl_spark.operators.sketches import (
+        _hdr_bucket_col,
+        _hdr_rep_col,
+    )
+    from pyspark.sql import functions as F
+
+    out = df.select(
+        "x", _hdr_rep_col(_hdr_bucket_col(F.col("x"), 5), 5).alias("rep")
+    ).collect()
+    for r in out:
+        assert abs(r.rep - r.x) / r.x <= 1 / 32, (r.x, r.rep)
