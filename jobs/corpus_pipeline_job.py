@@ -111,6 +111,15 @@ def main() -> None:
         "boilerplate; 0 disables",
     )
     ap.add_argument(
+        "--rebalance", default=None, metavar="LANG:FRAC,...",
+        help="deterministic downsample-only rebalance of the gated pages to "
+        "a target language mix (e.g. 'en:0.4,de:0.3,fr:0.3'): keep the "
+        "floor(frac*M) pages with the smallest md5(url) per language, "
+        "M = min(n_lang/frac). Untargeted languages DROP; a targeted "
+        "language absent from the batch aborts (the mix is unreachable). "
+        "Runs after the quality gate, before spatial enrichment",
+    )
+    ap.add_argument(
         "--dedup-index", default=None, metavar="PREFIX",
         help="table prefix of a persisted MinHash signature index: when the "
         "index exists, near-dup dedup runs INCREMENTALLY against it (batch-vs-"
@@ -262,6 +271,20 @@ def main() -> None:
         .withColumn("n_tokens", textfn.token_count_col(F.col("text")))
         .filter(F.col("quality") >= args.min_quality)
     )
+
+    # 2b. optional deterministic rebalance to a target language mix —
+    # downsample-only, md5(url)-ranked per stratum, so re-running the batch
+    # (or any engine) selects the identical page set; stage order matters:
+    # AFTER the quality gate (rebalancing the unfiltered mix would be undone
+    # by language-skewed quality drops), BEFORE enrichment/write
+    if args.rebalance:
+        from openstreetmapio_jl_spark.operators.sampling import rebalance
+
+        targets = {}
+        for part in args.rebalance.split(","):
+            lang, _, frac = part.partition(":")
+            targets[lang.strip()] = float(frac)
+        gated = rebalance(gated, targets, strata_col="lang", key_col="url")
 
     # 3. geocode + LEFT spatial enrich: keep every gated page; attach the
     # containing polygon ids (array, may be empty) for geocoded ones

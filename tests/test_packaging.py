@@ -536,3 +536,76 @@ def test_stream_prefilter_composes_with_batch_compactor(
             "https://z-fresh-2"} <= stream_corpus
     assert "https://z-pair-b" not in stream_corpus
     assert not any(u.startswith("https://z-dup-") for u in stream_corpus)
+
+
+def test_spark_submit_corpus_pipeline_rebalance(pyfiles_zip, tmp_path, osm_data):
+    """--rebalance stage via spark-submit: the output language mix matches the
+    target within floor rounding, selection is deterministic (two runs into
+    different outputs produce the identical url set), and a targeted-but-
+    absent language aborts instead of silently skewing the mix."""
+    from openstreetmapio_jl_spark.fixtures import generator as G
+
+    meta, nodes, ways, rels = osm_data
+    pbf = str(tmp_path / "f.pbf")
+    G.write_fixture_pbf(pbf, meta, nodes, ways, rels, nodes_per_block=200)
+    pages = str(tmp_path / "pages.parquet")
+    pq.write_table(G.make_pages(1200), pages)
+
+    def run(out, lin, spec):
+        cmd = [
+            _spark_submit(),
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.driver.host=127.0.0.1",
+            "--py-files", pyfiles_zip,
+            os.path.join(REPO, "jobs", "corpus_pipeline_job.py"),
+            "--pages", pages, "--pbf", pbf, "--out", out, "--lineage", lin,
+            "--chunks", "2", "--min-quality", "0.0",
+            "--rebalance", spec,
+        ]
+        env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+        return subprocess.run(
+            cmd, cwd=str(tmp_path), env=env, capture_output=True, text=True,
+            timeout=600,
+        )
+
+    p = run(str(tmp_path / "c1"), str(tmp_path / "l1"), "en:0.5,de:0.25,fr:0.25")
+    assert p.returncode == 0, p.stderr[-4000:]
+
+    import duckdb
+
+    mix = dict(
+        duckdb.sql(
+            f"select lang, count(*) from read_parquet("
+            f"'{tmp_path}/c1/chunk=*/*.parquet') group by 1"
+        ).fetchall()
+    )
+    # untargeted language dropped entirely
+    assert "es" not in mix
+    total = sum(mix.values())
+    # fixture mix is uniform 300/lang -> M = min(300/0.5, 300/0.25) = 600:
+    # en keeps 300 (binding), de/fr keep 150 each
+    assert mix == {"en": 300, "de": 150, "fr": 150}, mix
+    assert total == 600
+
+    # determinism: a second run into a fresh out dir selects the SAME urls
+    p2 = run(str(tmp_path / "c2"), str(tmp_path / "l2"), "en:0.5,de:0.25,fr:0.25")
+    assert p2.returncode == 0, p2.stderr[-4000:]
+    u1 = {
+        r[0]
+        for r in duckdb.sql(
+            f"select url from read_parquet('{tmp_path}/c1/chunk=*/*.parquet')"
+        ).fetchall()
+    }
+    u2 = {
+        r[0]
+        for r in duckdb.sql(
+            f"select url from read_parquet('{tmp_path}/c2/chunk=*/*.parquet')"
+        ).fetchall()
+    }
+    assert u1 == u2 and len(u1) == 600
+
+    # a targeted language with zero gated pages aborts loudly
+    p3 = run(str(tmp_path / "c3"), str(tmp_path / "l3"), "en:0.5,ja:0.5")
+    assert p3.returncode != 0
+    assert "absent" in (p3.stderr + p3.stdout)
