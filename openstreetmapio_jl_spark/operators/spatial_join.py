@@ -701,3 +701,82 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(nsalt - 1)))
     )
     return b.join(s, [key, "_salt"], how).drop("_salt")
+
+
+def bbox_intersection_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+    cell_deg: float = 1.0,
+    suffix: tuple[str, str] = ("_l", "_r"),
+) -> DataFrame:
+    """Rectangle×rectangle intersection join — the 2-D interval-overlap
+    sibling of :func:`point_in_polygon_join` (containment) and
+    ``temporal.band_join`` (1-D bands): all (left, right) pairs whose
+    [min_lat,max_lat]×[min_lon,max_lon] boxes overlap (closed edges —
+    touching boxes match, mirroring the PIP bbox prefilter's BETWEEN).
+
+    Scale shape (the classic PBSM/spatial-hash join, public literature):
+    each box explodes into the ``cell_deg``-sized grid cells it covers
+    (``sequence()`` per axis — candidate volume bounded by box size, never
+    all-pairs), candidates equi-join per cell, the exact overlap predicate
+    is four comparisons, and duplicate pair reports are eliminated WITHOUT
+    a distinct by the REFERENCE-POINT rule: a surviving pair is emitted
+    only by the single cell containing the intersection's min corner
+    (``floor(max(min_lon_l, min_lon_r)/eps)`` etc.) — a codegen'd filter,
+    zero extra shuffle, so the join output needs no dedup pass at any
+    scale.
+
+    Both inputs must be plain (non-antimeridian-wrapped) boxes:
+    ``min_lon <= max_lon``; wrapped boxes raise downstream-visible garbage,
+    so split them upstream (the PIP cover's wrap handling shows how).
+    Columns: each side needs ``min_lat, max_lat, min_lon, max_lon`` plus
+    its id; output carries both ids and both boxes with ``suffix``."""
+    if cell_deg <= 0:
+        raise ValueError(f"cell_deg must be > 0, got {cell_deg}")
+    eps = float(cell_deg)
+    sl, sr = suffix
+
+    def keyed(df: DataFrame, idc: str, sfx: str) -> DataFrame:
+        cx = F.explode(
+            F.sequence(
+                F.floor(F.col("min_lon") / eps).cast("long"),
+                F.floor(F.col("max_lon") / eps).cast("long"),
+            )
+        ).alias("cx")
+        d = df.select(
+            F.col(idc),
+            F.col("min_lat").alias(f"min_lat{sfx}"),
+            F.col("max_lat").alias(f"max_lat{sfx}"),
+            F.col("min_lon").alias(f"min_lon{sfx}"),
+            F.col("max_lon").alias(f"max_lon{sfx}"),
+            cx,
+        )
+        cy = F.explode(
+            F.sequence(
+                F.floor(F.col(f"min_lat{sfx}") / eps).cast("long"),
+                F.floor(F.col(f"max_lat{sfx}") / eps).cast("long"),
+            )
+        ).alias("cy")
+        return d.select("*", cy)
+
+    lk = keyed(left, left_id, sl)
+    rk = keyed(right, right_id, sr)
+    cand = lk.join(rk, ["cx", "cy"])
+    overlap = (
+        (F.col(f"min_lat{sl}") <= F.col(f"max_lat{sr}"))
+        & (F.col(f"min_lat{sr}") <= F.col(f"max_lat{sl}"))
+        & (F.col(f"min_lon{sl}") <= F.col(f"max_lon{sr}"))
+        & (F.col(f"min_lon{sr}") <= F.col(f"max_lon{sl}"))
+    )
+    ref_x = F.floor(
+        F.greatest(F.col(f"min_lon{sl}"), F.col(f"min_lon{sr}")) / eps
+    ).cast("long")
+    ref_y = F.floor(
+        F.greatest(F.col(f"min_lat{sl}"), F.col(f"min_lat{sr}")) / eps
+    ).cast("long")
+    return cand.filter(
+        overlap & (F.col("cx") == ref_x) & (F.col("cy") == ref_y)
+    ).drop("cx", "cy")

@@ -3192,6 +3192,46 @@ group by 1
 """
 
 
+def q_osm_bbox_overlaps(spark, sf_dir):
+    """Rect×rect intersection join (bbox_intersection_join): which
+    way-polygon bboxes overlap which multipolygon bboxes — the 2-D
+    interval-overlap join category (PBSM spatial-hash join with
+    reference-point dedup: no distinct anywhere, each surviving pair is
+    emitted by exactly ONE grid cell). Wrapped-longitude multipolygon
+    bboxes (the antimeridian fixture) are filtered on both engines — the
+    operator's documented plain-box contract. The n_overlaps +
+    sum-of-way-ids digest pins the exact pair set."""
+    polys = _way_polygons(spark, sf_dir).select(
+        F.col("id").alias("way_id"), "min_lat", "max_lat", "min_lon", "max_lon"
+    )
+    mps = (
+        _multipolygons(spark, sf_dir)
+        .filter(F.col("min_lon") <= F.col("max_lon"))
+        .select(
+            F.col("id").alias("mp_id"), "min_lat", "max_lat", "min_lon", "max_lon"
+        )
+    )
+    pairs = SJ.bbox_intersection_join(
+        polys, mps, left_id="way_id", right_id="mp_id", cell_deg=1.0
+    )
+    return pairs.groupBy("mp_id").agg(
+        F.count("*").alias("n_overlaps"),
+        F.sum("way_id").alias("way_id_digest"),
+    )
+
+
+def _sql_osm_bbox_overlaps() -> str:
+    return f"""
+select b.id as mp_id, count(*) as n_overlaps, sum(a.id) as way_id_digest
+from read_parquet('{_ofx("truth/polygons.parquet")}') a
+join read_parquet('{_ofx("truth/multipolygons.parquet")}') b
+  on a.min_lat <= b.max_lat and b.min_lat <= a.max_lat
+ and a.min_lon <= b.max_lon and b.min_lon <= a.max_lon
+where b.min_lon <= b.max_lon
+group by 1
+"""
+
+
 HOTSPOT_ZOOM = 6  # ~1350 observed tiles at sf0.01, hottest holds ~830 pages
 
 
@@ -4347,4 +4387,12 @@ def registry() -> dict[str, tuple]:
         # certifies in-window; only the final scoring arithmetic differs, and
         # it is oracle-pinned here
         "doc_tfidf_terms": (q_doc_tfidf_terms, _sql_ranked_terms("tfidf")),
+        # tail by design: the rect×rect interval-overlap PREDICATE and the
+        # bbox columns it runs on are the in-window PIP queries' bbox
+        # prefilter (identical BETWEEN semantics over the same
+        # truth-parquet boxes); what is new — the PBSM cell cover +
+        # reference-point dedup — is exactly what the naive-interval-join
+        # oracle here falsifies (a duplicate or lost pair breaks the
+        # count/digest), plus a dedicated unit-test battery
+        "osm_bbox_overlaps": (q_osm_bbox_overlaps, _sql_osm_bbox_overlaps()),
     }

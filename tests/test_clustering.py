@@ -158,3 +158,99 @@ def test_jvm_only_plan(spark):
         _pts(spark, rows), eps_deg=1.0, min_pts=3
     )._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+# ---------------------------------------------------------------------------
+# bbox_intersection_join (operators/spatial_join.py) — grid-cover rect join
+# with reference-point dedup; exactness pinned against a naive cross join
+# ---------------------------------------------------------------------------
+from openstreetmapio_jl_spark.operators import spatial_join as SJ
+
+
+def _rects(spark, rows, idc):
+    return spark.createDataFrame(
+        rows, f"{idc} long, min_lat double, max_lat double, min_lon double, max_lon double"
+    )
+
+
+def _naive_pairs(lrows, rrows):
+    out = set()
+    for lid, lminy, lmaxy, lminx, lmaxx in lrows:
+        for rid, rminy, rmaxy, rminx, rmaxx in rrows:
+            if (
+                lminy <= rmaxy and rminy <= lmaxy
+                and lminx <= rmaxx and rminx <= lmaxx
+            ):
+                out.add((lid, rid))
+    return out
+
+
+def test_bbox_join_exact_pairs_and_touching_edges(spark):
+    left = [
+        (1, 0.0, 2.0, 0.0, 2.0),
+        (2, 10.0, 11.0, 10.0, 11.0),
+        (3, -5.0, -4.0, -5.0, -4.0),
+    ]
+    right = [
+        (10, 1.0, 3.0, 1.0, 3.0),    # overlaps 1
+        (11, 2.0, 4.0, 2.0, 4.0),    # TOUCHES 1 at the corner (closed edges)
+        (12, 50.0, 51.0, 50.0, 51.0),  # disjoint
+    ]
+    got = {
+        (r.left_id, r.right_id)
+        for r in SJ.bbox_intersection_join(
+            _rects(spark, left, "left_id"), _rects(spark, right, "right_id")
+        ).collect()
+    }
+    assert got == _naive_pairs(left, right) == {(1, 10), (1, 11)}
+
+
+def test_bbox_join_no_duplicates_across_cells(spark):
+    # boxes spanning MANY 1-degree cells: every surviving pair must appear
+    # exactly once (reference-point dedup), matching the naive join
+    left = [(1, 0.0, 7.5, 0.0, 9.5), (2, -3.5, 3.5, -3.5, 3.5)]
+    right = [(10, 5.0, 12.0, 5.0, 12.0), (11, -1.0, 1.0, -20.0, 20.0)]
+    rows = SJ.bbox_intersection_join(
+        _rects(spark, left, "left_id"), _rects(spark, right, "right_id")
+    ).collect()
+    pairs = [(r.left_id, r.right_id) for r in rows]
+    assert len(pairs) == len(set(pairs))  # no dup reports
+    assert set(pairs) == _naive_pairs(left, right)
+
+
+def test_bbox_join_cell_size_invariance(spark):
+    import hashlib
+
+    def h(i, lo, hi):
+        v = int(hashlib.md5(f"{i}".encode()).hexdigest()[:6], 16)
+        return lo + (v % 1000) / 1000.0 * (hi - lo)
+
+    left = [
+        (i, h(i, -10, 10), h(i, -10, 10) + h(i + 500, 0.1, 6), h(i + 1000, -10, 10),
+         h(i + 1000, -10, 10) + h(i + 1500, 0.1, 6))
+        for i in range(40)
+    ]
+    right = [
+        (i, h(i + 7, -10, 10), h(i + 7, -10, 10) + h(i + 777, 0.1, 6),
+         h(i + 70, -10, 10), h(i + 70, -10, 10) + h(i + 7000, 0.1, 6))
+        for i in range(40)
+    ]
+    want = _naive_pairs(left, right)
+    for eps in (0.5, 1.0, 5.0):
+        got = {
+            (r.left_id, r.right_id)
+            for r in SJ.bbox_intersection_join(
+                _rects(spark, left, "left_id"),
+                _rects(spark, right, "right_id"),
+                cell_deg=eps,
+            ).collect()
+        }
+        assert got == want, eps
+
+
+def test_bbox_join_validation(spark):
+    import pytest as _pt
+
+    df = _rects(spark, [(1, 0.0, 1.0, 0.0, 1.0)], "left_id")
+    with _pt.raises(ValueError, match="cell_deg"):
+        SJ.bbox_intersection_join(df, df, cell_deg=0)
