@@ -172,3 +172,94 @@ def knn_join(
     for part in resolved_parts[1:]:
         out = out.unionByName(part)
     return out
+
+
+IDW_W_SCALE = 1e12  # weight scaling before the per-term DECIMAL rounding
+
+
+def idw_interpolate(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    value_col: str,
+    k: int = 3,
+    power: int = 2,
+    eps_m: float = 1.0,
+    round_dp: int = 6,
+    zoom: int = 12,
+    query_id: str = "query_id",
+    corpus_id: str = "id",
+    max_rounds: int = 5,
+    handles: list | None = None,
+) -> DataFrame:
+    """Inverse-distance-weighted interpolation (Shepard's method, public
+    textbook form) of ``corpus.value_col`` at each query point:
+    ``est = Σ v_j·w_j / Σ w_j`` over the k nearest neighbors, with
+    ``w = S/(d+eps)^power`` — the spatial-interpolation operator composed
+    from the cell-ring expanding :func:`knn_join` (candidate generation is
+    the certified kNN path; this adds only the weighted aggregate).
+
+    Determinism across engines and partitionings, the registry bar:
+
+    - the haversine distance is QUANTIZED to whole meters first
+      (``round(dist_m)→BIGINT``): raw libm-built doubles may differ between
+      engines in the last ulps, and a weight computed from them would wobble
+      in its low decimals; integer meters are exact on both sides, so every
+      arithmetic step after the quantization is IEEE ops on equal inputs —
+      bit-equal weights (meter resolution is far inside the operator's
+      accuracy envelope; geodesic distances are themselves only ~0.5%
+      spherical-model-true);
+    - ``power`` must be a small positive INTEGER — the weight denominator is
+      built by repeated IEEE multiplication, never libm ``pow`` (whose
+      rounding may differ between engines);
+    - each term ``v·w`` and each weight is rounded → DECIMAL BEFORE the sum
+      (decimal addition is exact and order-independent — the BM25 summation
+      discipline); weights are pre-scaled by ``S = 1e12`` so meter-scale
+      distances keep ≥6 significant digits through the rounding;
+    - the final estimate is ONE double division + round of identical
+      decimal sums.
+
+    ``eps_m`` guards the zero-distance singularity (a query sitting exactly
+    on a corpus point): with the default 1 m, a coincident neighbor gets
+    weight S/1 and dominates smoothly instead of dividing by zero.
+
+    Returns ``(query_id, n_neighbors, est)``; queries with no neighbor in
+    range produce no row (nothing to interpolate from)."""
+    if not (isinstance(power, int) and 1 <= power <= 4):
+        raise ValueError(f"power must be an integer in [1, 4], got {power}")
+    if eps_m <= 0:
+        raise ValueError(f"eps_m must be > 0, got {eps_m}")
+    nn = knn_join(
+        queries,
+        corpus,
+        k,
+        zoom=zoom,
+        query_id=query_id,
+        corpus_id=corpus_id,
+        max_rounds=max_rounds,
+        handles=handles,
+    )
+    vals = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    d = F.round(F.col("dist_m"), 0).cast("long").cast("double") + F.lit(
+        float(eps_m)
+    )
+    denom = d
+    for _ in range(power - 1):
+        denom = denom * d
+    w = F.lit(IDW_W_SCALE) / denom
+    dec = f"decimal(38,{round_dp})"
+    joined = nn.join(vals, "neighbor_id").select(
+        query_id,
+        F.round(w, round_dp).cast(dec).alias("_w"),
+        F.round(w * F.col("_v"), round_dp).cast(dec).alias("_wv"),
+    )
+    est = F.round(
+        F.sum("_wv").cast("double") / F.sum("_w").cast("double"), round_dp
+    )
+    return joined.groupBy(query_id).agg(
+        F.count("*").cast("int").alias("n_neighbors"),
+        est.cast(f"decimal(18,{round_dp})").alias("est"),
+    )

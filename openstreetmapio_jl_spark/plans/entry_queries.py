@@ -3383,6 +3383,70 @@ qualify rank <= 3
 """
 
 
+def q_knn_idw_value(spark, sf_dir):
+    """IDW spatial interpolation (Shepard) at the 20 knn_pages_to_poi query
+    points: estimate a deterministic synthetic POI measurement (id % 1000)
+    from the 3 nearest amenity nodes, weights S/(d+1)² over WHOLE-METER
+    quantized distances. Candidate generation is line-for-line the
+    in-window-certified knn path; the oracle falsifies the weighting tail:
+    per-term decimal rounding before the sum makes the estimate
+    order-independent, and the integer-meter quantization makes the weights
+    bit-equal cross-engine (raw libm haversine doubles may differ in final
+    ulps)."""
+    b, paths = _osm(spark, sf_dir)
+    pages = spark.read.parquet(paths["pages"])
+    pts = geocode.extract_geocodes(pages)
+    queries = (
+        pts.orderBy("url").limit(20).select(F.col("url").alias("query_id"), "lat", "lon")
+    )
+    poi = b.nodes.filter(F.col("tags")["amenity"].isNotNull()).select(
+        "id", "lat", "lon", (F.col("id") % 1000).cast("double").alias("v")
+    )
+    return knn.idw_interpolate(
+        queries, poi, value_col="v", k=3, power=2, zoom=12, max_rounds=3
+    )
+
+
+def _sql_knn_idw() -> str:
+    dist = geo.haversine_m_sql("q.plat", "q.plon", "c.lat", "c.lon")
+    return f"""
+with g as (
+  select url,
+    cast(regexp_extract(text, '{geocode.GEO_RE}', 1) as double) as plat,
+    cast(regexp_extract(text, '{geocode.GEO_RE}', 2) as double) as plon
+  from read_parquet('{_ofx("pages.parquet")}')
+  where regexp_extract(text, '{geocode.GEO_RE}', 1) != ''
+    and cast(regexp_extract(text, '{geocode.GEO_RE}', 1) as double) between -90 and 90
+    and cast(regexp_extract(text, '{geocode.GEO_RE}', 2) as double) between -180 and 180
+),
+q as (select url as query_id, plat, plon from g order by url limit 20),
+c as (
+  select id, lat, lon, cast(id % 1000 as double) as v
+  from read_parquet('{_ofx("truth/nodes.parquet")}')
+  where len(element_at(tags, 'amenity')) > 0
+),
+nn as (
+  select query_id, v,
+    cast(round({dist}, 0) as bigint) as dm,
+    row_number() over (partition by query_id order by {dist}, c.id) as rank
+  from q cross join c
+  qualify rank <= 3
+),
+t as (
+  select query_id,
+    cast(round(1e12 / ((cast(dm as double) + 1.0) * (cast(dm as double) + 1.0)), 6)
+         as decimal(38,6)) as w,
+    cast(round((1e12 / ((cast(dm as double) + 1.0) * (cast(dm as double) + 1.0))) * v, 6)
+         as decimal(38,6)) as wv
+  from nn
+)
+select query_id, cast(count(*) as int) as n_neighbors,
+  cast(round(cast(sum(wv) as double) / cast(sum(w) as double), 6)
+       as decimal(18,6)) as est
+from t group by 1
+"""
+
+
 def q_tile_pyramid(spark, sf_dir):
     """Raster rollup z13 → z11 (engine: hierarchical parent agg; oracle: direct
     formula at z11 — equal because floor(floor(a·2^13)/4) == floor(a·2^11))."""
@@ -4395,4 +4459,11 @@ def registry() -> dict[str, tuple]:
         # oracle here falsifies (a duplicate or lost pair breaks the
         # count/digest), plus a dedicated unit-test battery
         "osm_bbox_overlaps": (q_osm_bbox_overlaps, _sql_osm_bbox_overlaps()),
+        # tail by design: IDW interpolation's candidate generation is
+        # line-for-line the cell-ring kNN path knn_pages_to_poi certifies
+        # in-window (same queries, same POI corpus, same k/zoom/rounds);
+        # what is new — integer-meter weight quantization + decimal-exact
+        # Shepard summation — is exactly what this naive-kNN oracle
+        # falsifies
+        "knn_idw_value": (q_knn_idw_value, _sql_knn_idw()),
     }

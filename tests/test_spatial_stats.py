@@ -121,3 +121,100 @@ def test_jvm_only_plan(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+# ---------------------------------------------------------------------------
+# IDW interpolation (operators/knn.py) — Shepard weighting over the kNN path
+# ---------------------------------------------------------------------------
+from decimal import Decimal
+
+from openstreetmapio_jl_spark.operators import knn as K
+
+
+def _pts_df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def _idw_replica(nn_rows, values, power=2, eps=1.0, dp=6):
+    """Python replica of the documented arithmetic: integer-meter quantize,
+    scaled weights, per-term Decimal rounding, exact Decimal sums."""
+    by_q = {}
+    for r in nn_rows:
+        dm = round(r.dist_m)  # python round = banker's; near-.5 not present
+        d = float(dm) + eps
+        w = 1e12 / (d ** power if power != 2 else d * d)
+        v = values[r.neighbor_id]
+        by_q.setdefault(r.query_id, []).append(
+            (
+                Decimal(str(round(w, dp))),
+                Decimal(str(round(w * v, dp))),
+            )
+        )
+    out = {}
+    for q, terms in by_q.items():
+        sw = sum(t[0] for t in terms)
+        swv = sum(t[1] for t in terms)
+        out[q] = (len(terms), round(float(swv) / float(sw), dp))
+    return out
+
+
+def test_idw_matches_replica(spark):
+    queries = _pts_df(
+        spark,
+        [("q1", 50.0, 8.0), ("q2", 50.01, 8.02)],
+        "query_id string, lat double, lon double",
+    )
+    corpus = _pts_df(
+        spark,
+        [
+            (1, 50.001, 8.001, 100.0),
+            (2, 50.005, 8.01, 200.0),
+            (3, 50.02, 8.03, 50.0),
+            (4, 52.0, 10.0, 999.0),  # far — never in top-3 of either query
+        ],
+        "id long, lat double, lon double, v double",
+    )
+    nn = K.knn_join(queries, corpus, 3, zoom=12, max_rounds=5).collect()
+    want = _idw_replica(nn, {1: 100.0, 2: 200.0, 3: 50.0, 4: 999.0})
+    got = {
+        r.query_id: (r.n_neighbors, float(r.est))
+        for r in K.idw_interpolate(
+            queries, corpus, value_col="v", k=3, zoom=12
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for q in want:
+        assert got[q][0] == want[q][0]
+        assert abs(got[q][1] - want[q][1]) <= 1e-6, (q, got[q], want[q])
+
+
+def test_idw_coincident_point_dominates(spark):
+    # a corpus point exactly at the query: weight S/1 dwarfs everything ->
+    # estimate pulled overwhelmingly to its value
+    queries = _pts_df(
+        spark, [("q", 50.0, 8.0)], "query_id string, lat double, lon double"
+    )
+    corpus = _pts_df(
+        spark,
+        [(1, 50.0, 8.0, 42.0), (2, 50.01, 8.01, 1000.0), (3, 50.02, 8.02, 1000.0)],
+        "id long, lat double, lon double, v double",
+    )
+    out = K.idw_interpolate(queries, corpus, value_col="v", k=3, zoom=12).collect()
+    assert len(out) == 1 and abs(float(out[0].est) - 42.0) < 0.01
+
+
+def test_idw_validation(spark):
+    import pytest as _pt
+
+    df = _pts_df(
+        spark, [("q", 50.0, 8.0)], "query_id string, lat double, lon double"
+    )
+    c = _pts_df(
+        spark, [(1, 50.0, 8.0, 1.0)], "id long, lat double, lon double, v double"
+    )
+    with _pt.raises(ValueError, match="power"):
+        K.idw_interpolate(df, c, value_col="v", power=0)
+    with _pt.raises(ValueError, match="power"):
+        K.idw_interpolate(df, c, value_col="v", power=2.5)
+    with _pt.raises(ValueError, match="eps_m"):
+        K.idw_interpolate(df, c, value_col="v", eps_m=0.0)
