@@ -3447,6 +3447,64 @@ from t group by 1
 """
 
 
+def q_osm_page_density(spark, sf_dir):
+    """Pages per km² per polygon — the analytic the whole engine exists to
+    serve, composed from two in-window-certified pillars: the flagship PIP
+    join (hit counts per polygon) ⋈ the geodesic shoelace area (per-polygon
+    km²). Only the join + ratio is new: area rounds → DECIMAL before the
+    division (the proven cross-engine tolerance of osm_polygon_areas), and
+    the density is one double division + round of equal inputs."""
+    _b, paths = _osm(spark, sf_dir)
+    polys = _way_polygons(spark, sf_dir)
+    pages = spark.read.parquet(paths["pages"])
+    pts = geocode.pages_with_cells(pages, zoom=ZOOM)
+    hits = SJ.point_in_polygon_join(
+        pts.select("url", "lat", "lon"), polys, zoom=ZOOM, nsalt=16, salt_id_col="url"
+    )
+    per_poly = hits.groupBy("polygon_id").agg(F.count("*").alias("n_hits"))
+    area_m2 = geo.polygon_area_m2_col(
+        F.col("edges"), F.col("min_lat"), F.col("max_lat"), F.col("min_lon")
+    )
+    areas = polys.select(
+        F.col("id").alias("polygon_id"),
+        F.round(area_m2 / 1e6, 4).cast(_DEC).alias("area_km2"),
+    )
+    return per_poly.join(areas, "polygon_id").select(
+        "polygon_id",
+        "n_hits",
+        "area_km2",
+        F.round(F.col("n_hits") / F.col("area_km2").cast("double"), 4)
+        .cast(_DEC)
+        .alias("pages_per_km2"),
+    )
+
+
+def _sql_osm_page_density() -> str:
+    return f"""
+with hits as (select * from ({_sql_pip()})),
+p as (
+  select id, edges, min_lat, max_lat, min_lon
+  from read_parquet('{_ofx("truth/polygons.parquet")}')
+), sh as (
+  select id,
+         sum((ed.x1 - min_lon) * (ed.y2 - min_lat)
+             - (ed.x2 - min_lon) * (ed.y1 - min_lat)) as s2
+  from (select id, min_lat, min_lon, unnest(edges) as ed from p) t
+  group by id
+), a as (
+  select p.id as polygon_id,
+         cast(round(abs(sh.s2) / 2 * {geo.M2_PER_DEG2!r}
+           * cos(radians((p.min_lat + p.max_lat) / 2)) / 1e6, 4)
+           as decimal(18,4)) as area_km2
+  from p join sh using (id)
+)
+select polygon_id, n_hits, area_km2,
+  cast(round(n_hits / cast(area_km2 as double), 4) as decimal(18,4))
+    as pages_per_km2
+from hits join a using (polygon_id)
+"""
+
+
 def q_tile_pyramid(spark, sf_dir):
     """Raster rollup z13 → z11 (engine: hierarchical parent agg; oracle: direct
     formula at z11 — equal because floor(floor(a·2^13)/4) == floor(a·2^11))."""
@@ -4466,4 +4524,10 @@ def registry() -> dict[str, tuple]:
         # Shepard summation — is exactly what this naive-kNN oracle
         # falsifies
         "knn_idw_value": (q_knn_idw_value, _sql_knn_idw()),
+        # tail by design: pages-per-km² COMPOSES two in-window pillars — the
+        # flagship PIP hit counts (pip_hits_per_polygon, identical call) and
+        # the geodesic shoelace area (osm_polygon_areas' expression); only
+        # the join + ratio is new, and the oracle (the pip SQL nested as a
+        # CTE ⋈ the area SQL) falsifies exactly that
+        "osm_page_density": (q_osm_page_density, _sql_osm_page_density()),
     }
