@@ -254,3 +254,18 @@ def test_bbox_join_validation(spark):
     df = _rects(spark, [(1, 0.0, 1.0, 0.0, 1.0)], "left_id")
     with _pt.raises(ValueError, match="cell_deg"):
         SJ.bbox_intersection_join(df, df, cell_deg=0)
+
+
+def test_bbox_join_plan_has_no_dedup_operator(spark):
+    # the reference-point rule replaces the distinct: the physical plan must
+    # contain NO deduplication operator (and no Python)
+    left = _rects(spark, [(1, 0.0, 7.5, 0.0, 9.5)], "left_id")
+    right = _rects(spark, [(10, 5.0, 12.0, 5.0, 12.0)], "right_id")
+    plan = (
+        SJ.bbox_intersection_join(left, right)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Deduplicate" not in plan and "Distinct" not in plan
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan

@@ -61,6 +61,9 @@ HEADLINE_BATCH = [
     "geo_tile_hotspots",         # round-5 Getis-Ord Gi* hotspot statistics
     "doc_lang_rebalance",        # round-5 stratified corpus rebalancing
     "doc_len_hdr_quantiles",     # round-5 HDR quantile sketch
+    "osm_bbox_overlaps",         # round-5 rect-rect bbox join (tail)
+    "knn_idw_value",             # round-5 IDW interpolation (tail)
+    "osm_page_density",          # round-5 density composition (tail)
 ]
 
 
