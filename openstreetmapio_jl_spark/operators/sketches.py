@@ -275,3 +275,135 @@ def hdr_quantile_sketch(
     """One-shot convenience: buckets + quantile walk."""
     b = hdr_buckets(df, value_col, group_cols, k=k)
     return hdr_quantiles(b, qs, group_cols, k=k)
+
+
+# ===========================================================================
+# Bloom membership filter — the third mergeable sketch next to HLL
+# (cardinality) and HDR (quantiles): set membership in bounded space.
+# The 100-TB pattern: build the filter over a key corpus ONCE (it is just a
+# (word, bits) table, OR-mergeable per partition / per day), then probe an
+# incoming batch with a words-sized join — the corpus itself is never
+# rescanned for a membership question. Spark's own runtime bloom filters
+# (AQE injected) use engine-private hashes; this one is md5-based
+# Kirsch-Mitzenmacher double hashing (the same public construction the
+# MinHash stack uses), pure integer bit math, so the filter WORDS are
+# bit-identical cross-engine and a DuckDB oracle can rebuild and probe the
+# identical filter. Words are 32-bit (stored in BIGINT) so no set bit ever
+# touches the sign bit.
+# ===========================================================================
+
+BLOOM_M_DEFAULT = 1 << 16  # bits; ~8 KiB of words
+BLOOM_K_DEFAULT = 5  # hash functions
+
+
+def _bloom_positions(value, m: int, k: int):
+    """→ array of k bit positions for ``value`` (may contain repeats —
+    consumers aggregate per word, which handles collisions naturally):
+    h_i = (h1 + i·h2) mod m over the two md5 60-bit halves."""
+    s = F.md5(value.cast("string"))
+    h1 = F.conv(F.substring(s, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(s, 17, 15), 16, 10).cast("long")
+    return F.array(
+        *[F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)]
+    )
+
+
+def _check_bloom_params(m: int, k: int) -> None:
+    if not (64 <= m <= (1 << 30) and m % 32 == 0):
+        raise ValueError(f"m must be a multiple of 32 in [64, 2^30], got {m}")
+    if not 1 <= k <= 16:
+        raise ValueError(f"k must be in [1, 16], got {k}")
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    *,
+    m: int = BLOOM_M_DEFAULT,
+    k: int = BLOOM_K_DEFAULT,
+) -> DataFrame:
+    """→ ``(*group_cols, word, bits)``: the filter — per group, the OR of
+    all set bits in each 32-bit word (word = pos div 32). Map-side-combined
+    BIT_OR: at most m/32 rows per group ever shuffle, regardless of input
+    size. NULL values are skipped."""
+    _check_bloom_params(m, k)
+    v = F.col(value_col)
+    pos = df.filter(v.isNotNull()).select(
+        *group_cols, F.explode(_bloom_positions(v, m, k)).alias("p")
+    )
+    return (
+        pos.select(
+            *group_cols,
+            (F.col("p") / 32).cast("long").alias("word"),
+            (F.col("p") % 32).cast("int").alias("b"),
+        )
+        .select(
+            *group_cols,
+            "word",
+            F.expr("shiftleft(cast(1 as bigint), b)").alias("bit"),
+        )
+        .groupBy(*group_cols, "word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
+def bloom_merge(
+    a: DataFrame, b: DataFrame, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Union two filters (same m, k!): per-word BIT_OR.
+    bloom(A) ⊕ bloom(B) == bloom(A ∪ B) EXACTLY (test-pinned)."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+
+
+def bloom_probe(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    *,
+    probe_id: str,
+    m: int = BLOOM_M_DEFAULT,
+    k: int = BLOOM_K_DEFAULT,
+) -> DataFrame:
+    """→ probes + ``might_contain``: true iff EVERY one of the value's k
+    bits is set (no false negatives by construction; false-positive rate is
+    the standard (1-e^{-kn/m})^k). The probe is a words-sized LEFT join:
+    per probe value, its needed bits collapse to one mask per touched word
+    (≤ k rows), each word checked with one AND — the sketch side is ≤ m/32
+    rows, broadcastable at any corpus size."""
+    _check_bloom_params(m, k)
+    v = F.col(value_col)
+    need = (
+        probes.select(
+            F.col(probe_id).alias("_pid"),
+            F.explode(_bloom_positions(v, m, k)).alias("p"),
+        )
+        .select(
+            "_pid",
+            (F.col("p") / 32).cast("long").alias("word"),
+            (F.col("p") % 32).cast("int").alias("b"),
+        )
+        .select("_pid", "word", F.expr("shiftleft(cast(1 as bigint), b)").alias("bit"))
+        .groupBy("_pid", "word")
+        .agg(F.bit_or("bit").alias("mask"))
+    )
+    checked = need.join(F.broadcast(sketch), "word", "left").select(
+        "_pid",
+        (
+            F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("mask"))
+            == F.col("mask")
+        ).alias("ok"),
+    )
+    verdict = checked.groupBy("_pid").agg(
+        F.min(F.col("ok").cast("int")).alias("_all_ok")
+    )
+    return probes.join(
+        verdict, probes[probe_id] == verdict["_pid"], "left"
+    ).select(
+        *probes.columns,
+        (F.coalesce(F.col("_all_ok"), F.lit(0)) == 1).alias("might_contain"),
+    )

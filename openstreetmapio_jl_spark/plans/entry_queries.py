@@ -416,6 +416,76 @@ from (select lang, 512 - nonempty as v,
 """
 
 
+def q_doc_bloom_probe(spark, sf_dir):
+    """Bloom membership filter round-trip: build the filter over every
+    doc_id, probe with a deterministic mixed set (every 50th doc_id as a
+    member, the same ids +10^8 as non-members) — no false negatives by
+    construction; the filter WORDS are bit-identical cross-engine (md5
+    Kirsch-Mitzenmacher double hashing, pure integer bit math, BIT_OR
+    merge), so the oracle rebuilds the identical filter and every verdict
+    matches exactly."""
+    d = _load(spark, sf_dir, "documents")
+    bloom = sketches.bloom_build(d, "doc_id")
+    members = d.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("probe_id"), F.lit(True).alias("is_member")
+    )
+    non = members.select(
+        (F.col("probe_id") + 100000000).alias("probe_id"),
+        F.lit(False).alias("is_member"),
+    )
+    probes = members.unionByName(non)
+    return sketches.bloom_probe(bloom, probes, "probe_id", probe_id="probe_id")
+
+
+def _sql_doc_bloom_probe() -> str:
+    from openstreetmapio_jl_spark.operators.sketches import (
+        BLOOM_K_DEFAULT,
+        BLOOM_M_DEFAULT,
+    )
+
+    m, k = BLOOM_M_DEFAULT, BLOOM_K_DEFAULT
+    idxs = ", ".join(str(i) for i in range(k))
+    return f"""
+with h as (
+  select ('0x' || substr(s, 1, 15))::bigint as h1,
+         ('0x' || substr(s, 17, 15))::bigint as h2
+  from (select md5(cast(doc_id as varchar)) as s from documents)
+),
+words as (
+  select p // 32 as word, bit_or(1::bigint << cast(p % 32 as int)) as bits
+  from (select (h1 + t.i * h2) % {m} as p
+        from h cross join unnest([{idxs}]) as t(i))
+  group by 1
+),
+probes as (
+  select doc_id as probe_id, true as is_member from documents
+  where doc_id % 50 = 0
+  union all
+  select doc_id + 100000000, false from documents where doc_id % 50 = 0
+),
+need as (
+  select probe_id, is_member, p // 32 as word,
+         bit_or(1::bigint << cast(p % 32 as int)) as mask
+  from (
+    select probe_id, is_member, (h1 + t.i * h2) % {m} as p
+    from (
+      select probe_id, is_member,
+        ('0x' || substr(s, 1, 15))::bigint as h1,
+        ('0x' || substr(s, 17, 15))::bigint as h2
+      from (select probe_id, is_member,
+              md5(cast(probe_id as varchar)) as s from probes)
+    ) cross join unnest([{idxs}]) as t(i)
+  )
+  group by 1, 2, 3
+)
+select probe_id, is_member,
+  min(case when (coalesce(w.bits, 0) & mask) = mask then 1 else 0 end) = 1
+    as might_contain
+from need left join words w using (word)
+group by 1, 2
+"""
+
+
 SEARCH_QUERY = "spark hash join dup"  # one rare term (dup) + three common
 
 
@@ -4530,4 +4600,12 @@ def registry() -> dict[str, tuple]:
         # the join + ratio is new, and the oracle (the pip SQL nested as a
         # CTE ⋈ the area SQL) falsifies exactly that
         "osm_page_density": (q_osm_page_density, _sql_osm_page_density()),
+        # tail by design: the Bloom filter rides the md5-prefix→conv hashing
+        # and pure-integer bit-math construction discipline doc_hll_distinct
+        # certifies in-window (engine-portable hash, bit ops, a mergeable
+        # aggregate — BIT_OR here, MAX there); what is bloom-specific — the
+        # double-hash positions, word/mask layout, all-bits-set verdict —
+        # is exactly what this oracle rebuilds and falsifies, with a
+        # no-false-negative membership truth column
+        "doc_bloom_probe": (q_doc_bloom_probe, _sql_doc_bloom_probe()),
     }

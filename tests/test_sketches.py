@@ -169,3 +169,70 @@ def test_hdr_bucket_rep_roundtrip_error(spark):
     ).collect()
     for r in out:
         assert abs(r.rep - r.x) / r.x <= 1 / 32, (r.x, r.rep)
+
+
+# ---------------------------------------------------------------------------
+# Bloom membership filter
+# ---------------------------------------------------------------------------
+from openstreetmapio_jl_spark.operators.sketches import (
+    bloom_build,
+    bloom_merge,
+    bloom_probe,
+)
+
+
+def _ids(spark, ids):
+    return spark.createDataFrame([(int(i),) for i in ids], "v long")
+
+
+def test_bloom_no_false_negatives(spark):
+    members = list(range(0, 2000, 3))
+    sk = bloom_build(_ids(spark, members), "v")
+    probes = _ids(spark, members).withColumnRenamed("v", "probe_id")
+    out = bloom_probe(sk, probes, "probe_id", probe_id="probe_id").collect()
+    assert len(out) == len(members)
+    assert all(r.might_contain for r in out)
+
+
+def test_bloom_fpr_within_theory_band(spark):
+    import math
+
+    n, m, k = 3000, 1 << 14, 5
+    members = list(range(n))
+    sk = bloom_build(_ids(spark, members), "v", m=m, k=k)
+    non = _ids(spark, range(10_000_000, 10_002_000)).withColumnRenamed(
+        "v", "probe_id"
+    )
+    out = bloom_probe(sk, non, "probe_id", probe_id="probe_id", m=m, k=k).collect()
+    fp = sum(1 for r in out if r.might_contain)
+    fpr = fp / len(out)
+    theory = (1.0 - math.exp(-k * n / m)) ** k  # ~0.012 at these params
+    assert fpr <= 4 * theory + 0.01, (fpr, theory)
+
+
+def test_bloom_merge_equals_union(spark):
+    a, b = list(range(0, 500)), list(range(400, 900))
+    sa = bloom_build(_ids(spark, a), "v")
+    sb = bloom_build(_ids(spark, b), "v")
+    merged = bloom_merge(sa, sb)
+    union = bloom_build(_ids(spark, sorted(set(a) | set(b))), "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, union.collect())
+    )
+
+
+def test_bloom_validation(spark):
+    import pytest as _pt
+
+    df = _ids(spark, [1])
+    with _pt.raises(ValueError, match="m must"):
+        bloom_build(df, "v", m=100)  # not a multiple of 32
+    with _pt.raises(ValueError, match="k must"):
+        bloom_build(df, "v", k=0)
+
+
+def test_bloom_empty_filter_rejects_everything(spark):
+    sk = bloom_build(_ids(spark, []), "v")
+    probes = _ids(spark, [1, 2, 3]).withColumnRenamed("v", "probe_id")
+    out = bloom_probe(sk, probes, "probe_id", probe_id="probe_id").collect()
+    assert len(out) == 3 and not any(r.might_contain for r in out)
