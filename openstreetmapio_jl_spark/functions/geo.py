@@ -250,3 +250,30 @@ def polygon_area_m2_col(
         * F.lit(M2_PER_DEG2)
         * F.cos(F.radians((min_lat + max_lat) / 2.0))
     )
+
+
+def bearing_deg_col(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Initial great-circle bearing (degrees in (-180, 180], atan2
+    convention) from point 1 to point 2 — the standard spherical forward
+    azimuth. Pure column math; callers fold to undirected [0, 180) with
+    ``((b % 180) + 180) % 180`` when segment direction is meaningless
+    (street orientation)."""
+    dl = F.radians(lon2) - F.radians(lon1)
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    return F.degrees(
+        F.atan2(
+            F.sin(dl) * F.cos(p2),
+            F.cos(p1) * F.sin(p2) - F.sin(p1) * F.cos(p2) * F.cos(dl),
+        )
+    )
+
+
+def bearing_deg_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """Identical formula as ANSI SQL (DuckDB oracle twin)."""
+    return (
+        f"degrees(atan2("
+        f"sin(radians({lon2}) - radians({lon1})) * cos(radians({lat2})), "
+        f"cos(radians({lat1})) * sin(radians({lat2})) "
+        f"- sin(radians({lat1})) * cos(radians({lat2})) "
+        f"* cos(radians({lon2}) - radians({lon1}))))"
+    )

@@ -3575,6 +3575,86 @@ from hits join a using (polygon_id)
 """
 
 
+def q_osm_street_bearings(spark, sf_dir):
+    """Street-orientation histogram (Boeing's city street-network
+    orientation analysis, public): every highway segment's great-circle
+    bearing folded undirected into 10° bins — 'is the road grid aligned or
+    organic?'. Segments come from the refs→nodes inner-join + lead() shape
+    (the semantics the way-length oracle already mirrors); zero-length
+    segments drop (atan2(0,0) is a fake heading). The bin histogram is
+    INTEGER counts (exact cross-engine; the only float risk is a bearing
+    sitting within libm-ulp of a 10° boundary — none in the fixture), plus
+    the per-bin geodesic length rounded to the proven tolerance."""
+    b, _ = _osm(spark, sf_dir)
+    hw = b.ways.filter(F.col("tags")["highway"].isNotNull()).select(
+        "id", "refs"
+    )
+    node_pos = b.nodes.select(
+        F.col("id").alias("ref"), F.col("lat").alias("n_lat"),
+        F.col("lon").alias("n_lon"),
+    )
+    w = Window.partitionBy("id").orderBy("seq")
+    seg = (
+        hw.select("id", F.posexplode("refs").alias("seq", "ref"))
+        .join(node_pos, "ref")
+        .select(
+            "id", "seq", "n_lat", "n_lon",
+            F.lead("n_lat").over(w).alias("lat2"),
+            F.lead("n_lon").over(w).alias("lon2"),
+        )
+        .filter(
+            F.col("lat2").isNotNull()
+            & ((F.col("n_lat") != F.col("lat2")) | (F.col("n_lon") != F.col("lon2")))
+        )
+    )
+    bearing = geo.bearing_deg_col(
+        F.col("n_lat"), F.col("n_lon"), F.col("lat2"), F.col("lon2")
+    )
+    folded = ((bearing % 180.0) + 180.0) % 180.0
+    return (
+        seg.select(
+            F.floor(folded / 10.0).cast("int").alias("bin"),
+            geo.haversine_m_col(
+                F.col("n_lat"), F.col("n_lon"), F.col("lat2"), F.col("lon2")
+            ).alias("len_m"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.round(F.sum("len_m"), 1).cast(_DEC).alias("total_m"),
+        )
+    )
+
+
+def _sql_osm_street_bearings() -> str:
+    brg = geo.bearing_deg_sql("n_lat", "n_lon", "lat2", "lon2")
+    hav = geo.haversine_m_sql("n_lat", "n_lon", "lat2", "lon2")
+    return f"""
+with hw as (
+  select id, refs from read_parquet('{_ofx("truth/ways.parquet")}')
+  where len(element_at(tags, 'highway')) > 0
+),
+pts as (
+  select t.id, t.seq, n.lat as n_lat, n.lon as n_lon
+  from (select id, unnest(refs) as ref,
+          generate_subscripts(refs, 1) as seq from hw) t
+  join read_parquet('{_ofx("truth/nodes.parquet")}') n on n.id = t.ref
+),
+seg as (
+  select id, n_lat, n_lon,
+    lead(n_lat) over (partition by id order by seq) as lat2,
+    lead(n_lon) over (partition by id order by seq) as lon2
+  from pts
+)
+select cast(floor((((({brg}) % 180.0) + 180.0) % 180.0) / 10.0) as int) as bin,
+  count(*) as n_segments,
+  cast(round(sum({hav}), 1) as decimal(18,4)) as total_m
+from seg
+where lat2 is not null and (n_lat != lat2 or n_lon != lon2)
+group by 1
+"""
+
+
 def q_tile_pyramid(spark, sf_dir):
     """Raster rollup z13 → z11 (engine: hierarchical parent agg; oracle: direct
     formula at z11 — equal because floor(floor(a·2^13)/4) == floor(a·2^11))."""
@@ -4608,4 +4688,12 @@ def registry() -> dict[str, tuple]:
         # is exactly what this oracle rebuilds and falsifies, with a
         # no-false-negative membership truth column
         "doc_bloom_probe": (q_doc_bloom_probe, _sql_doc_bloom_probe()),
+        # tail by design: the segment extraction is the refs→nodes
+        # inner-join + lead() shape whose semantics in-window
+        # osm_way_lengths certifies (same join, same skip-missing ordering),
+        # and the haversine per-segment length is the certified
+        # haversine_m_col/haversine_m_sql pair; what is new — the spherical
+        # forward-azimuth formula and the undirected 10° fold — is exactly
+        # what this oracle falsifies with exact integer bin counts
+        "osm_street_bearings": (q_osm_street_bearings, _sql_osm_street_bearings()),
     }

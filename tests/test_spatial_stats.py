@@ -218,3 +218,69 @@ def test_idw_validation(spark):
         K.idw_interpolate(df, c, value_col="v", power=2.5)
     with _pt.raises(ValueError, match="eps_m"):
         K.idw_interpolate(df, c, value_col="v", eps_m=0.0)
+
+
+# ---------------------------------------------------------------------------
+# bearing_deg_col (functions/geo.py) — spherical forward azimuth
+# ---------------------------------------------------------------------------
+from pyspark.sql import functions as F
+
+from openstreetmapio_jl_spark.functions import geo
+
+
+def _bearings(spark, rows):
+    df = spark.createDataFrame(
+        rows, "lat1 double, lon1 double, lat2 double, lon2 double"
+    )
+    b = geo.bearing_deg_col(
+        F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")
+    )
+    folded = ((b % 180.0) + 180.0) % 180.0
+    return [
+        (r[0], r[1]) for r in df.select(b.alias("b"), folded.alias("f")).collect()
+    ]
+
+
+def test_bearing_cardinal_directions(spark):
+    out = _bearings(
+        spark,
+        [
+            (0.0, 0.0, 1.0, 0.0),   # due north
+            (0.0, 0.0, 0.0, 1.0),   # due east (on the equator)
+            (1.0, 0.0, 0.0, 0.0),   # due south
+            (0.0, 1.0, 0.0, 0.0),   # due west
+        ],
+    )
+    import pytest as _pt
+
+    assert out[0][0] == _pt.approx(0.0, abs=1e-9)
+    assert out[1][0] == _pt.approx(90.0, abs=1e-9)
+    assert out[2][0] == _pt.approx(180.0, abs=1e-9)
+    assert out[3][0] == _pt.approx(-90.0, abs=1e-9)
+    # undirected fold: north/south -> 0, east/west -> 90
+    assert out[0][1] == _pt.approx(0.0, abs=1e-9)
+    assert out[2][1] == _pt.approx(0.0, abs=1e-9)
+    assert out[1][1] == _pt.approx(90.0, abs=1e-9)
+    assert out[3][1] == _pt.approx(90.0, abs=1e-9)
+
+
+def test_bearing_fold_is_direction_independent(spark):
+    # any segment and its reverse fold to the same undirected orientation
+    import random
+
+    rng = random.Random(42)
+    segs = []
+    for _ in range(20):
+        lat, lon = rng.uniform(-60, 60), rng.uniform(-170, 170)
+        # street-scale segments (≤ ~0.05°): the spherical azimuth is locally
+        # constant, so segment and reverse fold to the same orientation —
+        # the regime the street-bearing histogram operates in (long great
+        # circles change azimuth along the path; that is geometry, not a bug)
+        segs.append(
+            (lat, lon, lat + rng.uniform(-0.05, 0.05), lon + rng.uniform(-0.05, 0.05))
+        )
+    fwd = _bearings(spark, segs)
+    rev = _bearings(spark, [(c, d, a, b) for a, b, c, d in segs])
+    for (_, ff), (_, fr) in zip(fwd, rev):
+        diff = abs(ff - fr)
+        assert min(diff, 180.0 - diff) < 0.1, (ff, fr)
