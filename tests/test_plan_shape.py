@@ -64,6 +64,8 @@ HEADLINE_BATCH = [
     "osm_bbox_overlaps",         # round-5 rect-rect bbox join (tail)
     "knn_idw_value",             # round-5 IDW interpolation (tail)
     "osm_page_density",          # round-5 density composition (tail)
+    "doc_bloom_probe",           # round-5 Bloom membership filter (tail)
+    "osm_street_bearings",       # round-5 orientation histogram (tail)
 ]
 
 
