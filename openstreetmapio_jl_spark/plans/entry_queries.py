@@ -3210,7 +3210,12 @@ def q_geo_grid_clusters(spark, sf_dir):
     return clustering.grid_clusters(pts, eps_deg=0.75, min_pts=4)
 
 
-def _sql_geo_grid_clusters() -> str:
+def _sql_grid_prefix() -> str:
+    """Shared recursive-CTE prefix of the grid-clustering oracles — ONE text
+    used by geo_grid_clusters AND geo_cluster_topics so the cell/adjacency/
+    label mirror cannot drift between them (the _SQL_TERM_STATS pattern).
+    Defines: pts (url, text, plat, plon, cell), core (cell aggregates),
+    e (8-adjacency edges), reach (recursive closure), lbl (cell→cluster)."""
     from openstreetmapio_jl_spark.operators.clustering import (
         _NEIGHBOR_DELTAS,
         GRID_OFF,
@@ -3220,23 +3225,24 @@ def _sql_geo_grid_clusters() -> str:
     deltas = ", ".join(str(d) for d in _NEIGHBOR_DELTAS)
     return f"""
 with recursive g as (
-  select
+  select url, text,
     cast(regexp_extract(text, '{geocode.GEO_RE}', 1) as double) as plat,
     cast(regexp_extract(text, '{geocode.GEO_RE}', 2) as double) as plon
   from read_parquet('{_ofx("pages.parquet")}')
   where regexp_extract(text, '{geocode.GEO_RE}', 1) != ''
 ),
+pts as (
+  select url, text, plat, plon,
+    (cast(floor(plon / 0.75) as bigint) + {GRID_OFF}) * {GRID_SPAN}
+      + (cast(floor(plat / 0.75) as bigint) + {GRID_OFF}) as cell
+  from g
+  where plat between -90 and 90 and plon between -180 and 180
+),
 core as (
   select cell, count(*) as n_pts,
     sum(cast(round(plat * 1e7, 0) as bigint)) as sum_lat7,
     sum(cast(round(plon * 1e7, 0) as bigint)) as sum_lon7
-  from (
-    select plat, plon,
-      (cast(floor(plon / 0.75) as bigint) + {GRID_OFF}) * {GRID_SPAN}
-        + (cast(floor(plat / 0.75) as bigint) + {GRID_OFF}) as cell
-    from g
-    where plat between -90 and 90 and plon between -180 and 180
-  ) group by 1 having count(*) >= 4
+  from pts group by 1 having count(*) >= 4
 ),
 e as (
   select a.cell as src, b.cell as dst
@@ -3249,7 +3255,11 @@ reach(root, cell) as (
   union
   select r.root, e.dst from reach r join e on e.src = r.cell
 ),
-lbl as (select cell, min(root) as cluster from reach group by 1)
+lbl as (select cell, min(root) as cluster from reach group by 1)"""
+
+
+def _sql_geo_grid_clusters() -> str:
+    return f"""{_sql_grid_prefix()}
 select cluster as cluster_id,
   cast(count(*) as int) as n_cells,
   cast(sum(n_pts) as bigint) as n_points,
@@ -3259,6 +3269,76 @@ select cluster as cluster_id,
        as decimal(18,6)) as avg_lon
 from core join lbl using (cell)
 group by 1
+"""
+
+
+def q_geo_cluster_topics(spark, sf_dir):
+    """Cross-pillar capstone: WHAT is each dense geographic region talking
+    about? cluster_points assigns every geocoded page to its grid-density
+    cluster (the geo_grid_clusters surface), then per-cluster characteristic
+    terms rank by smoothed TF-IDF with the CLUSTER as the document unit
+    (tf = term occurrences across the cluster's pages, df = #clusters
+    containing the term, N = #clusters) — the ranked_terms scoring
+    discipline (round(6)→DECIMAL before the ranking window, term-ascending
+    tie-break) over the clustering surface. Top-3 terms per cluster."""
+    pages = _pages(spark, sf_dir)
+    pts = geocode.extract_geocodes(pages)
+    labeled = clustering.cluster_points(
+        pts.select("url", "text", "lat", "lon"), eps_deg=0.75, min_pts=4
+    ).filter(F.col("cluster").isNotNull())
+    toks = labeled.select(
+        "cluster", F.explode(ir.ir_tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("cluster", "term").agg(F.count("*").alias("tf"))
+    totals = tf.agg(F.countDistinct("cluster").alias("n_docs"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    score = F.round(
+        F.col("tf")
+        * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+        6,
+    ).cast(_DEC6)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("cluster").alias("cluster_id"), "term", score.alias("score")
+        )
+        .withColumn("pos", F.row_number().over(w).cast("int"))
+        .filter(F.col("pos") <= 3)
+        .select("cluster_id", "pos", "term", "score")
+    )
+
+
+def _sql_geo_cluster_topics() -> str:
+    return f"""{_sql_grid_prefix()},
+member as (
+  select l.cluster, p.text from pts p join lbl l using (cell)
+),
+toks as (
+  select cluster,
+    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       t -> t <> '')) as term
+  from member
+),
+tf as (select cluster, term, count(*) as tf from toks group by 1, 2),
+totals as (select count(distinct cluster) as n_docs from tf),
+dfreq as (select term, count(*) as df from tf group by 1),
+scored as (
+  select cluster as cluster_id, term,
+    cast(round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6)
+         as decimal(18,6)) as score
+  from tf join dfreq using (term) cross join totals
+)
+select cluster_id, cast(pos as int) as pos, term, score
+from (
+  select *, row_number() over (
+    partition by cluster_id order by score desc, term asc) as pos
+  from scored
+)
+where pos <= 3
 """
 
 
@@ -4696,4 +4776,12 @@ def registry() -> dict[str, tuple]:
         # forward-azimuth formula and the undirected 10° fold — is exactly
         # what this oracle falsifies with exact integer bin counts
         "osm_street_bearings": (q_osm_street_bearings, _sql_osm_street_bearings()),
+        # tail by design: the cross-pillar capstone COMPOSES two certified
+        # surfaces — grid-density cluster assignment (in-window
+        # geo_grid_clusters; its oracle shares ONE _sql_grid_prefix text
+        # with this one, so the clustering mirror cannot drift) and the
+        # tf/df/decimal-round/ranking-window term-scoring discipline
+        # (in-window doc_bm25_terms); only the cluster-as-document framing
+        # is new, and the oracle falsifies exactly that
+        "geo_cluster_topics": (q_geo_cluster_topics, _sql_geo_cluster_topics()),
     }
