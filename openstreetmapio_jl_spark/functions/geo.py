@@ -277,3 +277,46 @@ def bearing_deg_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
         f"- sin(radians({lat1})) * cos(radians({lat2})) "
         f"* cos(radians({lon2}) - radians({lon1}))))"
     )
+
+
+def polygon_centroid_cols(
+    edges: Column, min_lat: Column, min_lon: Column
+) -> tuple[Column, Column]:
+    """Polygon centroid (lat, lon) from a closed edge array — the standard
+    planar shoelace centroid (Σ(v_i+v_{i+1})·cross_i / 3·Σcross_i) over
+    vertices SHIFTED to the bbox corner (the :func:`polygon_area_m2_col`
+    precision discipline: raw lon·lat products lose ~11 digits to
+    cancellation), shifted back at the end. Winding-direction independent
+    (the signed area cancels out of the ratio). Degenerate polygons
+    (zero signed area) yield NULL. Pure column math — whole-stage codegen,
+    no Python."""
+    cross = lambda e: (  # noqa: E731 — local expression builder
+        (e["x1"] - min_lon) * (e["y2"] - min_lat)
+        - (e["x2"] - min_lon) * (e["y1"] - min_lat)
+    )
+    a2 = F.aggregate(edges, F.lit(0.0), lambda a, e: a + cross(e))
+    sx = F.aggregate(
+        edges,
+        F.lit(0.0),
+        lambda a, e: a + ((e["x1"] - min_lon) + (e["x2"] - min_lon)) * cross(e),
+    )
+    sy = F.aggregate(
+        edges,
+        F.lit(0.0),
+        lambda a, e: a + ((e["y1"] - min_lat) + (e["y2"] - min_lat)) * cross(e),
+    )
+    guard = lambda c: F.when(a2 != 0.0, c)  # noqa: E731
+    return (
+        guard(min_lat + sy / (3.0 * a2)),
+        guard(min_lon + sx / (3.0 * a2)),
+    )
+
+
+def polygon_perimeter_m_col(edges: Column) -> Column:
+    """Geodesic ring perimeter (meters): haversine per edge, folded in array
+    order — the closed-ring sibling of :func:`polyline_length_m_col`."""
+    return F.aggregate(
+        edges,
+        F.lit(0.0),
+        lambda a, e: a + haversine_m_col(e["y1"], e["x1"], e["y2"], e["x2"]),
+    )

@@ -3342,6 +3342,59 @@ where pos <= 3
 """
 
 
+def q_osm_polygon_centroids(spark, sf_dir):
+    """Per-polygon shoelace centroid + geodesic ring perimeter — the label
+    anchor and outline length completing the polygon-analytics trio with
+    the in-window shoelace area. Same bbox-corner-shifted precision
+    discipline and rounding tolerances the certified area query proves
+    cross-engine; degenerate (zero-signed-area) polygons yield NULL
+    centroids on both engines."""
+    polys = _way_polygons(spark, sf_dir)
+    clat, clon = geo.polygon_centroid_cols(
+        F.col("edges"), F.col("min_lat"), F.col("min_lon")
+    )
+    return polys.select(
+        "id",
+        F.round(clat, 6).cast(_DEC6).alias("centroid_lat"),
+        F.round(clon, 6).cast(_DEC6).alias("centroid_lon"),
+        F.round(geo.polygon_perimeter_m_col(F.col("edges")), 1)
+        .cast(_DEC)
+        .alias("perimeter_m"),
+    )
+
+
+def _sql_osm_polygon_centroids() -> str:
+    hav = geo.haversine_m_sql("ed.y1", "ed.x1", "ed.y2", "ed.x2")
+    return f"""
+with p as (
+  select id, edges, min_lat, min_lon
+  from read_parquet('{_ofx("truth/polygons.parquet")}')
+),
+terms as (
+  select id, min_lat, min_lon,
+    (ed.x1 - min_lon) * (ed.y2 - min_lat)
+      - (ed.x2 - min_lon) * (ed.y1 - min_lat) as cr,
+    ((ed.x1 - min_lon) + (ed.x2 - min_lon)) as xs,
+    ((ed.y1 - min_lat) + (ed.y2 - min_lat)) as ys,
+    {hav} as seg_m
+  from (select id, min_lat, min_lon, unnest(edges) as ed from p)
+),
+agg as (
+  select id, min(min_lat) as min_lat, min(min_lon) as min_lon,
+    sum(cr) as a2, sum(xs * cr) as sx, sum(ys * cr) as sy,
+    sum(seg_m) as perim
+  from terms group by id
+)
+select id,
+  cast(round(case when a2 != 0 then min_lat + sy / (3.0 * a2) end, 6)
+       as decimal(18,6)) as centroid_lat,
+  cast(round(case when a2 != 0 then min_lon + sx / (3.0 * a2) end, 6)
+       as decimal(18,6)) as centroid_lon,
+  cast(round(perim, 1) as decimal(18,4)) as perimeter_m
+from agg
+"""
+
+
 def q_osm_bbox_overlaps(spark, sf_dir):
     """Rect×rect intersection join (bbox_intersection_join): which
     way-polygon bboxes overlap which multipolygon bboxes — the 2-D
@@ -4784,4 +4837,13 @@ def registry() -> dict[str, tuple]:
         # (in-window doc_bm25_terms); only the cluster-as-document framing
         # is new, and the oracle falsifies exactly that
         "geo_cluster_topics": (q_geo_cluster_topics, _sql_geo_cluster_topics()),
+        # tail by design: centroid/perimeter run the IDENTICAL
+        # bbox-corner-shifted shoelace terms and haversine-per-edge fold the
+        # in-window osm_polygon_areas / osm_way_lengths pair certifies; what
+        # is new — the (Σ(v_i+v_{i+1})·cross)/(3·Σcross) centroid ratio and
+        # the closed-ring perimeter fold — is what this oracle falsifies
+        "osm_polygon_centroids": (
+            q_osm_polygon_centroids,
+            _sql_osm_polygon_centroids(),
+        ),
     }

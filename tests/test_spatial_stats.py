@@ -284,3 +284,86 @@ def test_bearing_fold_is_direction_independent(spark):
     for (_, ff), (_, fr) in zip(fwd, rev):
         diff = abs(ff - fr)
         assert min(diff, 180.0 - diff) < 0.1, (ff, fr)
+
+
+# ---------------------------------------------------------------------------
+# polygon centroid + perimeter (functions/geo.py)
+# ---------------------------------------------------------------------------
+def _edges_df(spark, rings):
+    """rings: list of [(lat, lon), ...] open rings -> (id, edges, min_lat, min_lon)."""
+    rows = []
+    for i, ring in enumerate(rings):
+        edges = []
+        for j in range(len(ring)):
+            y1, x1 = ring[j]
+            y2, x2 = ring[(j + 1) % len(ring)]
+            edges.append((y1, x1, y2, x2))
+        rows.append(
+            (i, edges, min(p[0] for p in ring), min(p[1] for p in ring))
+        )
+    return spark.createDataFrame(
+        rows,
+        "id long, edges array<struct<y1 double, x1 double, y2 double, x2 double>>,"
+        " min_lat double, min_lon double",
+    )
+
+
+def test_centroid_of_square_and_winding_independence(spark):
+    import pytest as _pt
+
+    sq_ccw = [(10.0, 20.0), (10.0, 21.0), (11.0, 21.0), (11.0, 20.0)]
+    sq_cw = list(reversed(sq_ccw))
+    df = _edges_df(spark, [sq_ccw, sq_cw])
+    clat, clon = geo.polygon_centroid_cols(
+        F.col("edges"), F.col("min_lat"), F.col("min_lon")
+    )
+    out = {r.id: (r.la, r.lo) for r in df.select("id", clat.alias("la"), clon.alias("lo")).collect()}
+    for i in (0, 1):
+        assert out[i][0] == _pt.approx(10.5, abs=1e-9)
+        assert out[i][1] == _pt.approx(20.5, abs=1e-9)
+
+
+def test_centroid_degenerate_is_null(spark):
+    line = [(10.0, 20.0), (11.0, 21.0)]  # zero-area "ring"
+    df = _edges_df(spark, [line])
+    clat, _ = geo.polygon_centroid_cols(
+        F.col("edges"), F.col("min_lat"), F.col("min_lon")
+    )
+    assert df.select(clat.alias("c")).collect()[0].c is None
+
+
+def test_centroid_weighted_not_vertex_mean(spark):
+    # an L-shape: the area centroid differs from the vertex average — a
+    # vertex-mean shortcut would fail this
+    import pytest as _pt
+
+    l_shape = [
+        (0.0, 0.0), (0.0, 2.0), (1.0, 2.0), (1.0, 1.0), (2.0, 1.0), (2.0, 0.0)
+    ]
+    df = _edges_df(spark, [l_shape])
+    clat, clon = geo.polygon_centroid_cols(
+        F.col("edges"), F.col("min_lat"), F.col("min_lon")
+    )
+    r = df.select(clat.alias("la"), clon.alias("lo")).collect()[0]
+    # exact planar centroid of this L (area 3): (5/6, 5/6) in (lat, lon)
+    assert r.la == _pt.approx(5 / 6, abs=1e-9)
+    assert r.lo == _pt.approx(5 / 6, abs=1e-9)
+    vm = (sum(p[0] for p in l_shape) / 6, sum(p[1] for p in l_shape) / 6)
+    assert abs(r.la - vm[0]) > 0.1 or abs(r.lo - vm[1]) > 0.1
+
+
+def test_perimeter_matches_haversine_sum(spark):
+    import pytest as _pt
+
+    from openstreetmapio_jl_spark.functions.geo import haversine_m
+
+    sq = [(10.0, 20.0), (10.0, 21.0), (11.0, 21.0), (11.0, 20.0)]
+    df = _edges_df(spark, [sq])
+    got = df.select(
+        geo.polygon_perimeter_m_col(F.col("edges")).alias("p")
+    ).collect()[0].p
+    want = sum(
+        float(haversine_m(*sq[j], *sq[(j + 1) % 4]))
+        for j in range(4)
+    )
+    assert got == _pt.approx(want, rel=1e-12)
