@@ -335,3 +335,61 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def reject_seen_urls_stream(
+    pages: DataFrame,
+    bloom_words: DataFrame,
+    *,
+    url_col: str = "url",
+    m: int = None,
+    k: int = None,
+) -> DataFrame:
+    """Streaming seen-URL rejector over a persisted Bloom filter: keep only
+    pages whose url is (probably) NOT in the filter. Members are rejected
+    with CERTAINTY (bloom gives no false negatives), so a re-crawled url can
+    never re-enter the corpus; a small false-positive fraction of genuinely
+    new urls is dropped too — the standard bloom trade, tunable via m/k.
+
+    Streaming-legal by construction — the whole verdict is ONE stateless
+    per-row expression, no aggregation, no stream-static join: the filter is
+    ≤ m/32 words (~8 KiB default), so it collects once at PLAN TIME into a
+    MAP literal and the probe is a ``forall`` over the row's k bit
+    positions against ``element_at(map, word)``. Contrast with
+    :func:`novel_pages_stream`, whose per-band signature probes are
+    corpus-sized and must stay distributed (stream-static joins); a bloom
+    filter is the opposite trade — tiny state, boolean-only answer.
+
+    ``bloom_words``: the (word, bits) frame from ``sketches.bloom_build``
+    (BATCH — collected here). Rebuild/re-call on the index-compaction
+    cadence, like :func:`write_band_probe_table`."""
+    from openstreetmapio_jl_spark.operators.sketches import (
+        BLOOM_K_DEFAULT,
+        BLOOM_M_DEFAULT,
+        _bloom_positions,
+        _check_bloom_params,
+    )
+
+    m = BLOOM_M_DEFAULT if m is None else m
+    k = BLOOM_K_DEFAULT if k is None else k
+    _check_bloom_params(m, k)
+    words = {int(r.word): int(r.bits) for r in bloom_words.collect()}
+    if not words:
+        return pages  # empty filter: nothing has been seen, keep everything
+    entries = []
+    for w, bits in sorted(words.items()):
+        entries.append(F.lit(w))
+        entries.append(F.lit(bits))
+    wmap = F.create_map(*entries)
+    pos = _bloom_positions(F.col(url_col), m, k)
+    # per position p: is bit (p % 32) set in word (p div 32)?
+    # pow(2, p%32) is a dyadic IEEE exact (< 2^32) — no variable shiftleft
+    # needed inside the HOF lambda
+    bit_set = lambda p: (  # noqa: E731
+        F.coalesce(wmap[(p / 32).cast("long")], F.lit(0)).bitwiseAND(
+            F.pow(F.lit(2.0), p % 32).cast("long")
+        )
+        == F.pow(F.lit(2.0), p % 32).cast("long")
+    )
+    seen = F.forall(pos, bit_set)
+    return pages.filter(~seen)

@@ -236,3 +236,73 @@ def test_bloom_empty_filter_rejects_everything(spark):
     probes = _ids(spark, [1, 2, 3]).withColumnRenamed("v", "probe_id")
     out = bloom_probe(sk, probes, "probe_id", probe_id="probe_id").collect()
     assert len(out) == 3 and not any(r.might_contain for r in out)
+
+
+def test_bloom_reject_stream_matches_batch_probe(spark, tmp_path):
+    """Streaming seen-URL rejector in a real availableNow run: every member
+    url is rejected with certainty, and the streamed verdicts equal the
+    batch bloom_probe verdicts row-for-row (same filter, same hash math)."""
+    import datetime
+
+    from openstreetmapio_jl_spark.streaming import pipelines as SP
+
+    seen_urls = [f"https://seen.example/{i}" for i in range(400)]
+    new_urls = [f"https://new.example/{i}" for i in range(200)]
+    sk = bloom_build(
+        spark.createDataFrame([(u,) for u in seen_urls], "u string"), "u"
+    )
+
+    ts = datetime.datetime(2024, 5, 1)
+    rows = [
+        (u, ts, b"", "text", "en") for u in seen_urls[:100] + new_urls
+    ]
+    feed_dir = str(tmp_path / "feed")
+    spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    ).coalesce(1).write.parquet(feed_dir)
+
+    stream = SP.read_pages_stream(spark, feed_dir)
+    kept = SP.reject_seen_urls_stream(stream, sk)
+    SP.run_available_now(
+        kept,
+        query_name="bloom_kept_t5",
+        output_mode="append",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    got = {r.url for r in spark.table("bloom_kept_t5").collect()}
+
+    # certainty: no member url survives
+    assert not (got & set(seen_urls))
+    # batch twin: the kept set equals the urls bloom_probe calls novel
+    probes = spark.createDataFrame(
+        [(u,) for u in seen_urls[:100] + new_urls], "probe_id string"
+    )
+    batch = bloom_probe(sk, probes, "probe_id", probe_id="probe_id")
+    want = {r.probe_id for r in batch.collect() if not r.might_contain}
+    assert got == want
+    # and the false-positive loss among new urls is small
+    assert len(got) >= len(new_urls) * 0.9
+
+
+def test_bloom_reject_stream_empty_filter_keeps_all(spark, tmp_path):
+    import datetime
+
+    from openstreetmapio_jl_spark.streaming import pipelines as SP
+
+    ts = datetime.datetime(2024, 5, 1)
+    feed_dir = str(tmp_path / "feed2")
+    spark.createDataFrame(
+        [(f"u{i}", ts, b"", "t", "en") for i in range(10)],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    ).coalesce(1).write.parquet(feed_dir)
+    empty = bloom_build(_ids(spark, []), "v")
+    stream = SP.read_pages_stream(spark, feed_dir)
+    kept = SP.reject_seen_urls_stream(stream, empty)
+    SP.run_available_now(
+        kept,
+        query_name="bloom_kept_empty_t5",
+        output_mode="append",
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    assert spark.table("bloom_kept_empty_t5").count() == 10
