@@ -447,3 +447,67 @@ def encode_tile_lines(clipped: DataFrame, *, extent: int = ENCODE_EXTENT) -> Dat
 def tile_bounds_py(x: int, y: int, z: int):
     """Python twin (tests): (south, west, north, east)."""
     return tile_bounds(x, y, z)
+
+
+def tile_center_cols(tile, z: int):
+    """(center_lat, center_lon) of a packed XYZ tile key — the inverse
+    Web-Mercator transform at the tile midpoint (the standard rasterization
+    center-point convention). ``sinh`` is expanded to ``(e^t - e^-t)/2``
+    EXPLICITLY so the DuckDB oracle (which has no sinh) can run the
+    byte-identical expression."""
+    n = float(1 << z)
+    x = ((tile - z * (1 << 58)) / (1 << 29)).cast("long").cast("double")
+    y = (tile % (1 << 29)).cast("double")
+    clon = (x + 0.5) / n * 360.0 - 180.0
+    tcol = F.lit(math.pi) * (1.0 - 2.0 * (y + 0.5) / n)
+    clat = F.degrees(F.atan((F.exp(tcol) - F.exp(-tcol)) / 2.0))
+    return clat, clon
+
+
+def zonal_stats(
+    polygons: DataFrame,
+    tile_counts: DataFrame,
+    *,
+    zoom: int,
+    id_col: str = "id",
+) -> DataFrame:
+    """Zonal statistics — the raster→vector inverse of :func:`tile_counts`:
+    per polygon, aggregate a tile raster over the tiles whose CENTER falls
+    inside the polygon (the standard center-point rasterization rule).
+
+    Shape at scale: the polygon explodes into its bbox tile cover (the PIP
+    join's cover primitive — bounded by bbox area, never all tiles), covers
+    equi-join the raster on the tile key (only OBSERVED raster tiles carry
+    rows — empty ocean tiles cost nothing), and the center test is the
+    certified codegen ray cast. One explode, one key join, one groupBy.
+
+    ``polygons``: (id, edges, min_lat, max_lat, min_lon, max_lon) — the
+    prepared polygon dimension. ``tile_counts``: (tile, n) at ``zoom``.
+    Returns (id, n_tiles, total) for polygons containing ≥1 observed tile
+    center."""
+    from openstreetmapio_jl_spark.operators.spatial_join import tile_cover_bbox
+
+    cover = polygons.select(
+        F.col(id_col).alias("polygon_id"),
+        "edges",
+        F.explode(
+            tile_cover_bbox(
+                F.col("min_lat"),
+                F.col("max_lat"),
+                F.col("min_lon"),
+                F.col("max_lon"),
+                zoom,
+            )
+        ).alias("tile"),
+    )
+    joined = cover.join(tile_counts, "tile")
+    clat, clon = tile_center_cols(F.col("tile"), zoom)
+    inside = geo.pip_crossings_col(clat, clon, F.col("edges"))
+    return (
+        joined.filter(inside)
+        .groupBy("polygon_id")
+        .agg(
+            F.count("*").cast("int").alias("n_tiles"),
+            F.sum("n").cast("long").alias("total"),
+        )
+    )

@@ -3042,6 +3042,78 @@ def q_pages_tile_counts(spark, sf_dir):
     return pts.groupBy("tile").count().withColumnRenamed("count", "n")
 
 
+ZONAL_ZOOM = 19  # ~75 m tiles: the sf0.01 differential covers 11 polygons / 80 tiles
+
+
+def q_osm_zonal_page_counts(spark, sf_dir):
+    """Zonal statistics — the raster→vector inverse of the tiler: per
+    way-polygon, the number of observed z19 raster tiles whose CENTER falls
+    inside the polygon (the standard center-point rasterization rule) and
+    the total pages on them. Candidates come from the bbox tile cover
+    (bounded by bbox area) equi-joined to the observed raster (ocean tiles
+    cost nothing); the center test is the certified codegen ray cast over
+    tile centers computed with an explicit (e^t - e^-t)/2 sinh expansion —
+    DuckDB has no sinh, so both engines run the identical expression."""
+    polys = _way_polygons(spark, sf_dir)
+    pages = _pages(spark, sf_dir)
+    pts = geocode.pages_with_cells(pages, zoom=ZONAL_ZOOM)
+    raster = pts.groupBy("tile").agg(F.count("*").alias("n"))
+    return tiler.zonal_stats(polys, raster, zoom=ZONAL_ZOOM)
+
+
+def _sql_osm_zonal_page_counts() -> str:
+    lat = f"cast(regexp_extract(text, '{geocode.GEO_RE}', 1) as double)"
+    lon = f"cast(regexp_extract(text, '{geocode.GEO_RE}', 2) as double)"
+    n = float(1 << ZONAL_ZOOM)
+    return f"""
+with g as (
+  select {lat} as plat, {lon} as plon
+  from read_parquet('{_ofx("pages.parquet")}')
+  where regexp_extract(text, '{geocode.GEO_RE}', 1) != ''
+),
+raster as (
+  select {cells.xyz_tile_key_sql('plat', 'plon', ZONAL_ZOOM)} as tile, count(*) as n
+  from g where plat between -90 and 90 and plon between -180 and 180
+  group by 1
+),
+centers as (
+  select tile, n,
+    degrees(atan((exp(t) - exp(-t)) / 2.0)) as clat,
+    (cast(x as double) + 0.5) / {n!r} * 360.0 - 180.0 as clon
+  from (
+    select tile, n, x, pi() * (1.0 - 2.0 * (cast(y as double) + 0.5) / {n!r}) as t
+    from (select tile, n,
+            (tile - {ZONAL_ZOOM} * {1 << 58}) // {1 << 29} as x,
+            tile % {1 << 29} as y
+          from raster)
+  )
+),
+p as (
+  select id, unnest(edges) as e
+  from read_parquet('{_ofx("truth/polygons.parquet")}')
+),
+cr as (
+  select c.tile, c.n, p.id,
+    case when ((p.e.y1 > c.clat) != (p.e.y2 > c.clat))
+          and (c.clon < (p.e.x2 - p.e.x1) * (c.clat - p.e.y1) / (p.e.y2 - p.e.y1) + p.e.x1)
+    then 1 else 0 end as c
+  from centers c join read_parquet('{_ofx("truth/polygons.parquet")}') b
+    on c.clat between b.min_lat and b.max_lat
+    and case when b.min_lon <= b.max_lon
+          then c.clon between b.min_lon and b.max_lon
+          else (c.clon >= b.min_lon or c.clon <= b.max_lon) end
+  join p on p.id = b.id
+)
+select id as polygon_id, cast(count(*) as int) as n_tiles,
+       cast(sum(n) as bigint) as total
+from (
+  select tile, n, id from cr
+  group by tile, n, id having sum(c) % 2 = 1
+)
+group by 1
+"""
+
+
 def _sql_pages_tiles() -> str:
     lat = f"cast(regexp_extract(text, '{geocode.GEO_RE}', 1) as double)"
     lon = f"cast(regexp_extract(text, '{geocode.GEO_RE}', 2) as double)"
@@ -4845,5 +4917,16 @@ def registry() -> dict[str, tuple]:
         "osm_polygon_centroids": (
             q_osm_polygon_centroids,
             _sql_osm_polygon_centroids(),
+        ),
+        # tail by design: zonal statistics composes the in-window-certified
+        # cover primitive (the PIP join's tile_cover_bbox), the certified
+        # codegen ray cast, and the pages_tile_counts raster; what is new —
+        # the center-point rule with the explicit sinh expansion and the
+        # per-polygon raster aggregation — is what this oracle falsifies
+        # (it SKIPS the cover and tests every observed tile directly, so a
+        # cover bug that loses candidate tiles breaks equality)
+        "osm_zonal_page_counts": (
+            q_osm_zonal_page_counts,
+            _sql_osm_zonal_page_counts(),
         ),
     }

@@ -269,3 +269,65 @@ def test_bbox_join_plan_has_no_dedup_operator(spark):
     )
     assert "Deduplicate" not in plan and "Distinct" not in plan
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+
+
+# ---------------------------------------------------------------------------
+# zonal_stats (operators/tiler.py) — raster→vector center-point aggregation
+# ---------------------------------------------------------------------------
+from openstreetmapio_jl_spark.operators import tiler as T
+
+
+def test_zonal_stats_center_rule_exact(spark):
+    # a polygon spanning exactly tiles x in [2,3], y in [1,2] at z=3 ... build
+    # from tile bounds so center membership is unambiguous
+    z = 3
+    from openstreetmapio_jl_spark.functions.cells import tile_bounds
+
+    # polygon = the union extent of tiles (2,1) and (3,1), shrunk slightly so
+    # only those two tile CENTERS are inside
+    s, w, n_, e = tile_bounds(2, 1, z)
+    s2, w2, n2, e2 = tile_bounds(3, 1, z)
+    lat_lo, lat_hi = s + 0.1, n_ - 0.1
+    lon_lo, lon_hi = w + 0.1, e2 - 0.1
+    ring = [
+        (lat_lo, lon_lo), (lat_lo, lon_hi), (lat_hi, lon_hi), (lat_hi, lon_lo)
+    ]
+    edges = [
+        (ring[j][0], ring[j][1], ring[(j + 1) % 4][0], ring[(j + 1) % 4][1])
+        for j in range(4)
+    ]
+    polys = spark.createDataFrame(
+        [(7, edges, lat_lo, lat_hi, lon_lo, lon_hi)],
+        "id long, edges array<struct<y1 double, x1 double, y2 double, x2 double>>,"
+        " min_lat double, max_lat double, min_lon double, max_lon double",
+    )
+    key = lambda x, y: z * (1 << 58) + x * (1 << 29) + y
+    raster = spark.createDataFrame(
+        [(key(2, 1), 10), (key(3, 1), 20), (key(4, 1), 99), (key(2, 2), 99)],
+        "tile long, n long",
+    )
+    out = T.zonal_stats(polys, raster, zoom=z).collect()
+    assert len(out) == 1
+    assert out[0].polygon_id == 7 and out[0].n_tiles == 2 and out[0].total == 30
+
+
+def test_tile_center_inverts_tile_assignment(spark):
+    # for a grid of tiles: re-assigning each computed center to a tile at the
+    # same zoom returns the original tile key (center is interior)
+    from pyspark.sql import functions as F
+
+    from openstreetmapio_jl_spark.functions.cells import xyz_tile_key_col
+
+    z = 7
+    keys = [
+        z * (1 << 58) + x * (1 << 29) + y
+        for x in (0, 3, 64, 127)
+        for y in (0, 5, 64, 127)
+    ]
+    df = spark.createDataFrame([(k,) for k in keys], "tile long")
+    clat, clon = T.tile_center_cols(F.col("tile"), z)
+    back = df.select(
+        "tile", xyz_tile_key_col(clat, clon, z).alias("back")
+    ).collect()
+    for r in back:
+        assert r.tile == r.back, r
