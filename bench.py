@@ -73,7 +73,16 @@ HEADLINE = [
                              # one-row totals broadcast + top-k window)
     "geo_grid_clusters",     # r5: grid-density spatial clustering (NEW in
                              # r05 — one points-sized binning groupBy, then
-                             # core-cell adjacency merged by two-phase CC)
+                             # core-cell adjacency merged by bounded-probe
+                             # union-find / distributed CC)
+    "geo_tile_hotspots",     # r5: Getis-Ord Gi* hotspot statistics (NEW in
+                             # r05 — exact-BIGINT moments + 9-delta
+                             # neighborhood equi-join)
+    "doc_search_bm25",       # r5: BM25 retrieval (NEW in r05 — query-term
+                             # tf slice + decimal-exact score summation +
+                             # TakeOrderedAndProject top-n)
+    "doc_len_hdr_quantiles", # r5: HDR quantile sketch (NEW in r05 — integer
+                             # bucket math, map-side-combined counts)
 ]
 
 FLAGSHIP = "pip_hits_per_polygon"
