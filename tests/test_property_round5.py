@@ -113,3 +113,33 @@ def test_grid_clustering_invariants_for_any_blobs(spark, blobs):
     }
     for r in clusters:
         assert r.cluster_id in core
+
+
+@given(
+    st.dictionaries(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ),
+        st.integers(min_value=1, max_value=100),
+        min_size=2,
+        max_size=25,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_gi_star_matches_replica_for_any_raster(spark, counts):
+    """For ANY small raster: gi_star equals an independent per-tile Python
+    replica of the same formula (same degeneracy rules)."""
+    from tests.test_spatial_stats import _replica, _run
+
+    rows = [(x, y, n) for (x, y), n in counts.items()]
+    got, want = _run(spark, rows), _replica(rows)
+    assert set(got) == set(want)
+    for key in want:
+        gn, gw, gws, gz = got[key]
+        wn, ww, wws, wz = want[key]
+        assert (gn, gw, gws) == (wn, ww, wws), key
+        if wz is None:
+            assert gz is None, key
+        else:
+            assert abs(gz - wz) <= 1e-6, (key, gz, wz)
