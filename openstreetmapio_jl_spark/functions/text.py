@@ -317,3 +317,33 @@ def canonicalize_url(col: Column) -> Column:
     return F.concat(
         host, path, F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit(""))
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — the privacy-redaction stage of a training-corpus pipeline
+# ---------------------------------------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9][0-9\-]{6,14}[0-9]"
+
+
+def pii_counts_cols(col: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) found in the text — `regexp_extract_all` sizes,
+    all-JVM. The patterns are deliberately conservative (clear-cut emails,
+    international +prefix phone numbers): a corpus scrubber's job is the
+    unambiguous bulk; aggressive heuristics belong in a reviewed layer
+    above."""
+    return (
+        F.size(F.regexp_extract_all(col, F.lit(EMAIL_RE), F.lit(0))).cast("int"),
+        F.size(F.regexp_extract_all(col, F.lit(PHONE_RE), F.lit(0))).cast("int"),
+    )
+
+
+def scrub_pii_col(col: Column) -> Column:
+    """Text with emails → ``<EMAIL>`` and +international phone numbers →
+    ``<PHONE>`` (all occurrences; email pass first so phone-like digit runs
+    inside addresses are already gone). Pure ``regexp_replace`` — JVM-side,
+    codegen, identical regex dialect in the DuckDB oracle."""
+    return F.regexp_replace(
+        F.regexp_replace(col, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )

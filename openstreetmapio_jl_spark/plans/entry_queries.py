@@ -486,6 +486,86 @@ group by 1, 2
 """
 
 
+def q_doc_pii_scrub(spark, sf_dir):
+    """PII scrubbing — the privacy-redaction corpus stage: deterministic
+    contact lines (an email every 7th doc, a +intl phone every 11th — the
+    multi-mention synthesis technique, identical construction in both
+    engines) are appended, then counted and scrubbed. The differential pins
+    exact per-lang counts AND the scrubbed text bytes via an
+    order-independent BIGINT md5-prefix digest — a scrubber that leaves a
+    fragment or eats a neighbor character breaks the hash."""
+    d = _load(spark, sf_dir, "documents")
+    contact = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" call +49-30-"),
+                F.col("doc_id").cast("string"),
+                F.lit("-77 today"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    ne, np_ = textfn.pii_counts_cols(contact)
+    scrubbed = textfn.scrub_pii_col(contact)
+    digest = F.conv(F.substring(F.md5(scrubbed), 1, 8), 16, 10).cast("long")
+    return (
+        d.select(
+            "lang",
+            ne.alias("ne"),
+            np_.alias("np"),
+            digest.alias("dg"),
+            scrubbed.contains("@").cast("int").alias("leftover"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("ne").cast("long").alias("n_emails"),
+            F.sum("np").cast("long").alias("n_phones"),
+            F.sum("leftover").cast("long").alias("n_leftover_at"),
+            F.sum("dg").alias("scrub_digest"),
+        )
+    )
+
+
+def _sql_doc_pii_scrub() -> str:
+    email, phone = textfn.EMAIL_RE, textfn.PHONE_RE
+    return f"""
+with aug as (
+  select lang, text
+    || case when doc_id % 7 = 0
+        then ' contact user' || cast(doc_id as varchar) || '@example.com now'
+        else '' end
+    || case when doc_id % 11 = 0
+        then ' call +49-30-' || cast(doc_id as varchar) || '-77 today'
+        else '' end as t
+  from documents
+),
+scrubbed as (
+  select lang,
+    len(regexp_extract_all(t, '{email}')) as ne,
+    len(regexp_extract_all(t, '{phone}')) as np,
+    regexp_replace(regexp_replace(t, '{email}', '<EMAIL>', 'g'),
+                   '{phone}', '<PHONE>', 'g') as s
+  from aug
+)
+select lang,
+  cast(sum(ne) as bigint) as n_emails,
+  cast(sum(np) as bigint) as n_phones,
+  cast(sum(case when contains(s, '@') then 1 else 0 end) as bigint)
+    as n_leftover_at,
+  sum(('0x' || substr(md5(s), 1, 8))::bigint) as scrub_digest
+from scrubbed group by 1
+"""
+
+
 SEARCH_QUERY = "spark hash join dup"  # one rare term (dup) + three common
 
 
@@ -4929,4 +5009,11 @@ def registry() -> dict[str, tuple]:
             q_osm_zonal_page_counts,
             _sql_osm_zonal_page_counts(),
         ),
+        # tail by design: the scrubber is two regexp_replace passes + the
+        # regexp_extract_all counter — the extract-all/replace primitives
+        # are in-window via pip_hits_multi_mention / doc_chunk_dedup, and
+        # the md5-prefix BIGINT digest is the certified doc_url_dedup
+        # expression; what is new — the PII patterns and the email-first
+        # replace order — is exactly what the byte-level digest falsifies
+        "doc_pii_scrub": (q_doc_pii_scrub, _sql_doc_pii_scrub()),
     }

@@ -306,3 +306,49 @@ def test_bloom_reject_stream_empty_filter_keeps_all(spark, tmp_path):
         checkpoint_dir=str(tmp_path / "ckpt2"),
     )
     assert spark.table("bloom_kept_empty_t5").count() == 10
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (functions/text.py)
+# ---------------------------------------------------------------------------
+from pyspark.sql import functions as F
+
+from openstreetmapio_jl_spark.functions import text as textfn
+
+
+def _scrub(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    ne, np_ = textfn.pii_counts_cols(F.col("t"))
+    return [
+        (r.s, r.ne, r.np)
+        for r in df.select(
+            textfn.scrub_pii_col(F.col("t")).alias("s"),
+            ne.alias("ne"),
+            np_.alias("np"),
+        ).collect()
+    ]
+
+
+def test_pii_scrub_goldens(spark):
+    out = _scrub(
+        spark,
+        [
+            "write to alice.smith+news@sub.example.co.uk today",
+            "call +49-30-1234567 or +1-555-0100 now",
+            "both a@b.io and +33-1-23-45-67-89 here",
+            "no pii at all",
+            "not-an-email @ alone and 1234567 bare digits",
+        ],
+    )
+    assert out[0] == ("write to <EMAIL> today", 1, 0)
+    assert out[1] == ("call <PHONE> or <PHONE> now", 0, 2)
+    assert out[2] == ("both <EMAIL> and <PHONE> here", 1, 1)
+    assert out[3] == ("no pii at all", 0, 0)
+    # conservative: a lone @ and bare digit runs are NOT scrubbed
+    assert out[4] == ("not-an-email @ alone and 1234567 bare digits", 0, 0)
+
+
+def test_pii_scrub_preserves_neighbors(spark):
+    # scrubbing must not eat adjacent characters (punctuation survives)
+    out = _scrub(spark, ["(x@y.com), [+49-1234567]!"])
+    assert out[0][0] == "(<EMAIL>), [<PHONE>]!"
