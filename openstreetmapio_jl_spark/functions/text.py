@@ -347,3 +347,55 @@ def scrub_pii_col(col: Column) -> Column:
     return F.regexp_replace(
         F.regexp_replace(col, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    n_tokens: int = 128,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size training chunks — the pack-into-
+    context-windows stage of a training pipeline: whitespace tokens, chunks
+    of ``n_tokens`` with ``overlap`` tokens of left context, stride
+    ``n_tokens - overlap``; the final chunk keeps the tail (it may be
+    shorter). Returns one row per chunk: ``(id, chunk_idx, chunk_text,
+    chunk_tokens)``; documents with no tokens produce no rows.
+
+    n_chunks = max(1, ceil((len - overlap) / stride)) — pure integer math,
+    identical in any engine. The whole transform is one array expression
+    (split → sequence → slice → concat_ws → posexplode): whole-stage
+    codegen, no Python, no shuffle — chunking is embarrassingly row-local
+    at any corpus size."""
+    if n_tokens < 2 or not 0 <= overlap < n_tokens:
+        raise ValueError(
+            f"need n_tokens >= 2 and 0 <= overlap < n_tokens, "
+            f"got {n_tokens}, {overlap}"
+        )
+    stride = n_tokens - overlap
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    ln = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((ln - F.lit(overlap)) / F.lit(stride)).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * stride + 1, n_tokens),
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(chunks).alias("chunk_idx", "ctoks"),
+        )
+        .filter(F.size("ctoks") > 0)
+        .select(
+            "id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.concat_ws(" ", "ctoks").alias("chunk_text"),
+            F.size("ctoks").cast("int").alias("chunk_tokens"),
+        )
+    )

@@ -566,6 +566,77 @@ from scrubbed group by 1
 """
 
 
+def q_doc_train_chunks(spark, sf_dir):
+    """Context-window packing — split every document into 64-token training
+    chunks with 8 tokens of overlapping left context (stride 56; the final
+    chunk keeps the tail). One row-local array expression, no shuffle. The
+    differential pins per-chunk EXACT bytes (order-independent BIGINT
+    md5-prefix digest over (id, idx, text) concatenations) plus chunk and
+    token totals per lang — an off-by-one in the slice bounds or a stride
+    error breaks the hash."""
+    d = _load(spark, sf_dir, "documents")
+    ch = textfn.chunk_documents(d, n_tokens=64, overlap=8)
+    lang = d.select(F.col("doc_id").alias("id"), "lang")
+    digest = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("id").cast("string"),
+                    F.col("chunk_idx").cast("string"), F.col("chunk_text"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        ch.join(lang, "id")
+        .select("lang", digest.alias("dg"), "chunk_tokens")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum("chunk_tokens").cast("long").alias("total_tokens"),
+            F.sum("dg").alias("chunk_digest"),
+        )
+    )
+
+
+def _sql_doc_train_chunks() -> str:
+    n, o = 64, 8
+    stride = n - o
+    return f"""
+with toks as (
+  select doc_id as id, lang,
+    list_filter(regexp_split_to_array(trim(text), '\\s+'), t -> t <> '') as tk
+  from documents
+),
+spec as (
+  select id, lang, tk, len(tk) as ln,
+    greatest(1, cast(ceil((len(tk) - {o}) / {stride}.0) as int)) as n_chunks
+  from toks
+),
+chunks as (
+  select id, lang, i as chunk_idx,
+    array_to_string(tk[(i * {stride} + 1):(i * {stride} + {n})], ' ')
+      as chunk_text,
+    len(tk[(i * {stride} + 1):(i * {stride} + {n})]) as chunk_tokens
+  from spec cross join unnest(range(0, n_chunks)) as t(i)
+  where ln > 0
+)
+select lang,
+  cast(count(*) as bigint) as n_chunks,
+  cast(sum(chunk_tokens) as bigint) as total_tokens,
+  sum(('0x' || substr(md5(cast(id as varchar) || '|'
+        || cast(chunk_idx as varchar) || '|' || chunk_text), 1, 8))::bigint)
+    as chunk_digest
+from chunks
+where chunk_tokens > 0
+group by 1
+"""
+
+
 SEARCH_QUERY = "spark hash join dup"  # one rare term (dup) + three common
 
 
@@ -5016,4 +5087,11 @@ def registry() -> dict[str, tuple]:
         # expression; what is new — the PII patterns and the email-first
         # replace order — is exactly what the byte-level digest falsifies
         "doc_pii_scrub": (q_doc_pii_scrub, _sql_doc_pii_scrub()),
+        # tail by design: the whitespace tokenizer and positions-explode
+        # array discipline are in-window certified (doc_chunk_dedup splits
+        # the same windows; doc_bm25_terms tokenizes the same way) and the
+        # md5-prefix digest is the doc_url_dedup expression; what is new —
+        # the stride/overlap slice bounds — is exactly what the byte-exact
+        # chunk digest falsifies
+        "doc_train_chunks": (q_doc_train_chunks, _sql_doc_train_chunks()),
     }

@@ -352,3 +352,62 @@ def test_pii_scrub_preserves_neighbors(spark):
     # scrubbing must not eat adjacent characters (punctuation survives)
     out = _scrub(spark, ["(x@y.com), [+49-1234567]!"])
     assert out[0][0] == "(<EMAIL>), [<PHONE>]!"
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents (functions/text.py) — context-window packing
+# ---------------------------------------------------------------------------
+def _chunk(spark, texts, n=8, o=2):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    return textfn.chunk_documents(df, n_tokens=n, overlap=o)
+
+
+def test_chunking_goldens(spark):
+    words = " ".join(f"w{i}" for i in range(14))  # 14 tokens, n=8 o=2 stride=6
+    out = sorted(
+        (r.chunk_idx, r.chunk_text, r.chunk_tokens)
+        for r in _chunk(spark, [words]).collect()
+    )
+    # n_chunks = ceil((14-2)/6) = 2: [w0..w7], [w6..w13]
+    assert out == [
+        (0, " ".join(f"w{i}" for i in range(8)), 8),
+        (1, " ".join(f"w{i}" for i in range(6, 14)), 8),
+    ]
+
+
+def test_chunking_overlap_reconstructs_document(spark):
+    # dropping the `overlap` left-context tokens of every chunk after the
+    # first reconstructs the original token stream exactly
+    words = [f"t{i}" for i in range(53)]
+    out = sorted(
+        (r.chunk_idx, r.chunk_text)
+        for r in _chunk(spark, [" ".join(words)], n=16, o=4).collect()
+    )
+    rebuilt = out[0][1].split()
+    for _, text in out[1:]:
+        rebuilt += text.split()[4:]
+    assert rebuilt == words
+
+
+def test_chunking_edges(spark):
+    # short doc -> one whole chunk; empty/whitespace doc -> no rows
+    out = _chunk(spark, ["a b c", "", "   "]).collect()
+    assert len(out) == 1
+    assert (out[0].id, out[0].chunk_idx, out[0].chunk_text, out[0].chunk_tokens) == (
+        0, 0, "a b c", 3
+    )
+    # exact multiple: len == n -> exactly one chunk
+    exact = _chunk(spark, [" ".join("x" * 1 for _ in range(8))], n=8, o=2).collect()
+    assert len(exact) == 1 and exact[0].chunk_tokens == 8
+
+
+def test_chunking_validation(spark):
+    import pytest as _pt
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pt.raises(ValueError, match="n_tokens"):
+        textfn.chunk_documents(df, n_tokens=1)
+    with _pt.raises(ValueError, match="n_tokens"):
+        textfn.chunk_documents(df, n_tokens=8, overlap=8)
