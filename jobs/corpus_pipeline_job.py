@@ -111,6 +111,13 @@ def main() -> None:
         "boilerplate; 0 disables",
     )
     ap.add_argument(
+        "--scrub-pii", action="store_true",
+        help="redact emails and +international phone numbers from page text "
+        "(<EMAIL>/<PHONE> placeholders) before the quality gate — the "
+        "privacy stage of the corpus pipeline; conservative patterns only "
+        "(functions.text.scrub_pii_col)",
+    )
+    ap.add_argument(
         "--rebalance", default=None, metavar="LANG:FRAC,...",
         help="deterministic downsample-only rebalance of the gated pages to "
         "a target language mix (e.g. 'en:0.4,de:0.3,fr:0.3'): keep the "
@@ -264,6 +271,14 @@ def main() -> None:
         ).persist()
         n_chunk_boiler_dropped = n_pre - deduped.count()
         pre.unpersist()
+
+    # 1d. optional PII scrub — BEFORE the quality gate (redaction changes
+    # the text the gate scores) and AFTER dedup (dedup keys on original
+    # bytes; scrubbing first would merge docs differing only inside PII)
+    if args.scrub_pii:
+        deduped = deduped.withColumn(
+            "text", textfn.scrub_pii_col(F.col("text"))
+        )
 
     # 2. quality + language gate (all JVM-side)
     gated = (

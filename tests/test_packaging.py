@@ -609,3 +609,57 @@ def test_spark_submit_corpus_pipeline_rebalance(pyfiles_zip, tmp_path, osm_data)
     p3 = run(str(tmp_path / "c3"), str(tmp_path / "l3"), "en:0.5,ja:0.5")
     assert p3.returncode != 0
     assert "absent" in (p3.stderr + p3.stdout)
+
+
+def test_spark_submit_corpus_pipeline_scrub_pii(pyfiles_zip, tmp_path, osm_data):
+    """--scrub-pii via spark-submit: every email/phone planted in the input
+    text is redacted in the written corpus; URLs and other columns ride
+    through untouched."""
+    import pyarrow as pa
+
+    from openstreetmapio_jl_spark.fixtures import generator as G
+
+    meta, nodes, ways, rels = osm_data
+    pbf = str(tmp_path / "f.pbf")
+    G.write_fixture_pbf(pbf, meta, nodes, ways, rels, nodes_per_block=200)
+
+    base = G.make_pages(300)
+    texts = [
+        t + (f" mail u{i}@example.org or +49-30-55{i:04d}-9 now" if i % 3 == 0 else "")
+        for i, t in enumerate(base.column("text").to_pylist())
+    ]
+    tbl = base.set_column(
+        base.schema.get_field_index("text"), "text", pa.array(texts, pa.string())
+    )
+    pages = str(tmp_path / "pages.parquet")
+    pq.write_table(tbl, pages)
+
+    out, lin = str(tmp_path / "scrubbed"), str(tmp_path / "scrub_lineage")
+    cmd = [
+        _spark_submit(),
+        "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.driver.host=127.0.0.1",
+        "--py-files", pyfiles_zip,
+        os.path.join(REPO, "jobs", "corpus_pipeline_job.py"),
+        "--pages", pages, "--pbf", pbf, "--out", out, "--lineage", lin,
+        "--chunks", "2", "--min-quality", "0.0", "--scrub-pii",
+    ]
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    p = subprocess.run(
+        cmd, cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=600
+    )
+    assert p.returncode == 0, p.stderr[-4000:]
+
+    import duckdb
+
+    n_bad, n_redacted, n_rows = duckdb.sql(
+        f"""select
+          sum(case when regexp_matches(text, '@example') then 1 else 0 end),
+          sum(case when contains(text, '<EMAIL>') then 1 else 0 end),
+          count(*)
+        from read_parquet('{out}/chunk=*/*.parquet')"""
+    ).fetchone()
+    assert n_bad == 0          # every planted email is gone
+    assert n_redacted >= 90    # ~100 docs carried PII; redaction markers present
+    assert n_rows == 300       # scrubbing drops no rows
