@@ -663,3 +663,43 @@ def test_spark_submit_corpus_pipeline_scrub_pii(pyfiles_zip, tmp_path, osm_data)
     assert n_bad == 0          # every planted email is gone
     assert n_redacted >= 90    # ~100 docs carried PII; redaction markers present
     assert n_rows == 300       # scrubbing drops no rows
+
+
+def test_spark_submit_corpus_report(pyfiles_zip, tmp_path, osm_data):
+    """corpus_report_job via spark-submit: one JSON report composing the
+    HDR/HLL sketches and the Gi* hotspot ranking, with sane values on the
+    deterministic fixture pages."""
+    from openstreetmapio_jl_spark.fixtures import generator as G
+
+    pages = str(tmp_path / "pages.parquet")
+    pq.write_table(G.make_pages(1000), pages)
+    out = str(tmp_path / "report.json")
+
+    cmd = [
+        _spark_submit(),
+        "--master", "local[4]",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", "spark.driver.host=127.0.0.1",
+        "--py-files", pyfiles_zip,
+        os.path.join(REPO, "jobs", "corpus_report_job.py"),
+        "--pages", pages, "--out", out,
+    ]
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    p = subprocess.run(
+        cmd, cwd=str(tmp_path), env=env, capture_output=True, text=True, timeout=600
+    )
+    assert p.returncode == 0, p.stderr[-4000:]
+
+    rep = json.load(open(out))
+    assert rep["n_rows"] == 1000 and rep["n_urls"] == 1000
+    assert 0.0 <= rep["exact_dup_rate"] < 1.0
+    assert set(rep["lang_mix"]) == {"en", "de", "fr", "es"}
+    assert sum(rep["lang_mix"].values()) == 1000
+    q = rep["chars_quantiles"]
+    assert q["p50"] <= q["p90"] <= q["p99"]
+    assert rep["est_distinct_words"] > 0
+    assert 0 < rep["geocoded_rows"] <= 1000
+    assert rep["geocoded_frac"] == rep["geocoded_rows"] / 1000
+    assert len(rep["top_hot_tiles"]) >= 1
+    zs = [t["gi_z"] for t in rep["top_hot_tiles"]]
+    assert zs == sorted(zs, reverse=True)
