@@ -411,3 +411,43 @@ def test_chunking_validation(spark):
         textfn.chunk_documents(df, n_tokens=1)
     with _pt.raises(ValueError, match="n_tokens"):
         textfn.chunk_documents(df, n_tokens=8, overlap=8)
+
+
+def test_hll_streaming_equals_batch(spark, tmp_path):
+    """Sketches are streaming-native: hll_registers is a groupBy-MAX whose
+    state is bounded at 2^p rows per group, so it runs as a plain Structured
+    Streaming aggregation (update mode, availableNow) — and the streamed
+    registers (hence the estimate) equal the batch sketch EXACTLY."""
+    import pyspark.sql.functions as SF
+
+    from openstreetmapio_jl_spark.operators import sketches
+
+    vals = [(f"v{i % 700}",) for i in range(2000)]  # dups exercise MAX merge
+    feed = str(tmp_path / "hll_feed")
+    spark.createDataFrame(vals, "v string").coalesce(2).write.parquet(feed)
+
+    batch_regs = sorted(
+        map(tuple, sketches.hll_registers(spark.read.parquet(feed), "v").collect())
+    )
+
+    stream = spark.readStream.schema("v string").parquet(feed)
+    regs = sketches.hll_registers(stream, "v")
+    q = (
+        regs.writeStream.format("memory")
+        .queryName("hll_stream_t5")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hll"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("hll_stream_t5").collect()))
+    assert got == batch_regs
+
+    est_stream = sketches.hll_estimate(spark.table("hll_stream_t5")).collect()[0]
+    est_batch = sketches.hll_estimate(
+        sketches.hll_registers(spark.read.parquet(feed), "v")
+    ).collect()[0]
+    assert est_stream == est_batch
+    # and the estimate is in the right ballpark for 700 distinct values
+    assert abs(float(est_stream.est_distinct) - 700) / 700 < 0.2
