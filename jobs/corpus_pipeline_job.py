@@ -136,6 +136,23 @@ def main() -> None:
         "loop",
     )
     ap.add_argument(
+        "--url-bloom", default=None, metavar="PREFIX",
+        help="table prefix of a persisted URL Bloom filter: pages whose url "
+        "is in the filter drop IMMEDIATELY on load (seen urls are rejected "
+        "with certainty - bloom has no false negatives; a small tunable "
+        "false-positive fraction of new urls is lost, see --url-bloom-bits), "
+        "and after the write the batch survivors' urls OR-merge into the "
+        "filter. OR is idempotent, so re-running a batch cannot corrupt the "
+        "filter - the cheap exact-certainty cross-batch URL dedup next to "
+        "the signature index's near-dup dedup",
+    )
+    ap.add_argument(
+        "--url-bloom-bits", type=int, default=1 << 20,
+        help="filter size m in bits (multiple of 32; ~m/8 bytes). Size by "
+        "the standard fpr=(1-e^{-kn/m})^k with k=5: m=2^20 holds ~10^5 urls "
+        "at <1%% fp; scale m linearly with corpus url count",
+    )
+    ap.add_argument(
         "--batch-id", default=None,
         help="identifier scoping this batch's lineage chunk keys and index "
         "extension (default: md5 of the --pages path PLUS each data file's "
@@ -168,8 +185,8 @@ def main() -> None:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     )
-    if args.dedup_index:
-        # the signature index must outlive this invocation: the default
+    if args.dedup_index or args.url_bloom:
+        # the signature index / url bloom must outlive this invocation: the default
         # in-memory catalog forgets saveAsTable metadata (incl. the bucket
         # spec) at session stop, so index mode needs the persistent metastore
         # (Derby in cwd here; a shared metastore service on a real cluster)
@@ -185,6 +202,20 @@ def main() -> None:
     b.union.unpersist()
 
     pages = spark.read.parquet(args.pages)
+
+    # 0. cross-batch URL rejection against the persisted bloom (certainty
+    # for seen urls; the earliest, cheapest gate - one broadcast words join)
+    bloom_table = f"{args.url_bloom}_url_bloom" if args.url_bloom else None
+    if bloom_table and spark.catalog.tableExists(bloom_table):
+        from openstreetmapio_jl_spark.operators.sketches import bloom_probe
+
+        verdicts = bloom_probe(
+            spark.table(bloom_table), pages.select("url"), "url",
+            probe_id="url", m=args.url_bloom_bits,
+        )
+        pages = pages.join(
+            verdicts.filter(~F.col("might_contain")).select("url"), "url"
+        )
 
     # 1. exact dedup: deterministic survivor per normalized-text fingerprint
     w = Window.partitionBy("fp").orderBy("url")
@@ -336,6 +367,44 @@ def main() -> None:
         run_id=args.run_id,
     )
     stats["batch_id"] = batch_id
+
+    # 5a. url-bloom maintenance: OR-merge the written survivors' urls into
+    # the persisted filter (write output first, then merge — like the index;
+    # and unlike it, NO exactly-once marker is needed: bit-OR is idempotent,
+    # so a crash-rerun re-merging the same urls changes nothing). The filter
+    # is <= m/32 rows, so the read-merge-rewrite round-trips through one
+    # bounded driver collect instead of a staging-table dance.
+    if args.url_bloom:
+        from openstreetmapio_jl_spark.operators.sketches import bloom_build
+
+        batch_sk = bloom_build(
+            chunked.select("url"), "url", m=args.url_bloom_bits
+        )
+        if spark.catalog.tableExists(bloom_table):
+            old_rows = {
+                int(r.word): int(r.bits)
+                for r in spark.table(bloom_table).collect()
+            }
+            for r in batch_sk.collect():
+                old_rows[int(r.word)] = old_rows.get(int(r.word), 0) | int(r.bits)
+            merged = spark.createDataFrame(
+                sorted(old_rows.items()), "word long, bits long"
+            )
+        else:
+            merged = batch_sk
+            # orphaned warehouse dir from a crashed prior run with a fresh
+            # metastore: overwrite alone raises LOCATION_ALREADY_EXISTS
+            import shutil
+
+            wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+            loc = os.path.join(wh.removeprefix("file:"), bloom_table)
+            if os.path.isdir(loc):
+                shutil.rmtree(loc, ignore_errors=True)
+        merged.write.format("parquet").mode("overwrite").saveAsTable(
+            bloom_table
+        )
+        stats["url_bloom_words"] = spark.table(bloom_table).count()
+
     # 5. index maintenance: the written survivors become (or extend) the
     # persisted signature index, so the NEXT invocation dedups incrementally
     # against everything ingested so far (write output first, then extend —

@@ -703,3 +703,70 @@ def test_spark_submit_corpus_report(pyfiles_zip, tmp_path, osm_data):
     assert len(rep["top_hot_tiles"]) >= 1
     zs = [t["gi_z"] for t in rep["top_hot_tiles"]]
     assert zs == sorted(zs, reverse=True)
+
+
+def test_spark_submit_url_bloom_cross_batch_dedup(pyfiles_zip, tmp_path, osm_data):
+    """--url-bloom across two spark-submit invocations: batch 2 shares 400 of
+    its 600 urls with batch 1 — every shared url drops with certainty on
+    load (bloom has no false negatives), (almost) all genuinely new urls
+    survive, and a re-run of batch 2 is a lineage no-op whose idempotent
+    OR-merge leaves the filter unchanged."""
+    import duckdb
+
+    from openstreetmapio_jl_spark.fixtures import generator as G
+
+    meta, nodes, ways, rels = osm_data
+    pbf = str(tmp_path / "f.pbf")
+    G.write_fixture_pbf(pbf, meta, nodes, ways, rels, nodes_per_block=200)
+    all600 = G.make_pages(600)
+    pages1 = str(tmp_path / "pages1.parquet")
+    pq.write_table(all600.slice(0, 400), pages1)
+    pages2 = str(tmp_path / "pages2.parquet")
+    pq.write_table(all600, pages2)
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+
+    def run(pages, out, lin):
+        cmd = [
+            _spark_submit(),
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.driver.host=127.0.0.1",
+            "--py-files", pyfiles_zip,
+            os.path.join(REPO, "jobs", "corpus_pipeline_job.py"),
+            "--pages", pages, "--pbf", pbf, "--out", out, "--lineage", lin,
+            "--chunks", "2", "--min-quality", "0.0",
+            "--url-bloom", "t5ub",
+        ]
+        p = subprocess.run(
+            cmd, cwd=str(tmp_path), env=env, capture_output=True, text=True,
+            timeout=600,
+        )
+        assert p.returncode == 0, p.stderr[-4000:]
+        return json.loads(
+            [l for l in p.stdout.splitlines() if l.startswith("{")][-1]
+        )
+
+    s1 = run(pages1, str(tmp_path / "c1"), str(tmp_path / "l1"))
+    assert s1["rows"] == 400 and s1["url_bloom_words"] > 0
+
+    s2 = run(pages2, str(tmp_path / "c2"), str(tmp_path / "l2"))
+    urls1 = {
+        r[0]
+        for r in duckdb.sql(
+            f"select url from read_parquet('{tmp_path}/c1/chunk=*/*.parquet')"
+        ).fetchall()
+    }
+    urls2 = {
+        r[0]
+        for r in duckdb.sql(
+            f"select url from read_parquet('{tmp_path}/c2/chunk=*/*.parquet')"
+        ).fetchall()
+    }
+    assert len(urls1) == 400
+    assert not (urls1 & urls2)          # certainty: no seen url re-enters
+    assert len(urls2) >= 0.95 * 200     # bounded fp loss among the 200 new
+
+    # idempotent re-run of batch 2: lineage no-op, filter word-count stable
+    s3 = run(pages2, str(tmp_path / "c2"), str(tmp_path / "l2"))
+    assert s3["processed"] == 0
+    assert s3["url_bloom_words"] == s2["url_bloom_words"]
