@@ -9,6 +9,9 @@
 The full web-corpus preparation flow, each stage the scale-shaped operator the
 library provides:
 
+0. **cross-batch URL gate** (``--url-bloom PREFIX``) — urls already in the
+   persisted Bloom filter drop at load with certainty (no false negatives);
+   after the write, the survivors' urls OR-merge back (idempotent);
 1. **exact dedup** — md5 fingerprint of normalized text, keep the smallest
    url per group (deterministic survivor; one groupBy shuffle);
 1b. **near-dup cluster dedup** (``--near-dup-threshold`` > 0) — MinHash-LSH
@@ -19,8 +22,12 @@ library provides:
    CCNet-style: each page's text is rewritten to the N-word chunks not
    shared with any other page (site chrome / legal boilerplate stripped
    from INSIDE kept pages); pages that were pure boilerplate drop;
+1d. **PII scrub** (``--scrub-pii``) — emails/international phones redacted
+   before the quality gate scores the text;
 2. **quality + language gate** — JVM-side quality_score_col / token counts
    over the CLEANED text, drop below ``--min-quality``;
+2b. **language rebalance** (``--rebalance LANG:FRAC,...``) — deterministic
+   downsample-only rebalance to a target mix (md5-ranked selection);
 3. **geocode + spatial enrich** — regex geocode extraction, cell-keyed PIP
    join against the once-prepared OSM polygon dimension (LEFT join: pages
    without a geo mention or outside every polygon survive un-enriched);
