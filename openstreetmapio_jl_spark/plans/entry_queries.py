@@ -789,6 +789,49 @@ group by 1
 """
 
 
+def q_events_trailing_2min(spark, sf_dir):
+    """Per-click trailing-window stats over a VALUE-BASED window frame
+    (rangeBetween, not rowsBetween — peers enter by timestamp distance, not
+    row position): for every click, how many of the user's clicks landed in
+    the trailing 120 s (inclusive) and their exact value sum. The frame
+    orders on integer epoch-MICROseconds so both engines bound the frame
+    with the identical integer comparison; values are 2-dp doubles summed
+    as exact BIGINT cents. The burst detector shape (rate limiting, fraud
+    windows) that tumbling windows can't express — every event needs ITS
+    OWN trailing window."""
+    e = _load(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    w = (
+        Window.partitionBy("user_id")
+        # ts is TIMESTAMP_NTZ; the cast interprets it in the session tz,
+        # which the engine pins to UTC (session.py) — epoch micros therefore
+        # equal DuckDB's epoch_us over the same naive timestamps
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-120_000_000, 0)
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return e.select(
+        "event_id",
+        F.count("*").over(w).cast("int").alias("n_2min"),
+        (F.sum(cents).over(w).cast("double") / 100)
+        .cast(_DEC2)
+        .alias("sum_value_2min"),
+    )
+
+
+SQL_EVENTS_TRAILING = """
+select event_id,
+  cast(count(*) over w as int) as n_2min,
+  cast(cast(sum(cast(round(value * 100, 0) as bigint)) over w as double) / 100
+       as decimal(18,2)) as sum_value_2min
+from events
+where event_type = 'click'
+window w as (
+  partition by user_id order by epoch_us(ts)
+  range between 120000000 preceding and current row
+)
+"""
+
+
 def q_events_rollup(spark, sf_dir):
     """Multi-level aggregation: ROLLUP over (event_type, day) — per-type-per-day
     counts, per-type subtotals, and the grand total in one pass (Spark expands
@@ -5094,4 +5137,9 @@ def registry() -> dict[str, tuple]:
         # the stride/overlap slice bounds — is exactly what the byte-exact
         # chunk digest falsifies
         "doc_train_chunks": (q_doc_train_chunks, _sql_doc_train_chunks()),
+        # tail by design: the window-function category is in-window via
+        # events_sessionize (lag frames) and doc_winnow_fps (sliding row
+        # frames); what is new — the VALUE-BASED rangeBetween frame bounded
+        # by integer epoch-micros — is exactly what this oracle falsifies
+        "events_trailing_2min": (q_events_trailing_2min, SQL_EVENTS_TRAILING),
     }
