@@ -832,6 +832,42 @@ window w as (
 """
 
 
+def q_events_locf(spark, sf_dir):
+    """Gap-filling / LOCF (last observation carried forward) — the
+    time-series imputation shape: per user ordered by (ts, event_id),
+    every event carries the running LAST 'click' value forward
+    (``last(..., ignorenulls=True)`` over an unbounded-preceding frame;
+    events before the user's first click stay NULL). Values compare as
+    exact BIGINT cents; the (ts, event_id) tie-break makes the carry
+    deterministic under timestamp collisions on any engine."""
+    e = _load(spark, sf_dir, "events")
+    cents = F.when(
+        F.col("event_type") == "click",
+        F.round(F.col("value") * 100, 0).cast("long"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.last(cents, ignorenulls=True).over(w).alias("locf_cents"),
+    )
+
+
+SQL_EVENTS_LOCF = """
+select event_id, user_id,
+  last_value(case when event_type = 'click'
+                  then cast(round(value * 100, 0) as bigint) end
+             ignore nulls)
+    over (partition by user_id order by ts, event_id
+          rows between unbounded preceding and current row) as locf_cents
+from events
+"""
+
+
 def q_events_rollup(spark, sf_dir):
     """Multi-level aggregation: ROLLUP over (event_type, day) — per-type-per-day
     counts, per-type subtotals, and the grand total in one pass (Spark expands
@@ -5142,4 +5178,10 @@ def registry() -> dict[str, tuple]:
         # frames); what is new — the VALUE-BASED rangeBetween frame bounded
         # by integer epoch-micros — is exactly what this oracle falsifies
         "events_trailing_2min": (q_events_trailing_2min, SQL_EVENTS_TRAILING),
+        # tail by design: ordered-frame windows are in-window via
+        # events_sessionize / doc_winnow_fps; what is new — the
+        # ignore-nulls last_value carry (LOCF gap-filling) with the
+        # (ts, event_id) tie-break — is what this oracle falsifies over
+        # every event row
+        "events_locf": (q_events_locf, SQL_EVENTS_LOCF),
     }
